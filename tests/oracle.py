@@ -1,0 +1,92 @@
+"""Pure-Python single-node BM25 oracle (SURVEY.md §5 ring 2, Appendix A).
+
+Independent of the engine's codec/kernels: plain dicts + math.  The engine
+must be rank-identical with equal scores (atol 1e-9) on the reference query
+set (BASELINE.json north_rule).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+from zsolr.parse import And, Not, Or, Range, Term
+
+K1, B = 1.2, 0.75
+
+
+class OracleIndex:
+    def __init__(self, rows):
+        """rows: iterable of dicts with doc_id, content + metadata fields."""
+        self.meta = {}
+        self.tf: dict[str, dict[int, int]] = {}
+        self.doclen: dict[int, int] = {}
+        for r in rows:
+            did = r["doc_id"]
+            toks = re.findall(r"[a-z0-9]+", r["content"].lower())
+            self.doclen[did] = len(toks)
+            for t, c in Counter(toks).items():
+                self.tf.setdefault(t, {})[did] = c
+            self.meta[did] = {k: v for k, v in r.items() if k != "content"}
+        self.n = len(self.doclen)
+        self.avgdl = sum(self.doclen.values()) / max(1, self.n)
+
+    def idf(self, term: str) -> float:
+        df = len(self.tf.get(term, {}))
+        return math.log(1.0 + (self.n - df + 0.5) / (df + 0.5))
+
+    def _score_term(self, term: str) -> dict[int, float]:
+        w = self.idf(term)
+        out = {}
+        for did, tf in self.tf.get(term, {}).items():
+            dl = self.doclen[did]
+            out[did] = w * tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / self.avgdl))
+        return out
+
+    def _eval(self, node) -> dict[int, float]:
+        if isinstance(node, Term):
+            if node.field == "content":
+                return self._score_term(node.term)
+            return {d: 0.0 for d, m in self.meta.items()
+                    if str(m.get(node.field)) == node.term}
+        if isinstance(node, Range):
+            if node.field in ("*", "content") and node.lo is None and node.hi is None:
+                return {d: 0.0 for d in self.meta}
+            out = {}
+            for d, m in self.meta.items():
+                v = m.get(node.field)
+                if v is None:
+                    continue
+                if node.lo is not None and str(v) < node.lo:
+                    continue
+                if node.hi is not None and str(v) > node.hi:
+                    continue
+                out[d] = 0.0
+            return out
+        if isinstance(node, Or):
+            out: dict[int, float] = {}
+            for c in node.children:
+                for d, s in self._eval(c).items():
+                    out[d] = out.get(d, 0.0) + s
+            return out
+        if isinstance(node, And):
+            pos = [c for c in node.children if not isinstance(c, Not)]
+            neg = [c.child for c in node.children if isinstance(c, Not)]
+            sets = [self._eval(c) for c in pos]
+            common = set(sets[0])
+            for s in sets[1:]:
+                common &= set(s)
+            for nn in neg:
+                common -= set(self._eval(nn))
+            return {d: sum(s.get(d, 0.0) for s in sets) for d in common}
+        raise ValueError(f"oracle cannot eval {node}")
+
+    def search(self, ast, k: int = 10):
+        """→ list of (doc_id, score), score desc, doc_id asc tie-break."""
+        scored = self._eval(ast)
+        ranked = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked if k is None else ranked[:k]
+
+    def num_found(self, ast) -> int:
+        return len(self._eval(ast))

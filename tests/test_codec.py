@@ -1,0 +1,58 @@
+"""Codec round-trip tests (SURVEY.md §5 ring 1, test_codec)."""
+
+import numpy as np
+import pytest
+
+from zsolr import codec
+
+
+@pytest.mark.parametrize("c", [codec.CODEC_VARINT, codec.CODEC_BITPACK])
+def test_roundtrip_small(c):
+    for arr in (
+        np.array([], dtype=np.uint64),
+        np.array([0], dtype=np.uint64),
+        np.array([0, 1, 127, 128, 129, 16383, 16384, 2**32, 2**63 - 1], dtype=np.uint64),
+    ):
+        out = codec.decode_u64(codec.encode_u64(arr, c))
+        assert np.array_equal(out, arr), (c, arr, out)
+
+
+@pytest.mark.parametrize("c", [codec.CODEC_VARINT, codec.CODEC_BITPACK])
+@pytest.mark.parametrize("seed", range(5))
+def test_roundtrip_random(c, seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.integers(1, 5000))
+    # gap-like distribution: mostly small, occasional huge
+    arr = rng.integers(0, 1000, n).astype(np.uint64)
+    arr[rng.integers(0, n, max(1, n // 50))] = rng.integers(
+        0, 2**62, max(1, n // 50)
+    ).astype(np.uint64)
+    assert np.array_equal(codec.decode_u64(codec.encode_u64(arr, c)), arr)
+
+
+@pytest.mark.parametrize("c", [codec.CODEC_VARINT, codec.CODEC_BITPACK])
+def test_blocks_roundtrip_and_blockmax(c):
+    rng = np.random.default_rng(42)
+    n = 1000
+    doc_ids = np.sort(rng.choice(100_000, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 50, n).astype(np.int64)
+    firsts, lasts, lens, gblobs, tblobs, maxtfs = codec.encode_blocks(
+        doc_ids, tfs, block_size=128, codec=c
+    )
+    assert sum(lens) == n
+    got_d, got_t = [], []
+    for i, (f, g, t) in enumerate(zip(firsts, gblobs, tblobs)):
+        d, tf = codec.decode_block(f, g, t)
+        assert d[0] == f and d[-1] == lasts[i]
+        assert int(tf.max()) == maxtfs[i]
+        got_d.append(d)
+        got_t.append(tf)
+    assert np.array_equal(np.concatenate(got_d), doc_ids)
+    assert np.array_equal(np.concatenate(got_t), tfs)
+
+
+def test_varint_compression_effective():
+    # small gaps must cost ~1 byte each, not 8
+    gaps = np.full(10_000, 3, dtype=np.uint64)
+    blob = codec.encode_u64(gaps, codec.CODEC_VARINT)
+    assert len(blob) < 10_100

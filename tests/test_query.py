@@ -1,0 +1,85 @@
+"""Query-builder string tests (mirrors upstream zeit.solr test_query style,
+SURVEY.md §5 ring 1) + parser round-trips."""
+
+from datetime import datetime
+
+from zsolr import parse as P
+from zsolr import query as Q
+
+
+def test_and_or_not_strings():
+    assert Q.and_("a", "b") == "(a AND b)"
+    assert Q.or_("a", "b", "c") == "(a OR b OR c)"
+    assert Q.not_("a") == "NOT (a)"
+
+
+def test_field_escaping():
+    assert Q.field("title", "foo") == 'title:"foo"'
+    assert Q.field("title", 'a:b"c') == 'title:"a\\:b\\"c"'
+    assert Q.field_raw("lang", "en") == "lang:en"
+    assert Q.text_as_term("c++ (x)") == "c\\+\\+ \\(x\\)"
+
+
+def test_range_builders():
+    assert Q.any_value() == "[* TO *]"
+    assert (
+        Q.datetime_range("ts", datetime(2020, 1, 2, 3, 4, 5), None)
+        == "ts:[2020-01-02T03:04:05Z TO *]"
+    )
+    assert Q.bool_field("published", True) == "published:true"
+
+
+def test_parse_single_term():
+    assert P.parse("spark") == P.Term("spark")
+
+
+def test_parse_and_or_not():
+    ast = P.parse("hash AND join")
+    assert ast == P.And((P.Term("hash"), P.Term("join")))
+    ast = P.parse("stream OR batch")
+    assert ast == P.Or((P.Term("stream"), P.Term("batch")))
+    ast = P.parse("query AND NOT slow")
+    assert ast == P.And((P.Term("query"), P.Not(P.Term("slow"))))
+
+
+def test_parse_precedence_and_parens():
+    # AND binds tighter than OR
+    ast = P.parse("a AND b OR c")
+    assert ast == P.Or((P.And((P.Term("a"), P.Term("b"))), P.Term("c")))
+    ast = P.parse("a AND (b OR c)")
+    assert ast == P.And((P.Term("a"), P.Or((P.Term("b"), P.Term("c")))))
+
+
+def test_parse_implicit_and():
+    assert P.parse("hash join") == P.And((P.Term("hash"), P.Term("join")))
+
+
+def test_parse_fielded_and_phrase():
+    ast = P.parse("lang:en AND spark")
+    assert ast == P.And((P.Term("en", "lang"), P.Term("spark")))
+    # phrase → AND of analyzed terms (v1)
+    ast = P.parse('"sort merge"')
+    assert ast == P.And((P.Term("sort"), P.Term("merge")))
+
+
+def test_parse_ranges():
+    ast = P.parse("commit:[a TO f]")
+    assert ast == P.Range("commit", "a", "f")
+    ast = P.parse("content:[* TO *]")
+    assert ast == P.Range("content", None, None)
+    assert P.parse("[* TO *]") == P.Range("*", None, None)
+
+
+def test_builders_parse_back():
+    q = Q.and_(Q.field_raw("lang", "en"), Q.or_("spark", "scan"), Q.not_("slow"))
+    ast = P.parse(q)
+    assert ast == P.And((
+        P.Term("en", "lang"),
+        P.Or((P.Term("spark"), P.Term("scan"))),
+        P.Not(P.Term("slow")),
+    ))
+
+
+def test_analyzer_applied_to_query_terms():
+    assert P.parse("SPARK") == P.Term("spark")
+    assert P.parse("Foo-Bar") == P.And((P.Term("foo"), P.Term("bar")))

@@ -1,0 +1,351 @@
+"""Index build pipeline (SURVEY.md §2.1 I5-I8, I11, I12; lifecycle E1').
+
+zeit.solr's update path (converter → ``SolrConnection.update_raw`` → Lucene
+segment write → commit) becomes:
+
+  corpus scan → docID assign (I2) → convert+sha (I3, codegen) → tokenize
+  (I4) → explode + hash-agg tf/doclen (I5, shuffle #1 with map-side partial
+  agg) → hot-term salt plan (I11) → groupBy(term, salt) Arrow kernel encoding
+  delta+varint/bitpack blocks (I6) → bucket-layout shuffle of the ~100×
+  smaller compressed blocks (I7 — Spark's sort shuffle IS the external
+  merge; salted sub-lists cover disjoint docID ranges so the merge is block
+  concatenation) → atomic catalog commit + per-stage lineage manifest (I8).
+
+Resumability (I12): the tf table is checkpointed to the catalog; postings
+are built in ``resume_groups`` bucket groups, each committed with its own
+manifest row keyed by ``(stage, partition_id, input_fingerprint)``.  A
+re-run with the same fingerprint anti-joins completed groups and only
+rebuilds pending ones.
+
+Scale notes (north_rule: 10^12 files, explicit partitioning/shuffle/skew):
+* the only O(corpus) shuffles are the tf hash-agg and the (term, salt)
+  group — both key-partitioned, both with bounded per-task state;
+* hot terms (df above ``hot_df_threshold``, i.e. stop-word-class terms with
+  ~10^11 postings at full scale) are salted by contiguous docID range
+  (``doc_id // salt_width``) so no single task ever materializes more than
+  ``~hot_df_threshold`` postings, and sub-lists stay globally mergeable;
+* everything between Arrow kernels is whole-stage-codegen built-ins.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+import zlib
+from dataclasses import dataclass, field
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from . import BLOCK_SIZE, codec
+from .analyze import tokenize_arrow, tokenize_codegen
+from .catalog import ManifestParquetCatalog
+from .corpus import read_corpus
+from .docids import assign_doc_ids
+
+POSTINGS_SCHEMA = StructType([
+    StructField("term", StringType()),
+    StructField("bucket", IntegerType()),
+    StructField("first_doc", LongType()),
+    StructField("last_doc", LongType()),
+    StructField("n_docs", IntegerType()),
+    StructField("doc_gaps", BinaryType()),
+    StructField("tfs", BinaryType()),
+    StructField("block_max_tf", IntegerType()),
+])
+
+MANIFEST_SCHEMA = StructType([
+    StructField("build_id", StringType()),
+    StructField("stage", StringType()),
+    StructField("partition_id", IntegerType()),
+    StructField("input_fingerprint", StringType()),
+    StructField("rows", LongType()),
+    StructField("bytes", LongType()),
+    StructField("wall_ms", LongType()),
+    StructField("status", StringType()),
+])
+
+
+def term_bucket(term: str, n_buckets: int) -> int:
+    """Driver-side twin of the Spark ``crc32(term) % n_buckets`` expression —
+    the query planner computes buckets for query terms without a Spark job."""
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+@dataclass
+class BuildConfig:
+    n_buckets: int = 32
+    block_size: int = BLOCK_SIZE
+    codec: int = codec.CODEC_VARINT
+    tokenizer: str = "codegen"          # "codegen" | "arrow"
+    hot_df_threshold: int = 1_000_000   # df above which a term is salted
+    hot_quantile: float = 0.999         # quantile probe for adaptive threshold
+    resume_groups: int = 1              # posting bucket groups per commit
+    doc_id_partitions: int | None = None
+
+    def fingerprint(self, corpus_location: str) -> str:
+        key = (f"{corpus_location}|nb={self.n_buckets}|bs={self.block_size}"
+               f"|codec={self.codec}|tok={self.tokenizer}")
+        return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+
+@dataclass
+class BuildResult:
+    build_id: str
+    fingerprint: str
+    n_docs: int
+    avgdl: float
+    stages: dict = field(default_factory=dict)
+    resumed_stages: list = field(default_factory=list)
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+class IndexBuilder:
+    """Builds the inverted index into a catalog (tables: docs, tfs,
+    postings, term_stats, index_stats, manifest, tombstones)."""
+
+    def __init__(self, cat: ManifestParquetCatalog, cfg: BuildConfig | None = None):
+        self.cat = cat
+        self.cfg = cfg or BuildConfig()
+
+    # ----------------------------------------------------------- manifest --
+    def _manifest_append(self, spark: SparkSession, rows: list[tuple]):
+        df = spark.createDataFrame(rows, MANIFEST_SCHEMA)
+        mode = "append" if self.cat.exists("manifest") else "overwrite"
+        self.cat.write(df, "manifest", mode=mode)
+
+    def _completed(self, spark: SparkSession, fingerprint: str) -> dict[str, set[int]]:
+        """stage → set of completed partition_ids for this fingerprint."""
+        if not self.cat.exists("manifest"):
+            return {}
+        rows = (
+            self.cat.read(spark, "manifest")
+            .filter((F.col("input_fingerprint") == fingerprint)
+                    & (F.col("status") == "committed"))
+            .select("stage", "partition_id")
+            .collect()
+        )
+        out: dict[str, set[int]] = {}
+        for r in rows:
+            out.setdefault(r["stage"], set()).add(r["partition_id"])
+        return out
+
+    # -------------------------------------------------------------- stages --
+    def _stage_docs_tfs(self, spark: SparkSession, corpus: DataFrame,
+                        build_id: str, fp: str, result: BuildResult):
+        cfg = self.cfg
+        t0 = time.time()
+        with_ids = assign_doc_ids(corpus, cfg.doc_id_partitions)
+        toks = (tokenize_arrow(F.col("content")) if cfg.tokenizer == "arrow"
+                else tokenize_codegen(F.col("content")))
+        tokd = with_ids.select(
+            "doc_id", "repo", "path", "commit", "lang",
+            F.sha2(F.col("content"), 256).alias("content_sha256"),
+            toks.alias("toks"),
+        )
+        # I5 — (term, doc_id) → tf.  explode + partial/final hash agg; the
+        # bucket column rides along for layout + pruning downstream.
+        tf = (
+            tokd.select("doc_id", F.explode("toks").alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn(
+                "bucket",
+                F.pmod(F.crc32(F.col("term")), F.lit(cfg.n_buckets)).cast("int"),
+            )
+        )
+        self.cat.write(tf, "tfs", mode="overwrite")
+        # doc_len from the committed tf table (no second tokenize pass)
+        tf_c = self.cat.read(spark, "tfs")
+        doclen = tf_c.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+        docs = (
+            tokd.drop("toks")
+            .join(doclen, "doc_id", "left")
+            .fillna(0, subset=["doc_len"])
+        )
+        self.cat.write(docs, "docs", mode="overwrite")
+        spark.catalog.clearCache()  # drop the docID range-partition cache
+        wall = int((time.time() - t0) * 1000)
+        n_rows = self.cat.read(spark, "docs").count()
+        self._manifest_append(spark, [
+            (build_id, "docs_tfs", 0, fp, n_rows, 0, wall, "committed"),
+        ])
+        result.stages["docs_tfs"] = {"rows": n_rows, "wall_ms": wall}
+
+    def _salt_plan(self, spark: SparkSession, n_docs: int) -> tuple[dict[str, int], int]:
+        """I11 — hot-term detection from term df stats.
+
+        Returns (hot_term → n_salt_classes, salt_width).  Salt classes are
+        contiguous docID ranges (``doc_id // salt_width``) so each hot
+        sub-list owns a disjoint, ordered docID range (R6: concat-mergeable)."""
+        cfg = self.cfg
+        tf = self.cat.read(spark, "tfs")
+        stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        # adaptive probe: the df quantile tells us where "hot" starts for
+        # this corpus; the absolute threshold caps per-task posting state
+        qs = stats.approxQuantile("df", [cfg.hot_quantile], 0.01)
+        threshold = max(1, min(cfg.hot_df_threshold, int(qs[0]) if qs else cfg.hot_df_threshold))
+        hot = {r["term"]: r["df"] for r in
+               stats.filter(F.col("df") > threshold).collect()}
+        if not hot:
+            return {}, n_docs + 1
+        max_df = max(hot.values())
+        n_classes = max(2, -(-max_df // threshold))  # ceil
+        salt_width = max(1, -(-n_docs // n_classes))
+        plan = {t: -(-n_docs // salt_width) for t in hot}
+        return plan, salt_width
+
+    def _encode_kernel(self):
+        cfg_block, cfg_codec = self.cfg.block_size, self.cfg.codec
+
+        def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            # one (term, salt) sub-posting-list: sort by docID, emit blocks
+            term = pdf["term"].iloc[0]
+            bucket = int(pdf["bucket"].iloc[0])
+            order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
+            d = pdf["doc_id"].to_numpy()[order]
+            t = pdf["tf"].to_numpy()[order]
+            firsts, lasts, lens, gblobs, tblobs, maxtfs = codec.encode_blocks(
+                d, t, block_size=cfg_block, codec=cfg_codec
+            )
+            return pd.DataFrame({
+                "term": term,
+                "bucket": np.int32(bucket),
+                "first_doc": np.asarray(firsts, dtype=np.int64),
+                "last_doc": np.asarray(lasts, dtype=np.int64),
+                "n_docs": np.asarray(lens, dtype=np.int32),
+                "doc_gaps": gblobs,
+                "tfs": tblobs,
+                "block_max_tf": np.asarray(maxtfs, dtype=np.int32),
+            })
+
+        return encode_group
+
+    def _stage_postings(self, spark: SparkSession, build_id: str, fp: str,
+                        n_docs: int, result: BuildResult,
+                        completed: dict[str, set[int]]):
+        cfg = self.cfg
+        salt_plan, salt_width = self._salt_plan(spark, n_docs)
+        hot_terms = sorted(salt_plan)
+        groups = max(1, min(cfg.resume_groups, cfg.n_buckets))
+        done = completed.get("postings", set())
+        encode_group = self._encode_kernel()
+        first_write = not (self.cat.exists("postings") and done)
+        for g in range(groups):
+            if g in done:
+                result.resumed_stages.append(("postings", g))
+                continue
+            t0 = time.time()
+            tf = self.cat.read(spark, "tfs")
+            if groups > 1:
+                tf = tf.filter(F.pmod(F.col("bucket"), F.lit(groups)) == g)
+            if hot_terms:
+                tf = tf.withColumn(
+                    "salt",
+                    F.when(
+                        F.col("term").isin(hot_terms),
+                        (F.col("doc_id") / F.lit(salt_width)).cast("long"),
+                    ).otherwise(F.lit(0)),
+                )
+            else:
+                tf = tf.withColumn("salt", F.lit(0))
+            blocks = (
+                tf.groupBy("term", "salt")
+                .applyInPandas(encode_group, POSTINGS_SCHEMA)
+            )
+            # layout shuffle of compressed blocks only: one hash partition
+            # per bucket, term-clustered inside each file
+            blocks = (
+                blocks.repartition(cfg.n_buckets, "bucket")
+                .sortWithinPartitions("term", "first_doc")
+            )
+            mode = "overwrite" if first_write else "append"
+            first_write = False
+            self.cat.write(blocks, "postings", mode=mode,
+                           partition_by=["bucket"])
+            wall = int((time.time() - t0) * 1000)
+            snap = self.cat.current_snapshot("postings")
+            nbytes = _dir_bytes(snap["data_dirs"][-1])
+            nrows = spark.read.parquet(snap["data_dirs"][-1]).count()
+            self._manifest_append(spark, [
+                (build_id, "postings", g, fp, nrows, nbytes, wall, "committed"),
+            ])
+            result.stages[f"postings_g{g}"] = {
+                "rows": nrows, "bytes": nbytes, "wall_ms": wall,
+                "hot_terms": len(hot_terms), "salt_width": salt_width,
+            }
+
+    def _stage_stats(self, spark: SparkSession, build_id: str, fp: str,
+                     result: BuildResult):
+        t0 = time.time()
+        tf = self.cat.read(spark, "tfs")
+        term_stats = tf.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"),
+            F.max("tf").alias("max_tf"),
+        ).withColumn(
+            "bucket",
+            F.pmod(F.crc32(F.col("term")), F.lit(self.cfg.n_buckets)).cast("int"),
+        )
+        self.cat.write(term_stats, "term_stats", mode="overwrite")
+        docs = self.cat.read(spark, "docs")
+        agg = docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("doc_len").alias("avgdl"),
+        ).collect()[0]
+        stats = spark.createDataFrame(
+            [(int(agg["n_docs"]), float(agg["avgdl"] or 0.0),
+              self.cfg.n_buckets, self.cfg.block_size, self.cfg.codec)],
+            "n_docs long, avgdl double, n_buckets int, block_size int, codec int",
+        )
+        self.cat.write(stats, "index_stats", mode="overwrite")
+        wall = int((time.time() - t0) * 1000)
+        self._manifest_append(spark, [
+            (build_id, "stats", 0, fp, int(agg["n_docs"]), 0, wall, "committed"),
+        ])
+        result.n_docs = int(agg["n_docs"])
+        result.avgdl = float(agg["avgdl"] or 0.0)
+
+    # ----------------------------------------------------------------- run --
+    def build(self, spark: SparkSession, corpus_location: str,
+              corpus_df: DataFrame | None = None,
+              build_id: str | None = None) -> BuildResult:
+        """Full (or resumed) index build.  ``corpus_df`` overrides the scan
+        for synthesized corpora; ``corpus_location`` still keys the
+        fingerprint."""
+        cfg = self.cfg
+        fp = cfg.fingerprint(corpus_location)
+        build_id = build_id or f"b{int(time.time() * 1000)}"
+        result = BuildResult(build_id=build_id, fingerprint=fp,
+                             n_docs=0, avgdl=0.0)
+        completed = self._completed(spark, fp)
+        corpus = corpus_df if corpus_df is not None else read_corpus(spark, corpus_location)
+
+        if 0 in completed.get("docs_tfs", set()):
+            result.resumed_stages.append(("docs_tfs", 0))
+        else:
+            self._stage_docs_tfs(spark, corpus, build_id, fp, result)
+
+        n_docs = self.cat.read(spark, "docs").count()
+        self._stage_postings(spark, build_id, fp, n_docs, result, completed)
+
+        if 0 in completed.get("stats", set()):
+            result.resumed_stages.append(("stats", 0))
+            row = self.cat.read(spark, "index_stats").collect()[0]
+            result.n_docs, result.avgdl = row["n_docs"], row["avgdl"]
+        else:
+            self._stage_stats(spark, build_id, fp, result)
+        return result

@@ -1,0 +1,161 @@
+"""Catalog abstraction: atomic snapshot commit + snapshot-isolated reads
+(SURVEY.md §1.2, risk R1).
+
+The north_rule persists the index to Iceberg.  No Iceberg runtime jar exists
+in this sandbox (verified in SURVEY.md Appendix C), so the engine targets a
+thin catalog interface with two backends:
+
+* ``IcebergCatalog`` — real Iceberg tables via the DataSource v2 connector;
+  used when the cluster has ``iceberg-spark-runtime`` on the classpath.
+* ``ManifestParquetCatalog`` — parquet data files + JSON snapshot manifests
+  with an atomically-replaced ``_CURRENT`` pointer.  Provides the Iceberg
+  semantics the build/query paths rely on: atomic commit (writers stage
+  data, then one ``os.replace``), snapshot isolation (readers resolve the
+  pointer once), append as new-snapshot-with-more-dirs, and time travel by
+  snapshot id.
+
+Both write parquet with partition directories, so Catalyst partition
+pruning (e.g. ``bucket=<n>`` for query-term posting lookups) works
+identically on either backend.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ManifestParquetCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- paths ------------------------------------------------------------
+    def _tdir(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def _pointer(self, table: str) -> str:
+        return os.path.join(self._tdir(table), "_CURRENT")
+
+    def _snap_path(self, table: str, snap_id: str) -> str:
+        return os.path.join(self._tdir(table), "_snapshots", f"{snap_id}.json")
+
+    # -- snapshots ----------------------------------------------------------
+    def current_snapshot(self, table: str) -> dict | None:
+        ptr = self._pointer(table)
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            snap_id = f.read().strip()
+        with open(self._snap_path(table, snap_id)) as f:
+            return json.load(f)
+
+    def _commit(self, table: str, data_dirs: list[str], parent: str | None,
+                meta: dict | None = None) -> str:
+        """Atomic commit: write snapshot json, then os.replace the pointer.
+
+        Readers between the two steps still resolve the old pointer → old
+        snapshot (snapshot isolation); a crashed writer leaves only unreferenced
+        staging dirs, never a torn table."""
+        snap_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+        snap = {
+            "snapshot_id": snap_id,
+            "parent": parent,
+            "data_dirs": data_dirs,
+            "committed_at_ms": int(time.time() * 1000),
+            "meta": meta or {},
+        }
+        os.makedirs(os.path.dirname(self._snap_path(table, snap_id)), exist_ok=True)
+        tmp = self._snap_path(table, snap_id) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(snap, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._snap_path(table, snap_id))
+        ptmp = self._pointer(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(ptmp, "w") as f:
+            f.write(snap_id)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ptmp, self._pointer(table))
+        return snap_id
+
+    # -- write/read ---------------------------------------------------------
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None,
+              meta: dict | None = None) -> str:
+        """Stage parquet into a fresh data dir, then commit a snapshot."""
+        assert mode in ("overwrite", "append")
+        data_dir = os.path.join(self._tdir(table), "data", uuid.uuid4().hex[:12])
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
+        cur = self.current_snapshot(table)
+        if mode == "append" and cur is not None:
+            dirs = cur["data_dirs"] + [data_dir]
+            parent = cur["snapshot_id"]
+        else:
+            dirs = [data_dir]
+            parent = cur["snapshot_id"] if cur else None
+        return self._commit(table, dirs, parent, meta)
+
+    def read(self, spark: SparkSession, table: str,
+             snapshot_id: str | None = None) -> DataFrame:
+        if snapshot_id is None:
+            snap = self.current_snapshot(table)
+            if snap is None:
+                raise FileNotFoundError(f"no snapshot for table {table!r}")
+        else:
+            with open(self._snap_path(table, snapshot_id)) as f:
+                snap = json.load(f)
+        # per-dir read + unionByName keeps partition discovery (and thus
+        # directory-level pruning on e.g. bucket=) intact for every data dir
+        dfs = [spark.read.parquet(d) for d in snap["data_dirs"]]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=False)
+        return out
+
+    def exists(self, table: str) -> bool:
+        return os.path.exists(self._pointer(table))
+
+    def meta(self, table: str) -> dict:
+        snap = self.current_snapshot(table)
+        return (snap or {}).get("meta", {})
+
+
+class IcebergCatalog:
+    """Real-Iceberg backend (cluster-only; no jar in this sandbox).
+
+    Same interface; ``table`` names resolve inside the configured Spark
+    catalog (``spark.sql.catalog.<name>`` = org.apache.iceberg...).
+    """
+
+    def __init__(self, catalog_name: str = "zsolr"):
+        self.catalog = catalog_name
+
+    def write(self, df: DataFrame, table: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None,
+              meta: dict | None = None) -> str:
+        fq = f"{self.catalog}.{table}"
+        w = df.writeTo(fq)
+        if partition_by:
+            w = w.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "overwrite":
+            w.createOrReplace()
+        else:
+            w.append()
+        return fq
+
+    def read(self, spark: SparkSession, table: str,
+             snapshot_id: str | None = None) -> DataFrame:
+        r = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            r = r.option("snapshot-id", snapshot_id)
+        return r.load(f"{self.catalog}.{table}")

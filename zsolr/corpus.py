@@ -1,0 +1,100 @@
+"""Corpus source + document conversion (SURVEY.md §2.1 I1, I3).
+
+The engine's mandated input is an Iceberg-shaped table of source-code
+repositories with columns ``(repo, path, commit, lang, content)``
+(BASELINE.json input_hint).  In the sandbox we synthesize it
+deterministically from the driver fixture ``documents.parquet`` per
+FIXTURES.md §1 — no RNG beyond the fixture's own seed; every column is a
+pure function of the fixture row, so the corpus is identical across runs
+and parallelism levels.
+
+Conversion (zeit.solr's ``ISolrConverter.convert`` analogue — content object
+→ typed field bag) is pure Catalyst: projection + ``sha2(content, 256)``;
+the sha256 column carries the end-to-end per-row invariant
+(BASELINE.json input_hint: "content sha256 equality").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# lang → source-file extension, FIXTURES.md §1
+LANG_EXT = {"en": "py", "de": "java", "fr": "go", "es": "rs", "zh": "c"}
+
+# DuckDB-oracle twin of the corpus derivation (shared by __spark_entry__):
+CORPUS_ORACLE_CTE = """
+corpus AS (
+  SELECT
+    source AS repo,
+    'dir' || CAST(doc_id % 13 AS VARCHAR) || '/file_' || CAST(doc_id AS VARCHAR)
+      || '.' || CASE lang WHEN 'en' THEN 'py' WHEN 'de' THEN 'java'
+                          WHEN 'fr' THEN 'go' WHEN 'es' THEN 'rs' ELSE 'c' END
+      AS path,
+    substr(sha256(source || '/dir' || CAST(doc_id % 13 AS VARCHAR) || '/file_'
+      || CAST(doc_id AS VARCHAR) || '.'
+      || CASE lang WHEN 'en' THEN 'py' WHEN 'de' THEN 'java'
+                   WHEN 'fr' THEN 'go' WHEN 'es' THEN 'rs' ELSE 'c' END
+      || '@' || CAST(doc_id AS VARCHAR)), 1, 40) AS "commit",
+    lang,
+    text AS content
+  FROM documents
+)
+"""
+
+
+def synth_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.parquet → corpus(repo, path, commit, lang, content).
+
+    Deterministic column derivations only (FIXTURES.md §1): repo=source,
+    path=f"dir{doc_id%13}/file_{doc_id}.{ext(lang)}",
+    commit=sha256(f"{repo}/{path}@{doc_id}")[:40], content=text.
+    All expressions are Catalyst built-ins → whole-stage codegen, no UDFs.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ext = F.element_at(
+        F.create_map(*[F.lit(x) for kv in LANG_EXT.items() for x in kv]),
+        F.col("lang"),
+    )
+    path = F.concat(
+        F.lit("dir"), (F.col("doc_id") % 13).cast("string"),
+        F.lit("/file_"), F.col("doc_id").cast("string"),
+        F.lit("."), ext,
+    )
+    return docs.select(
+        F.col("source").alias("repo"),
+        path.alias("path"),
+        F.substring(
+            F.sha2(
+                F.concat(F.col("source"), F.lit("/"), path, F.lit("@"),
+                         F.col("doc_id").cast("string")),
+                256,
+            ),
+            1, 40,
+        ).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def read_corpus(spark: SparkSession, location: str) -> DataFrame:
+    """I1 — corpus scan.  ``location`` is a parquet dir (sandbox) or an
+    Iceberg table name when the runtime has the Iceberg catalog configured.
+    Columnar vectorized scan; Catalyst prunes columns/pushes predicates."""
+    if location.startswith("iceberg:"):
+        return spark.read.format("iceberg").load(location[len("iceberg:"):])
+    return spark.read.parquet(location)
+
+
+def convert_fields(corpus: DataFrame) -> DataFrame:
+    """I3 — document conversion: project typed fields + content sha256.
+
+    zeit.solr's converter turns a CMS object into Solr ``<field>`` values
+    (dates → ISO-8601Z, bools → 'true'/'false'); here the typed field bag is
+    the DataFrame schema itself and the computed field is the invariant
+    sha256."""
+    return corpus.select(
+        "repo", "path", "commit", "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        F.length("content").alias("n_chars"),
+    )

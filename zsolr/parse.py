@@ -1,0 +1,199 @@
+"""Lucene-subset query parser → AST (SURVEY.md §2.2 Q1).
+
+Grammar (the subset zeit.solr's builders emit + bare user queries):
+
+    query   := clause (("AND"|"OR") clause)*      # left-assoc, AND > OR
+    clause  := "NOT" clause | "(" query ")" | ranged | fielded | term
+    fielded := NAME ":" (quoted | word | range)
+    ranged  := NAME ":" "[" bound "TO" bound "]"
+    quoted  := '"' words '"'                      # phrase → AND of terms (v1)
+
+Produces a tiny driver-side AST; the search planner (zsolr.search) splits
+it into scored term clauses vs metadata predicates.  Terms are run through
+the normative analyzer so query-side and index-side tokens agree.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from .analyze import tokenize_py
+
+
+@dataclass(frozen=True)
+class Term:
+    term: str
+    field: str = "content"
+
+
+@dataclass(frozen=True)
+class Range:
+    field: str
+    lo: str | None   # None = open (*)
+    hi: str | None
+
+
+@dataclass(frozen=True)
+class And:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class Or:
+    children: tuple
+
+
+@dataclass(frozen=True)
+class Not:
+    child: object
+
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+        (?P<lparen>\() | (?P<rparen>\)) |
+        (?P<lbrack>\[) | (?P<rbrack>\]) |
+        (?P<quoted>"(?:\\.|[^"\\])*") |
+        (?P<word>(?:\\.|[^\s()\[\]:"])+) |
+        (?P<colon>:)
+    )""",
+    re.VERBOSE,
+)
+
+
+def _lex(q: str) -> list[tuple[str, str]]:
+    toks, i = [], 0
+    while i < len(q):
+        m = _TOKEN_RE.match(q, i)
+        if not m:
+            raise ValueError(f"bad query at {q[i:]!r}")
+        if m.end() == i:
+            break
+        i = m.end()
+        kind = m.lastgroup
+        val = m.group(kind)
+        toks.append((kind, val))
+    return toks
+
+
+def _unescape(s: str) -> str:
+    return re.sub(r"\\(.)", r"\1", s)
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def pop(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    # query := or_expr ;  or binds loosest
+    def parse(self):
+        node = self._or()
+        if self.i != len(self.toks):
+            raise ValueError(f"trailing tokens: {self.toks[self.i:]}")
+        return node
+
+    def _or(self):
+        left = self._and()
+        parts = [left]
+        while self.peek() == ("word", "OR"):
+            self.pop()
+            parts.append(self._and())
+        return parts[0] if len(parts) == 1 else Or(tuple(parts))
+
+    def _and(self):
+        parts = [self._clause()]
+        while True:
+            kind, val = self.peek()
+            if (kind, val) == ("word", "AND"):
+                self.pop()
+                parts.append(self._clause())
+            # implicit AND between adjacent clauses (Lucene default OR is
+            # config; Solr q.op=AND is the zeit.solr-era default posture)
+            elif kind in ("lparen", "quoted", "word") and val != "OR":
+                parts.append(self._clause())
+            else:
+                break
+        return parts[0] if len(parts) == 1 else And(tuple(parts))
+
+    def _clause(self):
+        kind, val = self.peek()
+        if (kind, val) == ("word", "NOT"):
+            self.pop()
+            return Not(self._clause())
+        if kind == "lparen":
+            self.pop()
+            node = self._or()
+            k, _ = self.pop()
+            if k != "rparen":
+                raise ValueError("unbalanced parens")
+            return node
+        if kind == "lbrack":
+            # bare `[* TO *]` from any_value(): match-all existence
+            return self._range("*")
+        if kind == "quoted":
+            self.pop()
+            return self._phrase(_unescape(val[1:-1]), "content")
+        if kind == "word":
+            self.pop()
+            # fielded?
+            if self.peek()[0] == "colon":
+                self.pop()
+                return self._fielded(_unescape(val))
+            return self._phrase(_unescape(val), "content")
+        raise ValueError(f"unexpected token {kind}:{val}")
+
+    def _fielded(self, name: str):
+        kind, val = self.peek()
+        if kind == "lbrack":
+            return self._range(name)
+        if kind == "quoted":
+            self.pop()
+            return self._phrase(_unescape(val[1:-1]), name)
+        if kind == "word":
+            self.pop()
+            return self._phrase(_unescape(val), name)
+        raise ValueError(f"bad fielded value for {name}")
+
+    def _range(self, name: str):
+        self.pop()  # [
+        parts = []
+        while self.peek()[0] not in ("rbrack", None):
+            parts.append(self.pop()[1])
+        if self.pop()[0] != "rbrack":
+            raise ValueError("unterminated range")
+        if len(parts) != 3 or parts[1] != "TO":
+            raise ValueError(f"bad range {parts}")
+        lo = None if parts[0] == "*" else _unescape(parts[0])
+        hi = None if parts[2] == "*" else _unescape(parts[2])
+        return Range(name, lo, hi)
+
+    @staticmethod
+    def _phrase(text: str, fld: str):
+        """Analyze value text; multi-token values (phrases) → AND of terms
+        (v1 semantics per SURVEY.md Appendix B).  Metadata fields keep the
+        raw value (exact match on stored field)."""
+        if fld != "content":
+            return Term(text, fld)
+        toks = tokenize_py(text)
+        if not toks:
+            raise ValueError(f"no tokens in {text!r}")
+        if len(toks) == 1:
+            return Term(toks[0], fld)
+        return And(tuple(Term(t, fld) for t in toks))
+
+
+def parse(q: str):
+    """Parse a Lucene-subset query string → AST."""
+    toks = _lex(q)
+    if not toks:
+        raise ValueError("empty query")
+    # bare existence range `[* TO *]` (from any_value()) → match-all
+    return _Parser(toks).parse()

@@ -1,0 +1,510 @@
+"""BM25 top-k query engine (SURVEY.md §2.2 Q2-Q11; lifecycle E2').
+
+Replaces zeit.solr's ``SolrConnection.search(q, rows=, sort=, fq=)``:
+parse (Q1, driver) → metadata-filter hoisting (Q2, Catalyst pushdown) →
+posting lookup with bucket partition pruning (Q3) → one distributed wave of
+doc-range-shard kernels doing boolean set algebra + BM25 + block-max WAND +
+bounded top-k (Q4-Q8, vectorized numpy inside ``applyInPandas`` cogroup) →
+tiny global merge ``orderBy(score desc, doc_id).limit(k)`` → broadcast join
+to the doc store for ``(repo, path, commit, score)`` output (Q9).
+
+Scale design (north_rule: 10^12 files):
+* postings for the query's terms are read with **bucket partition pruning**
+  (``bucket=crc32(term)%NB`` directories) + parquet term dictionary filters
+  — the scan touches only the query terms' data;
+* the corpus docID space is cut into contiguous **shards**; every posting
+  block is routed to the shards its ``[first_doc, last_doc]`` range overlaps
+  and the doc store is routed by ``doc_id DIV width`` — a **cogroup** then
+  gives each kernel task all query-term blocks AND all doc metadata
+  (doc_len, filter columns) for its docID range, so AND/OR/NOT + BM25 +
+  filters evaluate locally with **zero additional shuffle** and bounded
+  per-task state (≤ shard_width docs);
+* per-shard candidates are ≤ k rows each → the global merge is O(k·shards),
+  driver-side tiny.
+
+No per-row Python anywhere: blocks decode via the vectorized codec; set
+algebra is numpy ``searchsorted``/``union1d``; scoring is array math.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import BM25_B, BM25_K1, codec
+from .build import term_bucket
+from .catalog import ManifestParquetCatalog
+from .parse import And, Not, Or, Range, Term, parse
+
+DOC_META_FIELDS = ("repo", "path", "commit", "lang")
+
+
+class UnsupportedQuery(ValueError):
+    """v1 planner restriction: metadata predicates must be conjunctive at
+    the top level (Solr fq semantics); metadata inside OR is unsupported."""
+
+
+def idf(n_docs: int, df: int) -> float:
+    """Lucene-9 BM25Similarity idf (SURVEY.md Appendix A — normative)."""
+    return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+# --------------------------------------------------------------- planning --
+
+
+@dataclass
+class Plan:
+    scored_ast: object | None          # content-only AST (None = match-all)
+    content_terms: list[str]           # every content term incl. NOT'd
+    filters: list[tuple]               # docs-side predicates
+    match_all: bool
+
+
+def _is_meta(node) -> bool:
+    return (
+        (isinstance(node, Term) and node.field in DOC_META_FIELDS)
+        or (isinstance(node, Range) and node.field in DOC_META_FIELDS)
+    )
+
+
+def _collect_terms(node, out: list[str]):
+    if isinstance(node, Term):
+        out.append(node.term)
+    elif isinstance(node, (And, Or)):
+        for c in node.children:
+            _collect_terms(c, out)
+    elif isinstance(node, Not):
+        _collect_terms(node.child, out)
+
+
+def _assert_no_meta(node):
+    if _is_meta(node):
+        raise UnsupportedQuery(
+            f"metadata predicate {node} must be a top-level conjunct (v1)")
+    if isinstance(node, (And, Or)):
+        for c in node.children:
+            _assert_no_meta(c)
+    elif isinstance(node, Not):
+        _assert_no_meta(node.child)
+
+
+def _is_match_all(node) -> bool:
+    return isinstance(node, Range) and node.field in ("*", "content") \
+        and node.lo is None and node.hi is None
+
+
+def plan_query(q) -> Plan:
+    ast = parse(q) if isinstance(q, str) else q
+    conjuncts = list(ast.children) if isinstance(ast, And) else [ast]
+    filters: list[tuple] = []
+    scored: list = []
+    for c in conjuncts:
+        if _is_meta(c):
+            filters.append(("pos", c))
+        elif isinstance(c, Not) and _is_meta(c.child):
+            filters.append(("neg", c.child))
+        elif _is_match_all(c):
+            continue
+        else:
+            _assert_no_meta(c)
+            scored.append(c)
+    if len(scored) == 1 and isinstance(scored[0], Not):
+        raise UnsupportedQuery("pure-negative query needs a positive clause")
+    scored_ast = None if not scored else (
+        scored[0] if len(scored) == 1 else And(tuple(scored)))
+    terms: list[str] = []
+    if scored_ast is not None:
+        _collect_terms(scored_ast, terms)
+    return Plan(scored_ast, sorted(set(terms)), filters,
+                match_all=scored_ast is None)
+
+
+def _filter_expr(filters: list[tuple]):
+    expr = F.lit(True)
+    for kind, node in filters:
+        if isinstance(node, Term):
+            e = F.col(node.field) == node.term
+        else:  # Range, inclusive bounds (Lucene [a TO b])
+            e = F.lit(True)
+            if node.lo is not None:
+                e = e & (F.col(node.field) >= node.lo)
+            if node.hi is not None:
+                e = e & (F.col(node.field) <= node.hi)
+        expr = expr & (~e if kind == "neg" else e)
+    return expr
+
+
+# ----------------------------------------------------------------- kernel --
+
+
+def _eval_ast(node, per_term, allowed_ids):
+    """AST → (sorted doc ids, float64 scores).  per_term: term → (ids, sc)."""
+    if isinstance(node, Term):
+        return per_term[node.term]
+    if isinstance(node, Range):  # match-all inside boolean context
+        return allowed_ids, np.zeros(len(allowed_ids))
+    if isinstance(node, Or):
+        parts = [_eval_ast(c, per_term, allowed_ids) for c in node.children]
+        if any(isinstance(c, Not) for c in node.children):
+            raise UnsupportedQuery("NOT inside OR is unsupported (v1)")
+        ids = np.unique(np.concatenate([p[0] for p in parts]))
+        sc = np.zeros(len(ids))
+        for pids, psc in parts:
+            np.add.at(sc, np.searchsorted(ids, pids), psc)
+        return ids, sc
+    if isinstance(node, And):
+        pos = [c for c in node.children if not isinstance(c, Not)]
+        neg = [c.child for c in node.children if isinstance(c, Not)]
+        parts = [_eval_ast(c, per_term, allowed_ids) for c in pos]
+        ids = parts[0][0]
+        for p in parts[1:]:
+            ids = ids[np.isin(ids, p[0], assume_unique=True)]
+        sc = np.zeros(len(ids))
+        for pids, psc in parts:
+            sc += psc[np.searchsorted(pids, ids)]
+        for n in neg:
+            nids, _ = _eval_ast(n, per_term, allowed_ids)
+            ids_mask = ~np.isin(ids, nids, assume_unique=True)
+            ids, sc = ids[ids_mask], sc[ids_mask]
+        return ids, sc
+    raise UnsupportedQuery(f"cannot evaluate {node}")
+
+
+def _term_ub(idf_t: float, bmax: np.ndarray, k1: float, b: float,
+             avgdl: float, dl_min: float) -> np.ndarray:
+    """Block-max score upper bound (Q8): max tf in block, min doc length."""
+    return idf_t * bmax * (k1 + 1.0) / (bmax + k1 * (1 - b + b * dl_min / avgdl))
+
+
+def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
+                       neg_terms: set, k: int | None,
+                       shard_width: int, avgdl: float, wand: bool,
+                       sort_field: str | None, sort_desc: bool,
+                       k1: float = BM25_K1, b: float = BM25_B):
+    """Build the per-shard cogroup kernel.
+
+    ``idf_map``: term → idf.  ``pos_terms``/``neg_terms``: terms appearing
+    positively / under NOT.  Only pos-only terms are WAND-prunable (a term
+    used under NOT must be decoded fully or exclusion would under-remove);
+    UB totals still include every positive term so pruning stays safe.
+    Emits candidate rows ``(doc_id, score)`` (≤ k per shard, or all matches
+    when k is None) plus one sentinel row ``(-1, n_matches)`` carrying the
+    shard's hit count.
+    """
+    all_terms = sorted(pos_terms | neg_terms)
+    prunable = pos_terms - neg_terms
+
+    def kernel(key, blocks: pd.DataFrame, docs: pd.DataFrame) -> pd.DataFrame:
+        if len(docs) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "score": pd.Series([], dtype="float64")})
+        shard = int(key[0])
+        base = shard * shard_width
+        dl = np.zeros(shard_width, dtype=np.float64)
+        allowed = np.zeros(shard_width, dtype=bool)
+        d_ids = docs["doc_id"].to_numpy()
+        off = d_ids - base
+        dl[off] = docs["doc_len"].to_numpy()
+        allowed[off] = True
+        allowed_ids = np.sort(d_ids)
+
+        def decode_term(t: str, rows: pd.DataFrame, keep: np.ndarray):
+            """Decode kept blocks of one term → (sorted ids, scores)."""
+            ids_l, tfs_l = [], []
+            gb = rows["doc_gaps"].to_numpy()
+            tb = rows["tfs"].to_numpy()
+            fd = rows["first_doc"].to_numpy()
+            for i in np.nonzero(keep)[0]:
+                bids, btfs = codec.decode_block(int(fd[i]), gb[i], tb[i])
+                m = (bids >= base) & (bids < base + shard_width)
+                if m.any():
+                    bids, btfs = bids[m], btfs[m]
+                    am = allowed[bids - base]
+                    if am.any():
+                        ids_l.append(bids[am])
+                        tfs_l.append(btfs[am])
+            if not ids_l:
+                return (np.empty(0, dtype=np.int64), np.empty(0))
+            ids = np.concatenate(ids_l)
+            tfs = np.concatenate(tfs_l).astype(np.float64)
+            # blocks are sorted by first_doc with disjoint ranges → already
+            # globally sorted; assert-cheap guard for salted sub-lists
+            if len(ids_l) > 1 and not (ids[:-1] < ids[1:]).all():
+                order = np.argsort(ids, kind="stable")
+                ids, tfs = ids[order], tfs[order]
+            idf_t = idf_map[t]
+            dls = dl[ids - base]
+            sc = idf_t * tfs * (k1 + 1.0) / (tfs + k1 * (1 - b + b * dls / avgdl))
+            return ids, sc
+
+        by_term = {t: g.sort_values("first_doc")
+                   for t, g in blocks.groupby("term")} if len(blocks) else {}
+        per_term: dict[str, tuple] = {}
+        dl_min = max(1.0, float(dl[allowed].min())) if allowed.any() else 1.0
+
+        empty = (np.empty(0, dtype=np.int64), np.empty(0))
+        if not wand or k is None or scored_ast is None or not prunable:
+            for t in all_terms:
+                rows = by_term.get(t)
+                per_term[t] = empty if rows is None else \
+                    decode_term(t, rows, np.ones(len(rows), bool))
+        else:
+            # ---- block-max WAND (Q8) --------------------------------------
+            # phase 1: evaluate the AST over each prunable term's top-UB
+            # blocks only (non-prunable terms decode fully); the kth partial
+            # score is a LOWER bound on the true kth score: partial posting
+            # lists ⇒ computed ≤ true, and AND over partial lists only
+            # yields genuine matches.
+            ubs: dict[str, np.ndarray] = {}
+            max_ub: dict[str, float] = {}
+            for t in pos_terms:
+                rows = by_term.get(t)
+                if rows is None:
+                    continue
+                ub = _term_ub(idf_map[t],
+                              rows["block_max_tf"].to_numpy(np.float64),
+                              k1, b, avgdl, dl_min)
+                if t in prunable:
+                    ubs[t] = ub
+                max_ub[t] = float(ub.max()) if len(ub) else 0.0
+            m = max(1, -(-2 * k // 128))
+            phase1: dict[str, tuple] = {}
+            full: dict[str, tuple] = {}
+            for t in all_terms:
+                rows = by_term.get(t)
+                if rows is None:
+                    phase1[t] = full[t] = empty
+                elif t not in prunable:
+                    phase1[t] = full[t] = decode_term(
+                        t, rows, np.ones(len(rows), bool))
+                else:
+                    keep = np.zeros(len(rows), dtype=bool)
+                    keep[np.argsort(-ubs[t], kind="stable")[:m]] = True
+                    phase1[t] = decode_term(t, rows, keep)
+            p_ids, p_sc = _eval_ast(scored_ast, phase1, allowed_ids)
+            theta = float(np.partition(p_sc, -k)[-k]) if len(p_ids) >= k \
+                else -np.inf
+            # phase 2: a block of term t survives unless even its best doc
+            # plus every OTHER positive term's max contribution stays < θ
+            total_all = sum(max_ub.values())
+            for t in all_terms:
+                if t in full:
+                    per_term[t] = full[t]
+                    continue
+                rows = by_term[t]
+                keep = (ubs[t] + (total_all - max_ub.get(t, 0.0))) >= theta
+                per_term[t] = decode_term(t, rows, keep)
+
+        if scored_ast is None:
+            ids, sc = allowed_ids, np.zeros(len(allowed_ids))
+        else:
+            ids, sc = _eval_ast(scored_ast, per_term, allowed_ids)
+
+        n_matches = len(ids)
+        if k is not None and n_matches > k:
+            if sort_field is None:
+                # bounded top-k: argpartition = vectorized min-heap equivalent
+                top = np.argpartition(-sc, k - 1)[:k]
+                ids, sc = ids[top], sc[top]
+            else:
+                vals = docs.set_index("doc_id")[sort_field].loc[ids].to_numpy()
+                sel = (pd.DataFrame({"doc_id": ids, "score": sc, "v": vals})
+                       .sort_values(["v", "doc_id"],
+                                    ascending=[not sort_desc, True],
+                                    kind="mergesort")
+                       .head(k))
+                ids = sel["doc_id"].to_numpy()
+                sc = sel["score"].to_numpy()
+        out = pd.DataFrame({"doc_id": ids.astype(np.int64), "score": sc})
+        out = pd.concat([out, pd.DataFrame(
+            {"doc_id": [-1], "score": [float(n_matches)]})], ignore_index=True)
+        return out
+
+    return kernel
+
+
+# --------------------------------------------------------------- searcher --
+
+
+class Searcher:
+    """Warm handle over a built index (zeit.solr SolrConnection analogue)."""
+
+    def __init__(self, spark: SparkSession, cat: ManifestParquetCatalog,
+                 shard_width: int | None = None):
+        self.spark = spark
+        self.cat = cat
+        st = cat.read(spark, "index_stats").collect()[0]
+        self.n_docs_total = int(st["n_docs"])
+        self.avgdl = float(st["avgdl"]) or 1.0
+        self.n_buckets = int(st["n_buckets"])
+        self.docs = cat.read(spark, "docs")
+        if cat.exists("tombstones"):
+            tomb = cat.read(spark, "tombstones").select("doc_id").distinct()
+            self._n_deleted = tomb.count()
+            self.docs = self.docs.join(tomb, "doc_id", "left_anti")
+        else:
+            self._n_deleted = 0
+        self.n_docs = self.n_docs_total - self._n_deleted
+        par = spark.sparkContext.defaultParallelism
+        self.shard_width = shard_width or max(
+            1024, -(-self.n_docs_total // max(1, par * 2)))
+
+    # -- driver-side stats lookups -----------------------------------------
+    def _idf_map(self, terms: list[str]) -> dict[str, float]:
+        """term → idf for every query term.  Tiny driver-side lookup against
+        term_stats with bucket partition pruning (Q3)."""
+        if not terms:
+            return {}
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
+        rows = (
+            self.cat.read(self.spark, "term_stats")
+            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
+            .select("term", "df")
+            .collect()
+        )
+        dfs = {r["term"]: r["df"] for r in rows}
+        return {t: idf(self.n_docs_total, dfs.get(t, 0)) for t in terms}
+
+    def _neg_terms(self, node, acc: set, under_not=False):
+        if isinstance(node, Term):
+            if under_not:
+                acc.add(node.term)
+        elif isinstance(node, (And, Or)):
+            for c in node.children:
+                self._neg_terms(c, acc, under_not)
+        elif isinstance(node, Not):
+            self._neg_terms(node.child, acc, True)
+
+    def _pos_terms(self, node, acc: set):
+        if isinstance(node, Term):
+            acc.add(node.term)
+        elif isinstance(node, (And, Or)):
+            for c in node.children:
+                self._pos_terms(c, acc)
+        # Not children deliberately skipped
+
+    # -- main entry ----------------------------------------------------------
+    def search(self, q, k: int | None = 10, start: int = 0,
+               sort: str | None = None, wand: bool = True,
+               with_count: bool = False):
+        """Execute a query.  Returns a DataFrame of
+        ``(doc_id, repo, path, commit, score)`` top-k rows (score-descending,
+        doc_id tie-break), or ``(df, num_found)`` when ``with_count``.
+
+        ``sort``: ``"field"`` or ``"field desc"`` overrides score ordering
+        (Solr ``sort=`` param).  ``start``: result offset (Solr ``start=``).
+        """
+        plan = plan_query(q)
+        docs_f = self.docs
+        if plan.filters:
+            docs_f = docs_f.filter(_filter_expr(plan.filters))
+
+        sort_field, sort_desc = None, False
+        if sort:
+            parts = sort.split()
+            sort_field = parts[0]
+            sort_desc = len(parts) > 1 and parts[1].lower() == "desc"
+
+        if plan.match_all:
+            return self._match_all(docs_f, k, start, sort_field, sort_desc,
+                                   with_count)
+
+        neg: set[str] = set()
+        self._neg_terms(plan.scored_ast, neg)
+        pos: set[str] = set()
+        self._pos_terms(plan.scored_ast, pos)
+        idf_map = self._idf_map(plan.content_terms)
+
+        W = self.shard_width
+        buckets = sorted({term_bucket(t, self.n_buckets)
+                          for t in plan.content_terms})
+        postings = (
+            self.cat.read(self.spark, "postings")
+            .filter(F.col("bucket").isin(buckets)
+                    & F.col("term").isin(plan.content_terms))
+            .withColumn("shard", F.explode(F.expr(
+                f"sequence(first_doc DIV {W}, last_doc DIV {W})")))
+        )
+        doc_cols = ["doc_id", "doc_len"]
+        if sort_field and sort_field not in ("score",) + tuple(doc_cols):
+            doc_cols.append(sort_field)
+        docs_side = (
+            docs_f.select(*doc_cols)
+            .withColumn("shard", F.expr(f"doc_id DIV {W}"))
+        )
+        fetch = None if k is None else start + k
+        eff_sort = None if sort_field in (None, "score") else sort_field
+        kernel = make_search_kernel(
+            plan.scored_ast, idf_map, pos, neg, fetch, W, self.avgdl, wand,
+            eff_sort, sort_desc)
+        cand = (
+            postings.groupBy("shard")
+            .cogroup(docs_side.groupBy("shard"))
+            .applyInPandas(kernel, "doc_id long, score double")
+        )
+        if with_count:
+            cand = cand.persist()
+        hits = cand.filter(F.col("doc_id") >= 0)
+        # Q9: candidates are ≤ k·shards rows → broadcast them; the doc store
+        # is scanned with a broadcast hash join, never shuffled
+        extra = [eff_sort] if eff_sort and eff_sort not in (
+            "repo", "path", "commit", "doc_id") else []
+        joined = (self.docs.join(F.broadcast(hits), "doc_id")
+                  .select("doc_id", "repo", "path", "commit", *extra, "score"))
+        if eff_sort:
+            key = F.col(eff_sort)
+            order = [key.desc() if sort_desc else key.asc(), F.asc("doc_id")]
+        else:
+            order = [F.desc("score"), F.asc("doc_id")]
+        joined = joined.orderBy(*order)
+        if k is not None:
+            joined = joined.limit(start + k)
+            if start:
+                joined = joined.offset(start)
+        if extra:
+            joined = joined.drop(*extra)
+        if with_count:
+            num_found = int(
+                cand.filter(F.col("doc_id") == -1)
+                .agg(F.sum("score")).collect()[0][0] or 0)
+            rows = joined.collect()
+            cand.unpersist()
+            df = self.spark.createDataFrame(rows, joined.schema) if rows \
+                else self.spark.createDataFrame([], joined.schema)
+            return df, num_found
+        return joined
+
+    def _match_all(self, docs_f: DataFrame, k, start, sort_field, sort_desc,
+                   with_count: bool):
+        """Filter-only / existence queries: pure Catalyst (Q2) — predicate
+        pushdown to the parquet scan, no posting access at all."""
+        out = docs_f.select("doc_id", "repo", "path", "commit",
+                            F.lit(0.0).alias("score"))
+        key = F.col(sort_field) if sort_field and sort_field != "score" \
+            else F.col("doc_id")
+        out = out.orderBy(key.desc() if sort_desc else key.asc(), "doc_id")
+        if k is not None:
+            out = out.limit(start + k)
+            if start:
+                out = out.offset(start)
+        if with_count:
+            return out, docs_f.count()
+        return out
+
+    # -- Q11 facets -----------------------------------------------------------
+    def facet(self, q, field: str) -> DataFrame:
+        """Per-field value → hit count over the full match set."""
+        plan = plan_query(q)
+        docs_f = self.docs
+        if plan.filters:
+            docs_f = docs_f.filter(_filter_expr(plan.filters))
+        if plan.match_all:
+            return docs_f.groupBy(field).agg(F.count(F.lit(1)).alias("hits"))
+        matches = self.search(q, k=None, wand=False).select("doc_id")
+        return (docs_f.join(matches, "doc_id")
+                .groupBy(field).agg(F.count(F.lit(1)).alias("hits")))

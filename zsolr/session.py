@@ -1,0 +1,33 @@
+"""SparkSession factory with the engine's standard configuration."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app: str = "zsolr", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        if master.startswith("local["):
+            inner = master[6:-1]
+            shuffle_partitions = (os.cpu_count() or 8) if inner == "*" else int(inner)
+        else:
+            shuffle_partitions = 200
+    b = (
+        SparkSession.builder.appName(app)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # posting blobs are ≤1 MiB; keep Arrow batches bounded (SURVEY.md R4)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("ZSOLR_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return b.getOrCreate()
