@@ -1,0 +1,161 @@
+"""zeit.solr update/query/delete expectations recast as index assertions
+(BASELINE.json north_star: "reproducing zeit.solr's update/query/delete test
+expectations") + checkpoint/resume (I12)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from zsolr.build import BuildConfig, IndexBuilder
+from zsolr.catalog import ManifestParquetCatalog
+from zsolr.lifecycle import (compact, delete_by_ids, delete_by_query,
+                             incremental_update)
+from zsolr.parse import parse
+from zsolr.search import Searcher
+
+from tests.oracle import OracleIndex
+
+
+def _build(tmp_path, spark, corpus_df, **cfg_kw):
+    cat = ManifestParquetCatalog(str(tmp_path))
+    cfg = BuildConfig(n_buckets=8, **cfg_kw)
+    res = IndexBuilder(cat, cfg).build(spark, "mem://corpus", corpus_df=corpus_df)
+    return cat, res
+
+
+def _oracle_from(spark, cat, corpus_df):
+    docs = cat.read(spark, "docs").select("doc_id", "repo", "path", "lang")
+    if cat.exists("tombstones"):
+        tomb = cat.read(spark, "tombstones").select("doc_id").distinct()
+        docs = docs.join(tomb, "doc_id", "left_anti")
+    j = corpus_df.join(docs, ["repo", "path"]).select(
+        "doc_id", "content", docs["lang"].alias("lang"), "repo", "path")
+    return OracleIndex([r.asDict() for r in j.collect()])
+
+
+def test_delete_update_lifecycle(tmp_path, spark, corpus_df):
+    small = corpus_df.limit(120).cache()
+    cat, _res = _build(tmp_path / "idx", spark, small)
+    s = Searcher(spark, cat)
+
+    # -- delete by id: doc absent, numFound decremented (zeit.solr delete) --
+    top = s.search("spark", k=1).collect()[0]
+    _df, n_before = s.search("spark", k=5, with_count=True)
+    delete_by_ids(spark, cat, [top["doc_id"]])
+    s2 = Searcher(spark, cat)
+    df2, n_after = s2.search("spark", k=5, with_count=True)
+    assert n_after == n_before - 1
+    assert top["doc_id"] not in [r["doc_id"] for r in df2.collect()]
+
+    # -- delete by query --
+    _df, n_dup = s2.search("dup", k=5, with_count=True)
+    if n_dup:
+        delete_by_query(spark, cat, "dup")
+        s3 = Searcher(spark, cat)
+        _df, n = s3.search("dup", k=5, with_count=True)
+        assert n == 0
+
+    # -- post-delete searches rank-identical to oracle over live corpus --
+    s4 = Searcher(spark, cat)
+    oracle = _oracle_from(spark, cat, small)
+    for q in ("spark", "hash AND join", "stream OR batch"):
+        got = [(r["doc_id"], r["score"]) for r in s4.search(q, k=10).collect()]
+        exp = oracle.search(parse(q), k=10)
+        assert [g[0] for g in got] == [e[0] for e in exp], q
+        for g, e in zip(got, exp):
+            assert abs(g[1] - e[1]) < 1e-9
+
+    # -- compact: same results, no tombstones, postings shrink --
+    pre = [(r["doc_id"], round(r["score"], 9))
+           for r in s4.search("spark", k=10).collect()]
+    compact(spark, cat)
+    s5 = Searcher(spark, cat)
+    post = [(r["doc_id"], round(r["score"], 9))
+            for r in s5.search("spark", k=10).collect()]
+    assert pre == post
+    assert s5._n_deleted == 0
+
+
+def test_incremental_update(tmp_path, spark, corpus_df):
+    small = corpus_df.limit(100).cache()
+    cat, _res = _build(tmp_path / "idx", spark, small)
+
+    # new snapshot: 90 unchanged, 5 changed, 5 removed, 5 added
+    rows = small.collect()
+    new_rows = []
+    for i, r in enumerate(rows):
+        d = r.asDict()
+        if i < 5:
+            continue  # removed
+        if i < 10:
+            d["content"] = d["content"] + " zzznewterm zzznewterm"
+            d["commit"] = "c" * 40
+        new_rows.append(d)
+    for i in range(5):
+        new_rows.append({
+            "repo": "srcNEW", "path": f"newdir/file_n{i}.py",
+            "commit": "d" * 40, "lang": "en",
+            "content": f"spark zzznewterm added doc number {i} stream",
+        })
+    new_corpus = spark.createDataFrame(
+        new_rows, "repo string, path string, commit string, lang string,"
+                  " content string")
+
+    stats = incremental_update(spark, cat, new_corpus)
+    assert stats["removed"] == 5 and stats["changed"] == 5 and stats["added"] == 10
+
+    # engine must now be exactly consistent with a fresh index over the
+    # new snapshot: rank-identical + equal scores via the oracle (built
+    # with the ENGINE's doc_ids so equal-score tie-breaks agree)
+    s = Searcher(spark, cat)
+    oracle = _oracle_from(spark, cat, new_corpus)
+    assert oracle.n == 100  # 90 kept + 5 changed + 5 added
+    for q in ("spark", "zzznewterm", "stream OR batch", "query AND NOT slow"):
+        got = [(r["doc_id"], r["score"]) for r in s.search(q, k=10).collect()]
+        exp = oracle.search(parse(q), k=10)
+        assert [g[0] for g in got] == [e[0] for e in exp], q
+        for g, e in zip(got, exp):
+            assert abs(g[1] - e[1]) < 1e-9, (q, g, e)
+
+    # removed docs are gone
+    _df, n = s.search("repo:srcNEW", k=20, with_count=True)
+    assert n == 5
+    gone = rows[0]
+    _df, n = s.search(f'repo:{gone["repo"]} AND path:"{gone["path"]}"',
+                      k=5, with_count=True)
+    assert n == 0
+
+
+def test_checkpoint_resume(tmp_path, spark, corpus_df):
+    small = corpus_df.limit(150).cache()
+    # clean reference build
+    cat_ref, _ = _build(tmp_path / "ref", spark, small, resume_groups=4)
+
+    # killed build: dies after posting group 1 commits
+    cat_k = ManifestParquetCatalog(str(tmp_path / "killed"))
+    cfg = BuildConfig(n_buckets=8, resume_groups=4, fail_after_group=1)
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        IndexBuilder(cat_k, cfg).build(spark, "mem://corpus", corpus_df=small)
+
+    # resume with same fingerprint: completed stages skipped
+    cfg2 = BuildConfig(n_buckets=8, resume_groups=4)
+    res = IndexBuilder(cat_k, cfg2).build(spark, "mem://corpus", corpus_df=small)
+    assert ("docs_tfs", 0) in res.resumed_stages
+    assert ("postings", 0) in res.resumed_stages
+    assert ("postings", 1) in res.resumed_stages
+
+    # resumed index content-identical to the clean build
+    for table in ("docs", "term_stats"):
+        a = {tuple(r) for r in cat_ref.read(spark, table).collect()}
+        b = {tuple(r) for r in cat_k.read(spark, table).collect()}
+        assert a == b, table
+    from zsolr import codec
+
+    def decode_all(cat):
+        out = {}
+        for r in cat.read(spark, "postings").collect():
+            ids, tfs = codec.decode_block(r["first_doc"], r["doc_gaps"], r["tfs"])
+            out.setdefault(r["term"], []).append(
+                (r["first_doc"], tuple(ids), tuple(tfs)))
+        return {t: sorted(v) for t, v in out.items()}
+
+    assert decode_all(cat_ref) == decode_all(cat_k)

@@ -1,0 +1,117 @@
+"""Engine vs pure-Python BM25 oracle: rank-identical top-k, equal scores
+(atol 1e-9), WAND on == WAND off, numFound, pagination/sort, facets
+(SURVEY.md §5 ring 2; BASELINE.json north_rule rank-identity)."""
+
+import pytest
+
+from zsolr.parse import parse
+from zsolr.search import Searcher, UnsupportedQuery
+
+from tests.oracle import OracleIndex
+from tests.queryset import reference_queries
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, built_index):
+    cat, _res = built_index
+    return Searcher(spark, cat)
+
+
+@pytest.fixture(scope="module")
+def oracle(spark, built_index, corpus_df):
+    cat, _res = built_index
+    docs = cat.read(spark, "docs").select("doc_id", "repo", "path", "lang")
+    j = corpus_df.join(docs, ["repo", "path"]).select(
+        "doc_id", "content", docs["lang"].alias("lang"), "repo", "path")
+    return OracleIndex([r.asDict() for r in j.collect()])
+
+
+@pytest.mark.parametrize("q", reference_queries())
+def test_rank_identity(searcher, oracle, q):
+    got = [(r["doc_id"], r["score"]) for r in searcher.search(q, k=10).collect()]
+    exp = oracle.search(parse(q), k=10)
+    assert [g[0] for g in got] == [e[0] for e in exp], q
+    for g, e in zip(got, exp):
+        assert abs(g[1] - e[1]) < 1e-9, (q, g, e)
+
+
+@pytest.mark.parametrize("q", reference_queries())
+def test_wand_equals_exhaustive(searcher, q):
+    w = [(r["doc_id"], r["score"]) for r in searcher.search(q, k=10).collect()]
+    e = [(r["doc_id"], r["score"])
+         for r in searcher.search(q, k=10, wand=False).collect()]
+    assert w == e, q
+
+
+@pytest.mark.parametrize("q", ["spark", "dup", "hash AND join",
+                               "stream OR batch", "lang:en AND spark"])
+def test_num_found(searcher, oracle, q):
+    _df, n = searcher.search(q, k=5, with_count=True)
+    assert n == oracle.num_found(parse(q)), q
+
+
+def test_output_columns(searcher):
+    df = searcher.search("spark", k=3)
+    assert df.columns == ["doc_id", "repo", "path", "commit", "score"]
+    assert df.count() == 3
+
+
+def test_pagination(searcher, oracle):
+    full = oracle.search(parse("spark"), k=20)
+    page = [(r["doc_id"], r["score"])
+            for r in searcher.search("spark", k=10, start=5).collect()]
+    assert [p[0] for p in page] == [e[0] for e in full[5:15]]
+
+
+def test_sort_override(searcher, spark, built_index):
+    cat, _res = built_index
+    got = [r["doc_id"] for r in
+           searcher.search("spark", k=10, sort="path").collect()]
+    docs = cat.read(spark, "docs")
+    matches = searcher.search("spark", k=None, wand=False).select("doc_id")
+    exp = [r["doc_id"] for r in
+           docs.join(matches, "doc_id").orderBy("path", "doc_id")
+           .limit(10).collect()]
+    assert got == exp
+    desc = [r["doc_id"] for r in
+            searcher.search("spark", k=5, sort="path desc").collect()]
+    exp_desc = [r["doc_id"] for r in
+                docs.join(matches, "doc_id")
+                .orderBy(docs["path"].desc(), "doc_id").limit(5).collect()]
+    assert desc == exp_desc
+
+
+def test_filter_only_query(searcher, oracle):
+    df, n = searcher.search("lang:en", k=10, with_count=True)
+    exp = oracle.search(parse("lang:en"), k=10)
+    assert [r["doc_id"] for r in df.collect()] == [e[0] for e in exp]
+    assert n == oracle.num_found(parse("lang:en"))
+
+
+def test_commit_range_filter(searcher, oracle):
+    q = "commit:[0 TO 8] AND spark"
+    got = [(r["doc_id"], r["score"]) for r in searcher.search(q, k=10).collect()]
+    exp = oracle.search(parse(q), k=10)
+    assert [g[0] for g in got] == [e[0] for e in exp]
+
+
+def test_facet(searcher, oracle):
+    got = {r["lang"]: r["hits"]
+           for r in searcher.facet("spark", "lang").collect()}
+    matches = {d for d, _s in oracle.search(parse("spark"), k=None)}
+    exp: dict[str, int] = {}
+    for d in matches:
+        exp[oracle.meta[d]["lang"]] = exp.get(oracle.meta[d]["lang"], 0) + 1
+    assert got == exp
+
+
+def test_unsupported_meta_in_or(searcher):
+    with pytest.raises(UnsupportedQuery):
+        searcher.search("lang:en OR spark", k=5)
+
+
+def test_missing_term_matches_nothing(searcher):
+    df, n = searcher.search("zzzznotaterm", k=10, with_count=True)
+    assert n == 0 and df.count() == 0
+    df2 = searcher.search("spark AND zzzznotaterm", k=10)
+    assert df2.count() == 0

@@ -89,6 +89,7 @@ class BuildConfig:
     hot_quantile: float = 0.999         # quantile probe for adaptive threshold
     resume_groups: int = 1              # posting bucket groups per commit
     doc_id_partitions: int | None = None
+    fail_after_group: int | None = None  # test hook: simulate mid-build kill
 
     def fingerprint(self, corpus_location: str) -> str:
         key = (f"{corpus_location}|nb={self.n_buckets}|bs={self.block_size}"
@@ -288,6 +289,8 @@ class IndexBuilder:
                 "rows": nrows, "bytes": nbytes, "wall_ms": wall,
                 "hot_terms": len(hot_terms), "salt_width": salt_width,
             }
+            if cfg.fail_after_group is not None and g >= cfg.fail_after_group:
+                raise RuntimeError(f"simulated kill after group {g}")
 
     def _stage_stats(self, spark: SparkSession, build_id: str, fp: str,
                      result: BuildResult):

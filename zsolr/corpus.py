@@ -43,15 +43,29 @@ corpus AS (
 """
 
 
-def synth_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+def synth_corpus(spark: SparkSession, sf_dir: str,
+                 replicate: int = 1) -> DataFrame:
     """documents.parquet → corpus(repo, path, commit, lang, content).
 
     Deterministic column derivations only (FIXTURES.md §1): repo=source,
     path=f"dir{doc_id%13}/file_{doc_id}.{ext(lang)}",
     commit=sha256(f"{repo}/{path}@{doc_id}")[:40], content=text.
     All expressions are Catalyst built-ins → whole-stage codegen, no UDFs.
+
+    ``replicate`` > 1 scales the corpus deterministically for benchmarks
+    (FIXTURES.md §1: replica-prefixed paths, re-hashed commits; content —
+    and thus vocabulary statistics — unchanged).
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if replicate > 1:
+        docs = docs.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
+        ).withColumn(
+            "doc_id", F.col("doc_id") * replicate + F.col("rep")
+        ).withColumn(
+            "source", F.concat(F.col("source"), F.lit("_r"),
+                               F.col("rep").cast("string"))
+        ).drop("rep")
     ext = F.element_at(
         F.create_map(*[F.lit(x) for kv in LANG_EXT.items() for x in kv]),
         F.col("lang"),

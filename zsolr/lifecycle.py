@@ -1,0 +1,189 @@
+"""Index lifecycle: delete, incremental update, compaction
+(SURVEY.md §2.1 I9-I10; lifecycle E3').
+
+zeit.solr surface parity:
+* ``SolrConnection.delete(id or q)`` → tombstone append; readers anti-join
+  tombstones (left_anti), so deletes are visible at the next snapshot read
+  without touching posting files — Lucene's live-docs bitmap, relationally.
+* ``IUpdater.update`` / ``update_container`` (re-index changed/added docs on
+  CMS checkin/publish) → snapshot diff: full-outer join of the new corpus
+  against the doc store on ``(repo, path)`` with ``content_sha256``
+  inequality detecting changes.  New/changed docs get fresh docIDs ABOVE
+  the current max, so their posting blocks occupy a disjoint docID range
+  and simply append (concat-merge, no rewrite of existing buckets); old
+  versions are tombstoned.  term/index stats are recomputed from live rows,
+  so post-update searches are exactly consistent with a fresh build over
+  the live corpus (rank-identity preserved — tested).
+* ``compact`` rewrites postings without tombstoned docs (Lucene segment
+  merge analogue); docIDs stay stable.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .build import BuildConfig, IndexBuilder
+from .catalog import ManifestParquetCatalog
+from .docids import assign_doc_ids
+
+
+def _append_tombstones(spark: SparkSession, cat: ManifestParquetCatalog,
+                       doc_ids: DataFrame):
+    tomb = doc_ids.select("doc_id").distinct().withColumn(
+        "deleted_at", F.current_timestamp())
+    mode = "append" if cat.exists("tombstones") else "overwrite"
+    cat.write(tomb, "tombstones", mode=mode)
+
+
+def delete_by_ids(spark: SparkSession, cat: ManifestParquetCatalog,
+                  doc_ids: list[int]):
+    _append_tombstones(
+        spark, cat, spark.createDataFrame([(i,) for i in doc_ids], "doc_id long"))
+    _refresh_stats(spark, cat)
+
+
+def delete_by_query(spark: SparkSession, cat: ManifestParquetCatalog, q: str):
+    """Solr delete-by-query: tombstone the full match set."""
+    from .search import Searcher
+
+    matches = Searcher(spark, cat).search(q, k=None, wand=False).select("doc_id")
+    _append_tombstones(spark, cat, matches)
+    _refresh_stats(spark, cat)
+
+
+def _live(spark: SparkSession, cat: ManifestParquetCatalog,
+          table: str) -> DataFrame:
+    df = cat.read(spark, table)
+    if cat.exists("tombstones"):
+        tomb = cat.read(spark, "tombstones").select("doc_id").distinct()
+        df = df.join(tomb, "doc_id", "left_anti")
+    return df
+
+
+def _refresh_stats(spark: SparkSession, cat: ManifestParquetCatalog):
+    """Recompute term/index stats over live (non-tombstoned) rows so idf/N
+    stay exact after deletes/updates (Appendix A: N counts non-deleted)."""
+    cfg_row = cat.read(spark, "index_stats").collect()[0]
+    n_buckets = int(cfg_row["n_buckets"])
+    tfs = _live(spark, cat, "tfs")
+    term_stats = tfs.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.max("tf").alias("max_tf"),
+    ).withColumn("bucket",
+                 F.pmod(F.crc32(F.col("term")), F.lit(n_buckets)).cast("int"))
+    cat.write(term_stats, "term_stats", mode="overwrite")
+    docs = _live(spark, cat, "docs")
+    agg = docs.agg(F.count(F.lit(1)).alias("n"),
+                   F.avg("doc_len").alias("avgdl")).collect()[0]
+    stats = spark.createDataFrame(
+        [(int(agg["n"]), float(agg["avgdl"] or 0.0), n_buckets,
+          int(cfg_row["block_size"]), int(cfg_row["codec"]))],
+        "n_docs long, avgdl double, n_buckets int, block_size int, codec int")
+    cat.write(stats, "index_stats", mode="overwrite")
+
+
+def incremental_update(spark: SparkSession, cat: ManifestParquetCatalog,
+                       new_corpus: DataFrame,
+                       cfg: BuildConfig | None = None) -> dict:
+    """I10 — diff the new corpus snapshot against the doc store and
+    re-index only added/changed docs; tombstone removed/changed ones."""
+    cfg_row = cat.read(spark, "index_stats").collect()[0]
+    cfg = cfg or BuildConfig(n_buckets=int(cfg_row["n_buckets"]),
+                             block_size=int(cfg_row["block_size"]),
+                             codec=int(cfg_row["codec"]))
+    live = _live(spark, cat, "docs").select(
+        "doc_id", "repo", "path",
+        F.col("content_sha256").alias("old_sha"))
+    new = new_corpus.withColumn("new_sha", F.sha2(F.col("content"), 256))
+    j = new.join(live, ["repo", "path"], "full_outer")
+
+    removed = j.filter(F.col("new_sha").isNull()).select("doc_id")
+    changed = j.filter(F.col("new_sha").isNotNull()
+                       & F.col("old_sha").isNotNull()
+                       & (F.col("new_sha") != F.col("old_sha")))
+    added = j.filter(F.col("new_sha").isNotNull()
+                     & (F.col("old_sha").isNull()
+                        | (F.col("new_sha") != F.col("old_sha"))))
+
+    n_removed = removed.count()
+    n_changed = changed.count()
+    to_tomb = removed.unionByName(changed.select("doc_id"))
+    if to_tomb.limit(1).count():
+        _append_tombstones(spark, cat, to_tomb)
+
+    added_corpus = added.select("repo", "path", "commit", "lang", "content")
+    n_added = added_corpus.count()
+    if n_added:
+        offset = cat.read(spark, "docs").agg(
+            F.max("doc_id")).collect()[0][0] + 1
+        builder = IndexBuilder(cat, cfg)
+        _append_partial_index(spark, cat, builder, added_corpus, int(offset))
+    _refresh_stats(spark, cat)
+    return {"added": n_added, "changed": n_changed, "removed": n_removed}
+
+
+def _append_partial_index(spark: SparkSession, cat: ManifestParquetCatalog,
+                          builder: IndexBuilder, corpus: DataFrame,
+                          id_offset: int):
+    """Tokenize + encode a delta corpus with docIDs starting at id_offset
+    (above every existing id → appended blocks stay concat-mergeable)."""
+    from .analyze import tokenize_arrow, tokenize_codegen
+
+    cfg = builder.cfg
+    with_ids = assign_doc_ids(corpus).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(id_offset))
+    toks = (tokenize_arrow(F.col("content")) if cfg.tokenizer == "arrow"
+            else tokenize_codegen(F.col("content")))
+    tokd = with_ids.select(
+        "doc_id", "repo", "path", "commit", "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        toks.alias("toks"))
+    tf = (tokd.select("doc_id", F.explode("toks").alias("term"))
+          .groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+          .withColumn("bucket", F.pmod(F.crc32(F.col("term")),
+                                       F.lit(cfg.n_buckets)).cast("int")))
+    cat.write(tf, "tfs", mode="append")
+    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
+    docs = (tokd.drop("toks").join(doclen, "doc_id", "left")
+            .fillna(0, subset=["doc_len"]))
+    cat.write(docs, "docs", mode="append")
+    spark.catalog.clearCache()
+    encode = builder._encode_kernel()
+    from .build import POSTINGS_SCHEMA
+    blocks = (tf.withColumn("salt", F.lit(0))
+              .groupBy("term", "salt").applyInPandas(encode, POSTINGS_SCHEMA)
+              .repartition(cfg.n_buckets, "bucket")
+              .sortWithinPartitions("term", "first_doc"))
+    cat.write(blocks, "postings", mode="append", partition_by=["bucket"])
+    builder._manifest_append(spark, [
+        (f"u{int(time.time() * 1000)}", "incremental", 0,
+         cfg.fingerprint("incremental"), docs.count(), 0, 0, "committed")])
+
+
+def compact(spark: SparkSession, cat: ManifestParquetCatalog):
+    """Rewrite the index without tombstoned docs (segment-merge analogue).
+    docIDs are preserved; tombstones are cleared afterwards."""
+    cfg_row = cat.read(spark, "index_stats").collect()[0]
+    cfg = BuildConfig(n_buckets=int(cfg_row["n_buckets"]),
+                      block_size=int(cfg_row["block_size"]),
+                      codec=int(cfg_row["codec"]))
+    builder = IndexBuilder(cat, cfg)
+    live_tfs = _live(spark, cat, "tfs")
+    cat.write(live_tfs, "tfs", mode="overwrite")
+    live_docs = _live(spark, cat, "docs")
+    cat.write(live_docs, "docs", mode="overwrite")
+    encode = builder._encode_kernel()
+    from .build import POSTINGS_SCHEMA
+    tfs = cat.read(spark, "tfs")
+    blocks = (tfs.withColumn("salt", F.lit(0))
+              .groupBy("term", "salt").applyInPandas(encode, POSTINGS_SCHEMA)
+              .repartition(cfg.n_buckets, "bucket")
+              .sortWithinPartitions("term", "first_doc"))
+    cat.write(blocks, "postings", mode="overwrite", partition_by=["bucket"])
+    if cat.exists("tombstones"):
+        empty = spark.createDataFrame(
+            [], "doc_id long, deleted_at timestamp")
+        cat.write(empty, "tombstones", mode="overwrite")
+    _refresh_stats(spark, cat)

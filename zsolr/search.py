@@ -349,7 +349,9 @@ class Searcher:
             self.docs = self.docs.join(tomb, "doc_id", "left_anti")
         else:
             self._n_deleted = 0
-        self.n_docs = self.n_docs_total - self._n_deleted
+        # index_stats.n_docs is refreshed to the live count by every
+        # lifecycle op (_refresh_stats), so it already excludes tombstones
+        self.n_docs = self.n_docs_total
         par = spark.sparkContext.defaultParallelism
         self.shard_width = shard_width or max(
             1024, -(-self.n_docs_total // max(1, par * 2)))
@@ -439,9 +441,12 @@ class Searcher:
         )
         fetch = None if k is None else start + k
         eff_sort = None if sort_field in (None, "score") else sort_field
+        # exact numFound requires evaluating every block — WAND's whole
+        # point is to skip blocks, so counting disables it (Lucene likewise
+        # only reports exact totals when pruning is off)
         kernel = make_search_kernel(
-            plan.scored_ast, idf_map, pos, neg, fetch, W, self.avgdl, wand,
-            eff_sort, sort_desc)
+            plan.scored_ast, idf_map, pos, neg, fetch, W, self.avgdl,
+            wand and not with_count, eff_sort, sort_desc)
         cand = (
             postings.groupBy("shard")
             .cogroup(docs_side.groupBy("shard"))
@@ -494,6 +499,37 @@ class Searcher:
                 out = out.offset(start)
         if with_count:
             return out, docs_f.count()
+        return out
+
+    def term_postings(self, term: str) -> DataFrame:
+        """Q3 demo: decode one term's posting list → (doc_id, tf) rows.
+        Bucket partition pruning + parquet dictionary filter on term; decode
+        in a vectorized Arrow kernel."""
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        bucket = term_bucket(term, self.n_buckets)
+        blocks = (self.cat.read(self.spark, "postings")
+                  .filter((F.col("bucket") == bucket) & (F.col("term") == term))
+                  .select("first_doc", "doc_gaps", "tfs"))
+
+        def decode(batches):
+            for pdf in batches:
+                ids_l, tfs_l = [], []
+                for fd, g, t in zip(pdf["first_doc"], pdf["doc_gaps"],
+                                    pdf["tfs"]):
+                    ids, tfs = codec.decode_block(int(fd), g, t)
+                    ids_l.append(ids)
+                    tfs_l.append(tfs)
+                if ids_l:
+                    yield pd.DataFrame({
+                        "doc_id": np.concatenate(ids_l),
+                        "tf": np.concatenate(tfs_l)})
+
+        schema = StructType([StructField("doc_id", LongType()),
+                             StructField("tf", LongType())])
+        out = blocks.mapInPandas(decode, schema)
+        if self._n_deleted:
+            out = out.join(self.docs.select("doc_id"), "doc_id", "left_semi")
         return out
 
     # -- Q11 facets -----------------------------------------------------------
