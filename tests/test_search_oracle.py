@@ -20,9 +20,11 @@ def searcher(spark, built_index):
 @pytest.fixture(scope="module")
 def oracle(spark, built_index, corpus_df):
     cat, _res = built_index
-    docs = cat.read(spark, "docs").select("doc_id", "repo", "path", "lang")
+    docs = cat.read(spark, "docs").select(
+        "doc_id", "repo", "path", "commit", "lang")
     j = corpus_df.join(docs, ["repo", "path"]).select(
-        "doc_id", "content", docs["lang"].alias("lang"), "repo", "path")
+        "doc_id", "content", docs["lang"].alias("lang"), "repo", "path",
+        docs["commit"].alias("commit"))
     return OracleIndex([r.asDict() for r in j.collect()])
 
 

@@ -58,8 +58,14 @@ POSTINGS_SCHEMA = StructType([
     StructField("n_docs", IntegerType()),
     StructField("doc_gaps", BinaryType()),
     StructField("tfs", BinaryType()),
+    StructField("doc_lens", BinaryType()),  # per-posting norms (Lucene-style)
     StructField("block_max_tf", IntegerType()),
 ])
+
+# metadata fields indexed as zero-scored "field terms" (`lang=en`) so Solr
+# fq-style filters are posting intersections — no doc-store access at query
+# time.  '=' can't appear in analyzed tokens, so namespaces never collide.
+FIELD_TERMS = ("lang", "repo")
 
 MANIFEST_SCHEMA = StructType([
     StructField("build_id", StringType()),
@@ -77,6 +83,34 @@ def term_bucket(term: str, n_buckets: int) -> int:
     """Driver-side twin of the Spark ``crc32(term) % n_buckets`` expression —
     the query planner computes buckets for query terms without a Spark job."""
     return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def corpus_to_tokd(with_ids: DataFrame, tokenizer: str = "codegen") -> DataFrame:
+    """corpus+doc_id → (doc_id, meta, content_sha256, toks, doc_len)."""
+    toks = (tokenize_arrow(F.col("content")) if tokenizer == "arrow"
+            else tokenize_codegen(F.col("content")))
+    return with_ids.select(
+        "doc_id", "repo", "path", "commit", "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        toks.alias("toks"),
+    ).withColumn("doc_len", F.size("toks").cast("long"))
+
+
+def tokd_to_tf(tokd: DataFrame, n_buckets: int) -> DataFrame:
+    """tokd → tf(term, doc_id, tf, doc_len, bucket) incl. field terms."""
+    tok_tf = (
+        tokd.select("doc_id", "doc_len", F.explode("toks").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("doc_len").alias("doc_len"))
+    )
+    field_tf = None
+    for fld in FIELD_TERMS:
+        part = tokd.select(
+            F.concat(F.lit(f"{fld}="), F.col(fld)).alias("term"),
+            "doc_id", F.lit(1).cast("long").alias("tf"), "doc_len")
+        field_tf = part if field_tf is None else field_tf.unionByName(part)
+    return tok_tf.unionByName(field_tf).withColumn(
+        "bucket", F.pmod(F.crc32(F.col("term")), F.lit(n_buckets)).cast("int"))
 
 
 @dataclass
@@ -151,33 +185,15 @@ class IndexBuilder:
         cfg = self.cfg
         t0 = time.time()
         with_ids = assign_doc_ids(corpus, cfg.doc_id_partitions)
-        toks = (tokenize_arrow(F.col("content")) if cfg.tokenizer == "arrow"
-                else tokenize_codegen(F.col("content")))
-        tokd = with_ids.select(
-            "doc_id", "repo", "path", "commit", "lang",
-            F.sha2(F.col("content"), 256).alias("content_sha256"),
-            toks.alias("toks"),
-        )
-        # I5 — (term, doc_id) → tf.  explode + partial/final hash agg; the
-        # bucket column rides along for layout + pruning downstream.
-        tf = (
-            tokd.select("doc_id", F.explode("toks").alias("term"))
-            .groupBy("term", "doc_id")
-            .agg(F.count(F.lit(1)).alias("tf"))
-            .withColumn(
-                "bucket",
-                F.pmod(F.crc32(F.col("term")), F.lit(cfg.n_buckets)).cast("int"),
-            )
-        )
+        # I5 — (term, doc_id) → tf.  explode + partial/final hash agg;
+        # doc_len rides along so norms land inside posting blocks (no
+        # doc-store access at query time — Lucene-norms design), and
+        # zero-scored field terms (`lang=en`) make metadata filters pure
+        # posting intersections.
+        tokd = corpus_to_tokd(with_ids, cfg.tokenizer)
+        tf = tokd_to_tf(tokd, cfg.n_buckets)
         self.cat.write(tf, "tfs", mode="overwrite")
-        # doc_len from the committed tf table (no second tokenize pass)
-        tf_c = self.cat.read(spark, "tfs")
-        doclen = tf_c.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-        docs = (
-            tokd.drop("toks")
-            .join(doclen, "doc_id", "left")
-            .fillna(0, subset=["doc_len"])
-        )
+        docs = tokd.drop("toks")
         self.cat.write(docs, "docs", mode="overwrite")
         spark.catalog.clearCache()  # drop the docID range-partition cache
         wall = int((time.time() - t0) * 1000)
@@ -220,9 +236,12 @@ class IndexBuilder:
             order = np.argsort(pdf["doc_id"].to_numpy(), kind="stable")
             d = pdf["doc_id"].to_numpy()[order]
             t = pdf["tf"].to_numpy()[order]
+            dl = pdf["doc_len"].to_numpy()[order].astype(np.uint64)
             firsts, lasts, lens, gblobs, tblobs, maxtfs = codec.encode_blocks(
                 d, t, block_size=cfg_block, codec=cfg_codec
             )
+            dlblobs = [codec.encode_u64(dl[s:s + cfg_block], cfg_codec)
+                       for s in range(0, len(dl), cfg_block)]
             return pd.DataFrame({
                 "term": term,
                 "bucket": np.int32(bucket),
@@ -231,6 +250,7 @@ class IndexBuilder:
                 "n_docs": np.asarray(lens, dtype=np.int32),
                 "doc_gaps": gblobs,
                 "tfs": tblobs,
+                "doc_lens": dlblobs,
                 "block_max_tf": np.asarray(maxtfs, dtype=np.int32),
             })
 

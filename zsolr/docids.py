@@ -62,11 +62,27 @@ def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> Data
     out_schema = StructType(list(corpus.schema.fields)).add("doc_id", LongType(), False)
 
     def add_ids(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        base = bc.value[TaskContext.get().partitionId()]
+        pid = TaskContext.get().partitionId()
+        if pid not in bc.value:
+            raise RuntimeError(
+                f"docid assignment executed in a renumbered stage (pid={pid},"
+                f" expected 0..{len(bc.value) - 1}): a consumer recomputed the"
+                " lineage instead of reading the materialized result")
+        base = bc.value[pid]
         for batch in batches:
             n = batch.num_rows
             ids = pa.array(np.arange(base, base + n, dtype=np.int64), type=pa.int64())
             base += n
             yield batch.append_column("doc_id", ids)
 
-    return part.mapInArrow(add_ids, out_schema)
+    out = part.mapInArrow(add_ids, out_schema)
+    # TaskContext.partitionId() is STAGE-relative: if a downstream plan
+    # fuses this map into a union/coalesced stage, partition ids renumber
+    # and the offsets are wrong.  Materializing here pins the stage to the
+    # linear lineage (shuffle-read → sort → map), where stage partition ids
+    # == range partition ids; consumers then read the cached result.
+    out = out.persist(StorageLevel.MEMORY_AND_DISK)
+    n_out = out.count()
+    assert n_out == sum(by_pid.values())
+    part.unpersist()
+    return out

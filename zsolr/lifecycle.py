@@ -129,37 +129,33 @@ def _append_partial_index(spark: SparkSession, cat: ManifestParquetCatalog,
                           id_offset: int):
     """Tokenize + encode a delta corpus with docIDs starting at id_offset
     (above every existing id → appended blocks stay concat-mergeable)."""
-    from .analyze import tokenize_arrow, tokenize_codegen
+    from .build import corpus_to_tokd, tokd_to_tf
 
     cfg = builder.cfg
     with_ids = assign_doc_ids(corpus).withColumn(
         "doc_id", F.col("doc_id") + F.lit(id_offset))
-    toks = (tokenize_arrow(F.col("content")) if cfg.tokenizer == "arrow"
-            else tokenize_codegen(F.col("content")))
-    tokd = with_ids.select(
-        "doc_id", "repo", "path", "commit", "lang",
-        F.sha2(F.col("content"), 256).alias("content_sha256"),
-        toks.alias("toks"))
-    tf = (tokd.select("doc_id", F.explode("toks").alias("term"))
-          .groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-          .withColumn("bucket", F.pmod(F.crc32(F.col("term")),
-                                       F.lit(cfg.n_buckets)).cast("int")))
+    tokd = corpus_to_tokd(with_ids, cfg.tokenizer)
+    tf = tokd_to_tf(tokd, cfg.n_buckets)
     cat.write(tf, "tfs", mode="append")
-    doclen = tf.groupBy("doc_id").agg(F.sum("tf").alias("doc_len"))
-    docs = (tokd.drop("toks").join(doclen, "doc_id", "left")
-            .fillna(0, subset=["doc_len"]))
+    docs = tokd.drop("toks")
     cat.write(docs, "docs", mode="append")
+    # read the delta back from the committed snapshot rather than
+    # recomputing the docid lineage (its cache is cleared below)
+    delta_tf = spark.read.parquet(
+        cat.current_snapshot("tfs")["data_dirs"][-1])
+    n_added = spark.read.parquet(
+        cat.current_snapshot("docs")["data_dirs"][-1]).count()
     spark.catalog.clearCache()
     encode = builder._encode_kernel()
     from .build import POSTINGS_SCHEMA
-    blocks = (tf.withColumn("salt", F.lit(0))
+    blocks = (delta_tf.withColumn("salt", F.lit(0))
               .groupBy("term", "salt").applyInPandas(encode, POSTINGS_SCHEMA)
               .repartition(cfg.n_buckets, "bucket")
               .sortWithinPartitions("term", "first_doc"))
     cat.write(blocks, "postings", mode="append", partition_by=["bucket"])
     builder._manifest_append(spark, [
         (f"u{int(time.time() * 1000)}", "incremental", 0,
-         cfg.fingerprint("incremental"), docs.count(), 0, 0, "committed")])
+         cfg.fingerprint("incremental"), n_added, 0, 0, "committed")])
 
 
 def compact(spark: SparkSession, cat: ManifestParquetCatalog):

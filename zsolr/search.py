@@ -182,70 +182,101 @@ def _term_ub(idf_t: float, bmax: np.ndarray, k1: float, b: float,
 
 
 def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
-                       neg_terms: set, k: int | None,
+                       neg_terms: set, zero_terms: set, k: int | None,
                        shard_width: int, avgdl: float, wand: bool,
                        sort_field: str | None, sort_desc: bool,
+                       deleted: np.ndarray | None = None,
+                       cogroup: bool = True,
                        k1: float = BM25_K1, b: float = BM25_B):
-    """Build the per-shard cogroup kernel.
+    """Build the per-shard kernel (two wire-ups, same body):
+
+    * fast path (``cogroup=False``): ``groupBy(shard)`` over posting blocks
+      only — doc-length norms decode from the blocks (Lucene-norms design),
+      metadata filters arrive as zero-scored field terms (``lang=en``), and
+      the (small) tombstone set is a broadcast numpy array.  NOTHING but the
+      query terms' postings moves at query time — the property that keeps
+      p95 flat at 10^12 docs.
+    * cogroup path (``cogroup=True``): ships a filtered doc-store side per
+      shard; needed for range predicates and sort-field overrides.
 
     ``idf_map``: term → idf.  ``pos_terms``/``neg_terms``: terms appearing
-    positively / under NOT.  Only pos-only terms are WAND-prunable (a term
-    used under NOT must be decoded fully or exclusion would under-remove);
-    UB totals still include every positive term so pruning stays safe.
-    Emits candidate rows ``(doc_id, score)`` (≤ k per shard, or all matches
-    when k is None) plus one sentinel row ``(-1, n_matches)`` carrying the
-    shard's hit count.
+    positively / under NOT; ``zero_terms``: field terms that filter but
+    score 0.  Only pos-only scored terms are WAND-prunable (a term used
+    under NOT must decode fully or exclusion would under-remove); UB totals
+    include every scored positive term so pruning stays safe.  Emits
+    candidate rows ``(doc_id, score)`` (≤ k per shard, or all matches when
+    k is None) plus one sentinel row ``(-1, n_matches)`` with the shard's
+    hit count.
     """
-    all_terms = sorted(pos_terms | neg_terms)
-    prunable = pos_terms - neg_terms
+    all_terms = sorted(pos_terms | neg_terms | zero_terms)
+    prunable = (pos_terms - neg_terms) - zero_terms
+    deleted_sorted = np.sort(deleted) if deleted is not None and len(deleted) \
+        else None
 
-    def kernel(key, blocks: pd.DataFrame, docs: pd.DataFrame) -> pd.DataFrame:
-        if len(docs) == 0:
+    def kernel(key, blocks: pd.DataFrame, docs: pd.DataFrame | None = None):
+        if docs is not None and len(docs) == 0:
             return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                                  "score": pd.Series([], dtype="float64")})
         shard = int(key[0])
         base = shard * shard_width
-        dl = np.zeros(shard_width, dtype=np.float64)
-        allowed = np.zeros(shard_width, dtype=bool)
-        d_ids = docs["doc_id"].to_numpy()
-        off = d_ids - base
-        dl[off] = docs["doc_len"].to_numpy()
-        allowed[off] = True
-        allowed_ids = np.sort(d_ids)
+        if docs is not None:
+            dl_arr = np.zeros(shard_width, dtype=np.float64)
+            allowed = np.zeros(shard_width, dtype=bool)
+            d_ids = docs["doc_id"].to_numpy()
+            off = d_ids - base
+            dl_arr[off] = docs["doc_len"].to_numpy()
+            allowed[off] = True
+            allowed_ids = np.sort(d_ids)
+        else:
+            allowed = None
+            allowed_ids = np.empty(0, dtype=np.int64)  # no Range in fast AST
 
         def decode_term(t: str, rows: pd.DataFrame, keep: np.ndarray):
             """Decode kept blocks of one term → (sorted ids, scores)."""
-            ids_l, tfs_l = [], []
+            ids_l, tfs_l, dls_l = [], [], []
             gb = rows["doc_gaps"].to_numpy()
             tb = rows["tfs"].to_numpy()
+            db = rows["doc_lens"].to_numpy()
             fd = rows["first_doc"].to_numpy()
             for i in np.nonzero(keep)[0]:
                 bids, btfs = codec.decode_block(int(fd[i]), gb[i], tb[i])
+                bdls = codec.decode_u64(db[i]).astype(np.float64)
                 m = (bids >= base) & (bids < base + shard_width)
                 if m.any():
-                    bids, btfs = bids[m], btfs[m]
-                    am = allowed[bids - base]
-                    if am.any():
-                        ids_l.append(bids[am])
-                        tfs_l.append(btfs[am])
+                    bids, btfs, bdls = bids[m], btfs[m], bdls[m]
+                    if allowed is not None:
+                        am = allowed[bids - base]
+                    elif deleted_sorted is not None:
+                        am = ~np.isin(bids, deleted_sorted)
+                    else:
+                        am = None
+                    if am is not None:
+                        bids, btfs, bdls = bids[am], btfs[am], bdls[am]
+                    if len(bids):
+                        ids_l.append(bids)
+                        tfs_l.append(btfs)
+                        dls_l.append(bdls)
             if not ids_l:
                 return (np.empty(0, dtype=np.int64), np.empty(0))
             ids = np.concatenate(ids_l)
             tfs = np.concatenate(tfs_l).astype(np.float64)
+            dls = np.concatenate(dls_l)
             # blocks are sorted by first_doc with disjoint ranges → already
-            # globally sorted; assert-cheap guard for salted sub-lists
+            # globally sorted; cheap guard for salted sub-lists
             if len(ids_l) > 1 and not (ids[:-1] < ids[1:]).all():
                 order = np.argsort(ids, kind="stable")
-                ids, tfs = ids[order], tfs[order]
+                ids, tfs, dls = ids[order], tfs[order], dls[order]
+            if t in zero_terms:
+                return ids, np.zeros(len(ids))
             idf_t = idf_map[t]
-            dls = dl[ids - base]
             sc = idf_t * tfs * (k1 + 1.0) / (tfs + k1 * (1 - b + b * dls / avgdl))
             return ids, sc
 
         by_term = {t: g.sort_values("first_doc")
                    for t, g in blocks.groupby("term")} if len(blocks) else {}
         per_term: dict[str, tuple] = {}
-        dl_min = max(1.0, float(dl[allowed].min())) if allowed.any() else 1.0
+        dl_min = max(1.0, float(dl_arr[allowed].min())) \
+            if allowed is not None and allowed.any() else 1.0
 
         empty = (np.empty(0, dtype=np.int64), np.empty(0))
         if not wand or k is None or scored_ast is None or not prunable:
@@ -262,7 +293,7 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
             # yields genuine matches.
             ubs: dict[str, np.ndarray] = {}
             max_ub: dict[str, float] = {}
-            for t in pos_terms:
+            for t in pos_terms - zero_terms:
                 rows = by_term.get(t)
                 if rows is None:
                     continue
@@ -311,7 +342,7 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                 # bounded top-k: argpartition = vectorized min-heap equivalent
                 top = np.argpartition(-sc, k - 1)[:k]
                 ids, sc = ids[top], sc[top]
-            else:
+            else:  # sort override: cogroup mode only (needs the docs side)
                 vals = docs.set_index("doc_id")[sort_field].loc[ids].to_numpy()
                 sel = (pd.DataFrame({"doc_id": ids, "score": sc, "v": vals})
                        .sort_values(["v", "doc_id"],
@@ -325,7 +356,9 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
             {"doc_id": [-1], "score": [float(n_matches)]})], ignore_index=True)
         return out
 
-    return kernel
+    if cogroup:
+        return kernel
+    return lambda key, blocks: kernel(key, blocks, None)
 
 
 # --------------------------------------------------------------- searcher --
@@ -343,18 +376,52 @@ class Searcher:
         self.avgdl = float(st["avgdl"]) or 1.0
         self.n_buckets = int(st["n_buckets"])
         self.docs = cat.read(spark, "docs")
+        # tombstones: a live-docs-style exclusion set.  Small (pre-compaction
+        # deltas) → broadcast into the fast kernel as a numpy array; past the
+        # cap we fall back to the cogroup path (and compact() is overdue).
+        MAX_BROADCAST_DELETED = 2_000_000
         if cat.exists("tombstones"):
             tomb = cat.read(spark, "tombstones").select("doc_id").distinct()
             self._n_deleted = tomb.count()
             self.docs = self.docs.join(tomb, "doc_id", "left_anti")
+            if self._n_deleted <= MAX_BROADCAST_DELETED:
+                self._deleted_np = tomb.toPandas()["doc_id"].to_numpy()
+            else:
+                self._deleted_np = None
         else:
             self._n_deleted = 0
+            self._deleted_np = np.empty(0, dtype=np.int64)
         # index_stats.n_docs is refreshed to the live count by every
         # lifecycle op (_refresh_stats), so it already excludes tombstones
         self.n_docs = self.n_docs_total
         par = spark.sparkContext.defaultParallelism
         self.shard_width = shard_width or max(
             1024, -(-self.n_docs_total // max(1, par * 2)))
+
+    @staticmethod
+    def _filters_as_field_terms(filters: list[tuple]):
+        """Equality predicates on field-indexed columns → zero-scored field
+        terms (the fast path).  Returns None if any predicate can't (range,
+        non-indexed column) — caller falls back to the cogroup path."""
+        from .build import FIELD_TERMS
+
+        out = []
+        for kind, node in filters:
+            if isinstance(node, Term) and node.field in FIELD_TERMS:
+                out.append((kind, f"{node.field}={node.term}"))
+            else:
+                return None
+        return out
+
+    @classmethod
+    def _has_range(cls, node) -> bool:
+        if isinstance(node, Range):
+            return True
+        if isinstance(node, (And, Or)):
+            return any(cls._has_range(c) for c in node.children)
+        if isinstance(node, Not):
+            return cls._has_range(node.child)
+        return False
 
     # -- driver-side stats lookups -----------------------------------------
     def _idf_map(self, terms: list[str]) -> dict[str, float]:
@@ -416,42 +483,69 @@ class Searcher:
             return self._match_all(docs_f, k, start, sort_field, sort_desc,
                                    with_count)
 
+        fetch = None if k is None else start + k
+        eff_sort = None if sort_field in (None, "score") else sort_field
+
+        # ---- path selection ------------------------------------------------
+        # fast path: only the query terms' postings move (norms decode from
+        # the blocks, equality filters become zero-scored field terms,
+        # tombstones broadcast).  cogroup path: ships a filtered doc-store
+        # side per shard — needed for range predicates / sort overrides.
+        filters_as_terms = self._filters_as_field_terms(plan.filters)
+        fast = (eff_sort is None
+                and filters_as_terms is not None
+                and not self._has_range(plan.scored_ast)
+                and self._deleted_np is not None)
+        zero_terms: set[str] = set()
+        kernel_ast = plan.scored_ast
+        if fast and filters_as_terms:
+            conjuncts = list(plan.scored_ast.children) \
+                if isinstance(plan.scored_ast, And) else [plan.scored_ast]
+            for kind, ft in filters_as_terms:
+                node = Term(ft)
+                conjuncts.append(Not(node) if kind == "neg" else node)
+                zero_terms.add(ft)
+            kernel_ast = And(tuple(conjuncts))
+
         neg: set[str] = set()
-        self._neg_terms(plan.scored_ast, neg)
+        self._neg_terms(kernel_ast, neg)
         pos: set[str] = set()
-        self._pos_terms(plan.scored_ast, pos)
-        idf_map = self._idf_map(plan.content_terms)
+        self._pos_terms(kernel_ast, pos)
+        all_terms = sorted(pos | neg)
+        idf_map = self._idf_map([t for t in all_terms if t not in zero_terms])
 
         W = self.shard_width
-        buckets = sorted({term_bucket(t, self.n_buckets)
-                          for t in plan.content_terms})
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in all_terms})
         postings = (
             self.cat.read(self.spark, "postings")
             .filter(F.col("bucket").isin(buckets)
-                    & F.col("term").isin(plan.content_terms))
+                    & F.col("term").isin(all_terms))
             .withColumn("shard", F.explode(F.expr(
                 f"sequence(first_doc DIV {W}, last_doc DIV {W})")))
         )
-        doc_cols = ["doc_id", "doc_len"]
-        if sort_field and sort_field not in ("score",) + tuple(doc_cols):
-            doc_cols.append(sort_field)
-        docs_side = (
-            docs_f.select(*doc_cols)
-            .withColumn("shard", F.expr(f"doc_id DIV {W}"))
-        )
-        fetch = None if k is None else start + k
-        eff_sort = None if sort_field in (None, "score") else sort_field
         # exact numFound requires evaluating every block — WAND's whole
         # point is to skip blocks, so counting disables it (Lucene likewise
-        # only reports exact totals when pruning is off)
+        # only reports exact totals when pruning is off).  A sort override
+        # also disables it: score upper bounds say nothing about which docs
+        # win on an arbitrary sort field.
         kernel = make_search_kernel(
-            plan.scored_ast, idf_map, pos, neg, fetch, W, self.avgdl,
-            wand and not with_count, eff_sort, sort_desc)
-        cand = (
-            postings.groupBy("shard")
-            .cogroup(docs_side.groupBy("shard"))
-            .applyInPandas(kernel, "doc_id long, score double")
-        )
+            kernel_ast, idf_map, pos, neg, zero_terms, fetch, W, self.avgdl,
+            wand and not with_count and eff_sort is None, eff_sort, sort_desc,
+            deleted=self._deleted_np if fast else None, cogroup=not fast)
+        if fast:
+            cand = (postings.groupBy("shard")
+                    .applyInPandas(kernel, "doc_id long, score double"))
+        else:
+            doc_cols = ["doc_id", "doc_len"]
+            if eff_sort and eff_sort not in doc_cols:
+                doc_cols.append(eff_sort)
+            docs_side = (docs_f.select(*doc_cols)
+                         .withColumn("shard", F.expr(f"doc_id DIV {W}")))
+            cand = (
+                postings.groupBy("shard")
+                .cogroup(docs_side.groupBy("shard"))
+                .applyInPandas(kernel, "doc_id long, score double")
+            )
         if with_count:
             cand = cand.persist()
         hits = cand.filter(F.col("doc_id") >= 0)
