@@ -1,0 +1,79 @@
+"""Streaming incremental indexing + spark-submit --py-files packaging
+(north_rule: 'run via spark-submit --py-files')."""
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from zsolr.build import BuildConfig, IndexBuilder
+from zsolr.catalog import ManifestParquetCatalog
+from zsolr.search import Searcher
+from zsolr.streaming import stream_index
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_streaming_incremental_index(tmp_path, spark, corpus_df):
+    base = corpus_df.limit(80).cache()
+    cat = ManifestParquetCatalog(str(tmp_path / "idx"))
+    cfg = BuildConfig(n_buckets=8)
+    IndexBuilder(cat, cfg).build(spark, "m", corpus_df=base)
+    n0 = cat.read(spark, "docs").count()
+
+    drop = str(tmp_path / "drop")
+    # snapshot 1: base + 3 new docs (streamed corpus snapshots are cumulative
+    # per incremental_update's diff semantics)
+    extra = spark.createDataFrame(
+        [(f"srcS", f"s/new_{i}.py", "e" * 40, "en",
+          f"streamed doc {i} spark stream zzstreamterm") for i in range(3)],
+        "repo string, path string, commit string, lang string, content string")
+    base.unionByName(extra).coalesce(1).write.mode("overwrite").parquet(
+        f"{drop}/snap1")
+
+    q = stream_index(spark, cat, f"{drop}/snap1",
+                     str(tmp_path / "ckpt1"), cfg)
+    q.awaitTermination(120)
+
+    assert cat.read(spark, "docs").count() == n0 + 3
+    s = Searcher(spark, cat)
+    df, n = s.search("zzstreamterm", k=10, with_count=True)
+    assert n == 3
+    assert all(r["repo"] == "srcS" for r in df.collect())
+
+
+@pytest.mark.slow
+def test_spark_submit_pyfiles(tmp_path):
+    """Package zsolr as a zip and run build+search through spark-submit."""
+    zpath = tmp_path / "zsolr.zip"
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "zsolr")
+        for fn in os.listdir(pkg):
+            if fn.endswith(".py"):
+                z.write(os.path.join(pkg, fn), f"zsolr/{fn}")
+    idx = str(tmp_path / "idx")
+    spark_submit = os.path.join(
+        os.environ.get("SPARK_HOME", "/opt/spark"), "bin", "spark-submit")
+    if not os.path.exists(spark_submit):
+        spark_submit = "spark-submit"
+    env = {**os.environ, "PYSPARK_PYTHON": sys.executable}
+
+    def run(*cli_args):
+        cmd = [spark_submit, "--master", "local[4]",
+               "--py-files", str(zpath),
+               os.path.join(REPO, "zsolr", "cli.py"), *cli_args]
+        out = subprocess.run(cmd, capture_output=True, text=True, timeout=600,
+                             env=env)
+        assert out.returncode == 0, out.stderr[-2000:]
+        return [json.loads(line) for line in out.stdout.splitlines()
+                if line.startswith("{")]
+
+    built = run("build", "--corpus-sf", "/root/testdata/sf0.001",
+                "--index", idx, "--buckets", "4")
+    assert built[-1]["n_docs"] == 500
+    hits = run("search", "hash AND join", "--index", idx, "-k", "3")
+    assert len(hits) == 3 and hits[0]["score"] > 0

@@ -1,0 +1,125 @@
+"""zsolr command-line interface — the spark-submit entry point
+(north_rule: "run via spark-submit --py-files on a multi-executor cluster").
+
+Usage (local dev):
+    python -m zsolr build  --corpus-sf /root/testdata/sf0.001 --index /tmp/idx
+    python -m zsolr search --index /tmp/idx 'hash AND join' -k 10
+    python -m zsolr delete --index /tmp/idx --query dup
+    python -m zsolr compact --index /tmp/idx
+
+Cluster:
+    zip -r zsolr.zip zsolr
+    spark-submit --py-files zsolr.zip zsolr/cli.py build \\
+        --corpus iceberg:catalog.db.corpus --index /warehouse/idx
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="zsolr")
+    p.add_argument("--master", default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--corpus", help="parquet dir or iceberg:<table> with "
+                                    "(repo,path,commit,lang,content)")
+    b.add_argument("--corpus-sf", help="synthesize corpus from this "
+                                       "testdata sf dir (sandbox)")
+    b.add_argument("--replicate", type=int, default=1)
+    b.add_argument("--index", required=True, help="index catalog root")
+    b.add_argument("--buckets", type=int, default=32)
+    b.add_argument("--resume-groups", type=int, default=1)
+
+    s = sub.add_parser("search", help="BM25 top-k search")
+    s.add_argument("query")
+    s.add_argument("--index", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--start", type=int, default=0)
+    s.add_argument("--sort", default=None)
+    s.add_argument("--no-wand", action="store_true")
+    s.add_argument("--count", action="store_true")
+
+    d = sub.add_parser("delete", help="delete by query or ids")
+    d.add_argument("--index", required=True)
+    d.add_argument("--query")
+    d.add_argument("--ids", help="comma-separated doc ids")
+
+    u = sub.add_parser("update", help="incremental re-index from a new "
+                                      "corpus snapshot")
+    u.add_argument("--index", required=True)
+    u.add_argument("--corpus")
+    u.add_argument("--corpus-sf")
+    u.add_argument("--replicate", type=int, default=1)
+
+    sub.add_parser("compact", help="rewrite postings without tombstones") \
+        .add_argument("--index", required=True)
+
+    args = p.parse_args(argv)
+
+    from zsolr.build import BuildConfig, IndexBuilder
+    from zsolr.catalog import ManifestParquetCatalog
+    from zsolr.corpus import read_corpus, synth_corpus
+    from zsolr.session import get_spark
+
+    spark = get_spark("zsolr-cli", master=args.master)
+    cat = ManifestParquetCatalog(args.index)
+
+    def load_corpus():
+        if getattr(args, "corpus_sf", None):
+            return (synth_corpus(spark, args.corpus_sf, args.replicate),
+                    f"{args.corpus_sf}-x{args.replicate}")
+        return read_corpus(spark, args.corpus), args.corpus
+
+    if args.cmd == "build":
+        corpus, loc = load_corpus()
+        cfg = BuildConfig(n_buckets=args.buckets,
+                          resume_groups=args.resume_groups)
+        t0 = time.time()
+        res = IndexBuilder(cat, cfg).build(spark, loc, corpus_df=corpus)
+        print(json.dumps({"n_docs": res.n_docs, "avgdl": res.avgdl,
+                          "wall_s": round(time.time() - t0, 2),
+                          "resumed": res.resumed_stages,
+                          "stages": res.stages}))
+    elif args.cmd == "search":
+        from zsolr.search import Searcher
+        searcher = Searcher(spark, cat)
+        if args.count:
+            df, n = searcher.search(args.query, k=args.k, start=args.start,
+                                    sort=args.sort, wand=not args.no_wand,
+                                    with_count=True)
+            rows = df.collect()
+            print(json.dumps({"numFound": n}))
+        else:
+            rows = searcher.search(args.query, k=args.k, start=args.start,
+                                   sort=args.sort,
+                                   wand=not args.no_wand).collect()
+        for r in rows:
+            print(json.dumps(r.asDict()))
+    elif args.cmd == "delete":
+        from zsolr.lifecycle import delete_by_ids, delete_by_query
+        if args.query:
+            delete_by_query(spark, cat, args.query)
+        elif args.ids:
+            delete_by_ids(spark, cat, [int(x) for x in args.ids.split(",")])
+        print(json.dumps({"deleted": True}))
+    elif args.cmd == "update":
+        from zsolr.lifecycle import incremental_update
+        corpus, _loc = load_corpus()
+        stats = incremental_update(spark, cat, corpus)
+        print(json.dumps(stats))
+    elif args.cmd == "compact":
+        from zsolr.lifecycle import compact
+        compact(spark, cat)
+        print(json.dumps({"compacted": True}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

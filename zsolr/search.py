@@ -546,27 +546,53 @@ class Searcher:
                 .cogroup(docs_side.groupBy("shard"))
                 .applyInPandas(kernel, "doc_id long, score double")
             )
-        if with_count:
-            cand = cand.persist()
-        hits = cand.filter(F.col("doc_id") >= 0)
-        # Q9: candidates are ≤ k·shards rows → broadcast them; the doc store
-        # is scanned with a broadcast hash join, never shuffled
         extra = [eff_sort] if eff_sort and eff_sort not in (
             "repo", "path", "commit", "doc_id") else []
-        joined = (self.docs.join(F.broadcast(hits), "doc_id")
-                  .select("doc_id", "repo", "path", "commit", *extra, "score"))
-        if eff_sort:
-            key = F.col(eff_sort)
-            order = [key.desc() if sort_desc else key.asc(), F.asc("doc_id")]
-        else:
-            order = [F.desc("score"), F.asc("doc_id")]
-        joined = joined.orderBy(*order)
+        out_schema = ("doc_id long, repo string, path string, commit string,"
+                      " score double")
+
         if k is not None:
-            joined = joined.limit(start + k)
-            if start:
-                joined = joined.offset(start)
-        if extra:
-            joined = joined.drop(*extra)
+            # Q9, bounded: candidates are ≤ (start+k)·shards rows — collect
+            # them (one job), then fetch ONLY those docs from the store.
+            # docs files are doc_id-ordered (docID = rank of the write sort),
+            # so the isin predicate pushes down to row-group min/max pruning:
+            # per-query doc-store I/O is O(k·shards), never O(N).
+            rows = cand.collect()
+            num_found = int(sum(r["score"] for r in rows if r["doc_id"] == -1))
+            hits = [(r["doc_id"], r["score"]) for r in rows if r["doc_id"] >= 0]
+            if not hits:
+                empty = self.spark.createDataFrame([], out_schema)
+                return (empty, num_found) if with_count else empty
+            if eff_sort is None:
+                hits.sort(key=lambda t: (-t[1], t[0]))
+                hits = hits[start:start + k]
+            ids = [h[0] for h in hits]
+            score_by_id = dict(hits)
+            fetched = [r.asDict() for r in
+                       (self.docs.filter(F.col("doc_id").isin(ids))
+                        .select("doc_id", "repo", "path", "commit", *extra)
+                        .collect())]
+            if eff_sort:
+                # stable two-pass: doc_id asc within equal sort keys
+                fetched.sort(key=lambda r: r["doc_id"])
+                fetched.sort(key=lambda r: r[eff_sort], reverse=sort_desc)
+                fetched = fetched[start:start + k]
+            else:
+                fetched.sort(
+                    key=lambda r: (-score_by_id[r["doc_id"]], r["doc_id"]))
+            out = [(r["doc_id"], r["repo"], r["path"], r["commit"],
+                    score_by_id[r["doc_id"]]) for r in fetched]
+            df = self.spark.createDataFrame(out, out_schema)
+            return (df, num_found) if with_count else df
+
+        # k=None (bulk match set, e.g. facets / delete-by-query): stay fully
+        # distributed — broadcast candidates into a hash join on the store.
+        if with_count:
+            cand = cand.persist()
+        hits_df = cand.filter(F.col("doc_id") >= 0)
+        joined = (self.docs.join(F.broadcast(hits_df), "doc_id")
+                  .select("doc_id", "repo", "path", "commit", "score")
+                  .orderBy(F.desc("score"), F.asc("doc_id")))
         if with_count:
             num_found = int(
                 cand.filter(F.col("doc_id") == -1)

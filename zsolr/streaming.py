@@ -1,0 +1,55 @@
+"""Structured Streaming front-end for the updater path (SURVEY.md §2.4).
+
+The reference's update surface is request-driven (CMS checkin/publish events
+→ ``IUpdater.update``), which SURVEY.md maps to batch incremental re-index
+(I10).  This module adds the streaming wire-up a production deployment of
+that updater would use: a ``readStream`` over the corpus drop directory,
+``foreachBatch`` handing each micro-batch to ``incremental_update`` — i.e.
+exactly-once, checkpointed, continuous indexing built from the same engine
+primitives (the catalog commit is atomic, so a crashed micro-batch replays
+cleanly).
+
+At scale the drop dir is a Kafka topic or an Iceberg CDC stream; swapping
+``readStream.format(...)`` is the only change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import StringType, StructField, StructType
+
+from .build import BuildConfig
+from .catalog import ManifestParquetCatalog
+from .lifecycle import incremental_update
+
+CORPUS_SCHEMA = StructType([
+    StructField("repo", StringType()),
+    StructField("path", StringType()),
+    StructField("commit", StringType()),
+    StructField("lang", StringType()),
+    StructField("content", StringType()),
+])
+
+
+def stream_index(spark: SparkSession, cat: ManifestParquetCatalog,
+                 drop_dir: str, checkpoint_dir: str,
+                 cfg: BuildConfig | None = None,
+                 available_now: bool = True):
+    """Start (and with ``available_now`` run-to-drain) a streaming
+    incremental-index job over corpus snapshot files landing in
+    ``drop_dir``.  Returns the StreamingQuery."""
+    stream = (spark.readStream.schema(CORPUS_SCHEMA)
+              .option("maxFilesPerTrigger", 8)
+              .parquet(drop_dir))
+
+    def on_batch(batch_df, epoch_id: int):
+        if batch_df.isEmpty():
+            return
+        incremental_update(spark, cat, batch_df, cfg)
+
+    writer = (stream.writeStream
+              .foreachBatch(on_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
