@@ -208,10 +208,11 @@ class IndexBuilder:
 
         Returns (hot_term → n_salt_classes, salt_width).  Salt classes are
         contiguous docID ranges (``doc_id // salt_width``) so each hot
-        sub-list owns a disjoint, ordered docID range (R6: concat-mergeable)."""
+        sub-list owns a disjoint, ordered docID range (R6: concat-mergeable).
+        Reads the already-committed term_stats table (tiny) — the tfs table
+        is never re-scanned for planning."""
         cfg = self.cfg
-        tf = self.cat.read(spark, "tfs")
-        stats = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        stats = self.cat.read(spark, "term_stats").select("term", "df")
         # adaptive probe: the df quantile tells us where "hot" starts for
         # this corpus; the absolute threshold caps per-task posting state
         qs = stats.approxQuantile("df", [cfg.hot_quantile], 0.01)
@@ -362,13 +363,15 @@ class IndexBuilder:
         else:
             self._stage_docs_tfs(spark, corpus, build_id, fp, result)
 
-        n_docs = self.cat.read(spark, "docs").count()
-        self._stage_postings(spark, build_id, fp, n_docs, result, completed)
-
+        # stats BEFORE postings: the salt plan (I11) reads the small
+        # term_stats table instead of re-scanning tfs
         if 0 in completed.get("stats", set()):
             result.resumed_stages.append(("stats", 0))
             row = self.cat.read(spark, "index_stats").collect()[0]
             result.n_docs, result.avgdl = row["n_docs"], row["avgdl"]
         else:
             self._stage_stats(spark, build_id, fp, result)
+
+        self._stage_postings(spark, build_id, fp, result.n_docs, result,
+                             completed)
         return result

@@ -394,9 +394,16 @@ class Searcher:
         # index_stats.n_docs is refreshed to the live count by every
         # lifecycle op (_refresh_stats), so it already excludes tombstones
         self.n_docs = self.n_docs_total
+        # shard width: ~2 shards/core for parallelism, but floor at 64k docs
+        # so tiny shards never pay more in task overhead than kernel work,
+        # and cap at 8M docs so per-task decoded-posting state stays bounded
+        # (hot term ⇒ ≤8M postings ≈ 128 MB numpy per task)
         par = spark.sparkContext.defaultParallelism
-        self.shard_width = shard_width or max(
-            1024, -(-self.n_docs_total // max(1, par * 2)))
+        natural = -(-self.n_docs_total // max(1, par * 2))
+        self.shard_width = shard_width or min(max(65_536, natural), 8_000_000)
+        self._df_cache: dict[str, int] = {}
+        self._postings = cat.read(spark, "postings")
+        self._term_stats = cat.read(spark, "term_stats")
 
     @staticmethod
     def _filters_as_field_terms(filters: list[tuple]):
@@ -426,18 +433,22 @@ class Searcher:
     # -- driver-side stats lookups -----------------------------------------
     def _idf_map(self, terms: list[str]) -> dict[str, float]:
         """term → idf for every query term.  Tiny driver-side lookup against
-        term_stats with bucket partition pruning (Q3)."""
-        if not terms:
-            return {}
-        buckets = sorted({term_bucket(t, self.n_buckets) for t in terms})
-        rows = (
-            self.cat.read(self.spark, "term_stats")
-            .filter(F.col("bucket").isin(buckets) & F.col("term").isin(terms))
-            .select("term", "df")
-            .collect()
-        )
-        dfs = {r["term"]: r["df"] for r in rows}
-        return {t: idf(self.n_docs_total, dfs.get(t, 0)) for t in terms}
+        term_stats with bucket partition pruning (Q3); memoized per searcher
+        (term stats are immutable for a pinned snapshot)."""
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            buckets = sorted({term_bucket(t, self.n_buckets) for t in missing})
+            rows = (
+                self._term_stats
+                .filter(F.col("bucket").isin(buckets)
+                        & F.col("term").isin(missing))
+                .select("term", "df")
+                .collect()
+            )
+            found = {r["term"]: r["df"] for r in rows}
+            for t in missing:
+                self._df_cache[t] = found.get(t, 0)
+        return {t: idf(self.n_docs_total, self._df_cache[t]) for t in terms}
 
     def _neg_terms(self, node, acc: set, under_not=False):
         if isinstance(node, Term):
@@ -517,7 +528,7 @@ class Searcher:
         W = self.shard_width
         buckets = sorted({term_bucket(t, self.n_buckets) for t in all_terms})
         postings = (
-            self.cat.read(self.spark, "postings")
+            self._postings
             .filter(F.col("bucket").isin(buckets)
                     & F.col("term").isin(all_terms))
             .withColumn("shard", F.explode(F.expr(
