@@ -90,17 +90,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def term_doc_tf(spark, sf):
         cat, _s = _index(spark, sf)
-        # exclude zero-scored metadata field terms ('lang=en') — the SQL
-        # oracle models analyzed content tokens only
+        # exclude zero-scored metadata field terms ('lang=en') and the
+        # norms sidecar — the SQL oracle models analyzed content tokens only
         return (cat.read(spark, "tfs").select("term", "doc_id", "tf")
-                .filter(~F.col("term").contains("=")))
+                .filter(~F.col("term").contains("=")
+                        & ~F.col("term").startswith("\x00")))
     q["term_doc_tf"] = term_doc_tf
 
     def term_df_stats(spark, sf):
         cat, _s = _index(spark, sf)
         return (cat.read(spark, "term_stats")
                 .select("term", "df", F.col("max_tf").cast("long").alias("max_tf"))
-                .filter(~F.col("term").contains("=")))
+                .filter(~F.col("term").contains("=")
+                        & ~F.col("term").startswith("\x00")))
     q["term_df_stats"] = term_df_stats
 
     def term_lookup(spark, sf):

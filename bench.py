@@ -48,13 +48,19 @@ def main():
     root = tempfile.mkdtemp(prefix="zsolr-bench-")
     queries: dict[str, float] = {}
     try:
-        corpus = synth_corpus(spark, sf_dir, replicate=replicate)
-        n_files = corpus.count()  # materialized pre-timer: scan is warm
+        # stage the synthesized corpus as a real parquet table first (the
+        # mandated input is a stored Iceberg/parquet table of files, not a
+        # generator lineage) — staging is outside the build timer
+        corpus_path = os.path.join(root, "corpus_input")
+        synth_corpus(spark, sf_dir, replicate=replicate).write.mode(
+            "overwrite").parquet(corpus_path)
+        corpus = spark.read.parquet(corpus_path)
+        n_files = corpus.count()
 
         t0 = time.time()
         cat = ManifestParquetCatalog(root)
         res = IndexBuilder(cat, BuildConfig(n_buckets=max(32, cpus))).build(
-            spark, f"{sf_dir}/corpus-x{replicate}", corpus_df=corpus)
+            spark, corpus_path, corpus_df=corpus)
         build_s = time.time() - t0
         queries["build"] = round(build_s, 3)
 

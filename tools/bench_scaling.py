@@ -33,8 +33,8 @@ def run_bench(cpus: int, sf_dir: str, replicate: int, reps: int) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--replicate", type=int, default=40)
-    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--replicate", type=int, default=800)
+    ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH", "BASELINE.md"))
     args = ap.parse_args()
 

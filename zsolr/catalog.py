@@ -122,6 +122,44 @@ class ManifestParquetCatalog:
             out = out.unionByName(d, allowMissingColumns=False)
         return out
 
+    def write_small(self, columns: dict, table: str, mode: str = "overwrite",
+                    meta: dict | None = None) -> str:
+        """Driver-side write for tiny tables (manifest rows, index_stats):
+        one pyarrow file + snapshot commit, no Spark job.  ``columns`` maps
+        name → list of values (pyarrow infers types; pass pa arrays for
+        explicit types)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        data_dir = os.path.join(self._tdir(table), "data", uuid.uuid4().hex[:12])
+        os.makedirs(data_dir, exist_ok=True)
+        pq.write_table(pa.table(columns),
+                       os.path.join(data_dir, "part-0.parquet"))
+        cur = self.current_snapshot(table)
+        if mode == "append" and cur is not None:
+            dirs = cur["data_dirs"] + [data_dir]
+            parent = cur["snapshot_id"]
+        else:
+            dirs = [data_dir]
+            parent = cur["snapshot_id"] if cur else None
+        return self._commit(table, dirs, parent, meta)
+
+    def row_count(self, table: str, last_dir_only: bool = False) -> int:
+        """Row count from parquet footers — no Spark job."""
+        import pyarrow.parquet as pq
+
+        snap = self.current_snapshot(table)
+        if snap is None:
+            return 0
+        dirs = snap["data_dirs"][-1:] if last_dir_only else snap["data_dirs"]
+        total = 0
+        for d in dirs:
+            for root, _dd, files in os.walk(d):
+                for f in files:
+                    if f.endswith(".parquet"):
+                        total += pq.read_metadata(os.path.join(root, f)).num_rows
+        return total
+
     def exists(self, table: str) -> bool:
         return os.path.exists(self._pointer(table))
 

@@ -24,12 +24,13 @@ CODEC_BITPACK = 0x02
 
 # ---------------------------------------------------------------- varint ---
 
-def _varint_encode(vals: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, vectorized (no Python loop over values)."""
+def _varint_encode_sized(vals: np.ndarray):
+    """LEB128-encode a uint64 array, vectorized.  Returns (bytes, per-value
+    byte counts) so callers can split the stream at value boundaries."""
     vals = np.ascontiguousarray(vals, dtype=np.uint64)
     n = len(vals)
     if n == 0:
-        return b""
+        return b"", np.empty(0, dtype=np.int64)
     # bytes needed per value: ceil(bitlen/7), bitlen(0) treated as 1.
     # Exact bit length via 6 whole-array shift passes (float log2 is
     # unsafe near 2^53).
@@ -50,7 +51,11 @@ def _varint_encode(vals: np.ndarray) -> bytes:
     used = byte_idx < nbytes[:, None]
     cont = byte_idx < (nbytes[:, None] - 1)
     groups[cont] |= 0x80
-    return groups[used].tobytes()
+    return groups[used].tobytes(), nbytes
+
+
+def _varint_encode(vals: np.ndarray) -> bytes:
+    return _varint_encode_sized(vals)[0]
 
 
 def _varint_decode(buf: bytes) -> np.ndarray:
@@ -122,6 +127,30 @@ def decode_u64(buf: bytes) -> np.ndarray:
     raise ValueError(f"unknown codec byte {codec}")
 
 
+def encode_u64_blocked(vals: np.ndarray, starts: np.ndarray,
+                       codec: int = CODEC_VARINT) -> list[bytes]:
+    """Encode ``vals`` split at ``starts`` (block start offsets) → one blob
+    per block.  Varint path is a SINGLE vectorized pass over the whole
+    array, then a byte-offset split — per-block numpy-call overhead (which
+    dominates at 128-value blocks) is gone."""
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    if codec == CODEC_VARINT:
+        stream, sizes = _varint_encode_sized(vals)
+        byte_starts = np.zeros(len(starts), dtype=np.int64)
+        csum = np.cumsum(sizes)
+        byte_starts[1:] = csum[starts[1:] - 1]
+        ends = np.empty(len(starts), dtype=np.int64)
+        ends[:-1] = byte_starts[1:]
+        ends[-1] = len(stream)
+        prefix = bytes([CODEC_VARINT])
+        return [prefix + stream[byte_starts[i]:ends[i]]
+                for i in range(len(starts))]
+    # bitpack width is per-block → per-block encode (non-default path)
+    bounds = list(starts) + [len(vals)]
+    return [encode_u64(vals[bounds[i]:bounds[i + 1]], codec)
+            for i in range(len(starts))]
+
+
 def encode_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
@@ -135,25 +164,29 @@ def encode_blocks(
     ``first_doc + cumsum(gaps)``.  Blocks are self-contained (absolute
     first_doc per block) so salted sub-lists with disjoint docID ranges
     concatenate without re-encoding (SURVEY.md I11/R6).
+
+    Fully vectorized across blocks: one gap pass, one varint pass, one
+    reduceat for block-max — no per-block loops in the hot path.
     """
     doc_ids = np.ascontiguousarray(doc_ids, dtype=np.int64)
     tfs = np.ascontiguousarray(tfs, dtype=np.int64)
     n = len(doc_ids)
-    firsts, lasts, lens, gaps_blobs, tf_blobs, maxtfs = [], [], [], [], [], []
-    for s in range(0, n, block_size):
-        e = min(s + block_size, n)
-        d = doc_ids[s:e]
-        t = tfs[s:e]
-        gaps = np.empty(e - s, dtype=np.uint64)
-        gaps[0] = 0
-        np.subtract(d[1:], d[:-1], out=gaps[1:], casting="unsafe")
-        firsts.append(int(d[0]))
-        lasts.append(int(d[-1]))
-        lens.append(e - s)
-        gaps_blobs.append(encode_u64(gaps, codec))
-        tf_blobs.append(encode_u64(t.astype(np.uint64), codec))
-        maxtfs.append(int(t.max()))
-    return firsts, lasts, lens, gaps_blobs, tf_blobs, maxtfs
+    if n == 0:
+        return [], [], [], [], [], []
+    starts = np.arange(0, n, block_size, dtype=np.int64)
+    ends = np.minimum(starts + block_size, n)
+    gaps = np.empty(n, dtype=np.uint64)
+    gaps[0] = 0
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:], casting="unsafe")
+    gaps[starts] = 0  # each block is self-based at its first_doc
+    gaps_blobs = encode_u64_blocked(gaps, starts, codec)
+    tf_blobs = encode_u64_blocked(tfs.astype(np.uint64), starts, codec)
+    maxtfs = np.maximum.reduceat(tfs, starts)
+    firsts = doc_ids[starts]
+    lasts = doc_ids[ends - 1]
+    lens = (ends - starts).astype(np.int64)
+    return (firsts.tolist(), lasts.tolist(), lens.tolist(),
+            gaps_blobs, tf_blobs, maxtfs.tolist())
 
 
 def decode_block(first_doc: int, gaps_blob: bytes, tfs_blob: bytes):

@@ -66,6 +66,11 @@ def synth_corpus(spark: SparkSession, sf_dir: str,
             "source", F.concat(F.col("source"), F.lit("_r"),
                                F.col("rep").cast("string"))
         ).drop("rep")
+        # the fixture is one small parquet file → without this the whole
+        # replicated corpus funnels through 1-2 upstream tasks; a real
+        # 10^12-file table arrives already split across many files
+        docs = docs.repartition(
+            spark.sparkContext.defaultParallelism * 2)
     ext = F.element_at(
         F.create_map(*[F.lit(x) for kv in LANG_EXT.items() for x in kv]),
         F.col("lang"),

@@ -77,11 +77,15 @@ def _refresh_stats(spark: SparkSession, cat: ManifestParquetCatalog):
     docs = _live(spark, cat, "docs")
     agg = docs.agg(F.count(F.lit(1)).alias("n"),
                    F.avg("doc_len").alias("avgdl")).collect()[0]
-    stats = spark.createDataFrame(
-        [(int(agg["n"]), float(agg["avgdl"] or 0.0), n_buckets,
-          int(cfg_row["block_size"]), int(cfg_row["codec"]))],
-        "n_docs long, avgdl double, n_buckets int, block_size int, codec int")
-    cat.write(stats, "index_stats", mode="overwrite")
+    import pyarrow as pa
+
+    cat.write_small({
+        "n_docs": pa.array([int(agg["n"])], pa.int64()),
+        "avgdl": pa.array([float(agg["avgdl"] or 0.0)], pa.float64()),
+        "n_buckets": pa.array([n_buckets], pa.int32()),
+        "block_size": pa.array([int(cfg_row["block_size"])], pa.int32()),
+        "codec": pa.array([int(cfg_row["codec"])], pa.int32()),
+    }, "index_stats", mode="overwrite")
 
 
 def incremental_update(spark: SparkSession, cat: ManifestParquetCatalog,
@@ -143,13 +147,12 @@ def _append_partial_index(spark: SparkSession, cat: ManifestParquetCatalog,
     # recomputing the docid lineage (its cache is cleared below)
     delta_tf = spark.read.parquet(
         cat.current_snapshot("tfs")["data_dirs"][-1])
-    n_added = spark.read.parquet(
-        cat.current_snapshot("docs")["data_dirs"][-1]).count()
+    n_added = cat.row_count("docs", last_dir_only=True)
     spark.catalog.clearCache()
-    encode = builder._encode_kernel()
-    from .build import POSTINGS_SCHEMA
-    blocks = (delta_tf.withColumn("salt", F.lit(0))
-              .groupBy("term", "salt").applyInPandas(encode, POSTINGS_SCHEMA)
+    encode = builder._encode_mapper()
+    from .build import POSTINGS_SCHEMA, grouped_postings
+    blocks = (grouped_postings(delta_tf.withColumn("salt", F.lit(0)))
+              .mapInArrow(encode, POSTINGS_SCHEMA)
               .repartition(cfg.n_buckets, "bucket")
               .sortWithinPartitions("term", "first_doc"))
     cat.write(blocks, "postings", mode="append", partition_by=["bucket"])
@@ -170,11 +173,11 @@ def compact(spark: SparkSession, cat: ManifestParquetCatalog):
     cat.write(live_tfs, "tfs", mode="overwrite")
     live_docs = _live(spark, cat, "docs")
     cat.write(live_docs, "docs", mode="overwrite")
-    encode = builder._encode_kernel()
-    from .build import POSTINGS_SCHEMA
+    encode = builder._encode_mapper()
+    from .build import POSTINGS_SCHEMA, grouped_postings
     tfs = cat.read(spark, "tfs")
-    blocks = (tfs.withColumn("salt", F.lit(0))
-              .groupBy("term", "salt").applyInPandas(encode, POSTINGS_SCHEMA)
+    blocks = (grouped_postings(tfs.withColumn("salt", F.lit(0)))
+              .mapInArrow(encode, POSTINGS_SCHEMA)
               .repartition(cfg.n_buckets, "bucket")
               .sortWithinPartitions("term", "first_doc"))
     cat.write(blocks, "postings", mode="overwrite", partition_by=["bucket"])

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import BM25_B, BM25_K1, codec
-from .build import term_bucket
+from .build import NORMS_TERM, term_bucket
 from .catalog import ManifestParquetCatalog
 from .parse import And, Not, Or, Range, Term, parse
 
@@ -220,63 +220,71 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
         shard = int(key[0])
         base = shard * shard_width
         if docs is not None:
-            dl_arr = np.zeros(shard_width, dtype=np.float64)
             allowed = np.zeros(shard_width, dtype=bool)
             d_ids = docs["doc_id"].to_numpy()
-            off = d_ids - base
-            dl_arr[off] = docs["doc_len"].to_numpy()
-            allowed[off] = True
+            allowed[d_ids - base] = True
             allowed_ids = np.sort(d_ids)
         else:
             allowed = None
             allowed_ids = np.empty(0, dtype=np.int64)  # no Range in fast AST
 
-        def decode_term(t: str, rows: pd.DataFrame, keep: np.ndarray):
-            """Decode kept blocks of one term → (sorted ids, scores)."""
-            ids_l, tfs_l, dls_l = [], [], []
+        def decode_raw(rows: pd.DataFrame, keep: np.ndarray, mask: bool):
+            """Decode kept blocks → (sorted ids, tf values) within shard."""
+            ids_l, tfs_l = [], []
             gb = rows["doc_gaps"].to_numpy()
             tb = rows["tfs"].to_numpy()
-            db = rows["doc_lens"].to_numpy()
             fd = rows["first_doc"].to_numpy()
             for i in np.nonzero(keep)[0]:
                 bids, btfs = codec.decode_block(int(fd[i]), gb[i], tb[i])
-                bdls = codec.decode_u64(db[i]).astype(np.float64)
                 m = (bids >= base) & (bids < base + shard_width)
                 if m.any():
-                    bids, btfs, bdls = bids[m], btfs[m], bdls[m]
-                    if allowed is not None:
-                        am = allowed[bids - base]
-                    elif deleted_sorted is not None:
-                        am = ~np.isin(bids, deleted_sorted)
-                    else:
-                        am = None
-                    if am is not None:
-                        bids, btfs, bdls = bids[am], btfs[am], bdls[am]
+                    bids, btfs = bids[m], btfs[m]
+                    if mask:
+                        if allowed is not None:
+                            am = allowed[bids - base]
+                        elif deleted_sorted is not None:
+                            am = ~np.isin(bids, deleted_sorted)
+                        else:
+                            am = None
+                        if am is not None:
+                            bids, btfs = bids[am], btfs[am]
                     if len(bids):
                         ids_l.append(bids)
                         tfs_l.append(btfs)
-                        dls_l.append(bdls)
             if not ids_l:
                 return (np.empty(0, dtype=np.int64), np.empty(0))
             ids = np.concatenate(ids_l)
             tfs = np.concatenate(tfs_l).astype(np.float64)
-            dls = np.concatenate(dls_l)
             # blocks are sorted by first_doc with disjoint ranges → already
             # globally sorted; cheap guard for salted sub-lists
             if len(ids_l) > 1 and not (ids[:-1] < ids[1:]).all():
                 order = np.argsort(ids, kind="stable")
-                ids, tfs, dls = ids[order], tfs[order], dls[order]
-            if t in zero_terms:
+                ids, tfs = ids[order], tfs[order]
+            return ids, tfs
+
+        by_term_all = {t: g.sort_values("first_doc")
+                       for t, g in blocks.groupby("term")} if len(blocks) else {}
+        by_term = {t: g for t, g in by_term_all.items() if t != NORMS_TERM}
+        per_term: dict[str, tuple] = {}
+
+        # norms sidecar: per-doc lengths for this shard (Lucene norms)
+        nrows = by_term_all.get(NORMS_TERM)
+        if nrows is not None:
+            norm_ids, norm_vals = decode_raw(
+                nrows, np.ones(len(nrows), bool), mask=False)
+        else:
+            norm_ids = np.empty(0, dtype=np.int64)
+            norm_vals = np.empty(0)
+
+        def decode_term(t: str, rows: pd.DataFrame, keep: np.ndarray):
+            """Decode kept blocks of one term → (sorted ids, scores)."""
+            ids, tfs = decode_raw(rows, keep, mask=True)
+            if t in zero_terms or not len(ids):
                 return ids, np.zeros(len(ids))
+            dls = norm_vals[np.searchsorted(norm_ids, ids)]
             idf_t = idf_map[t]
             sc = idf_t * tfs * (k1 + 1.0) / (tfs + k1 * (1 - b + b * dls / avgdl))
             return ids, sc
-
-        by_term = {t: g.sort_values("first_doc")
-                   for t, g in blocks.groupby("term")} if len(blocks) else {}
-        per_term: dict[str, tuple] = {}
-        dl_min = max(1.0, float(dl_arr[allowed].min())) \
-            if allowed is not None and allowed.any() else 1.0
 
         empty = (np.empty(0, dtype=np.int64), np.empty(0))
         if not wand or k is None or scored_ast is None or not prunable:
@@ -297,6 +305,8 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                 rows = by_term.get(t)
                 if rows is None:
                     continue
+                dl_min = max(1.0, float(norm_vals.min())) \
+                    if len(norm_vals) else 1.0
                 ub = _term_ub(idf_map[t],
                               rows["block_max_tf"].to_numpy(np.float64),
                               k1, b, avgdl, dl_min)
@@ -526,11 +536,12 @@ class Searcher:
         idf_map = self._idf_map([t for t in all_terms if t not in zero_terms])
 
         W = self.shard_width
-        buckets = sorted({term_bucket(t, self.n_buckets) for t in all_terms})
+        fetch_terms = all_terms + [NORMS_TERM]
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in fetch_terms})
         postings = (
             self._postings
             .filter(F.col("bucket").isin(buckets)
-                    & F.col("term").isin(all_terms))
+                    & F.col("term").isin(fetch_terms))
             .withColumn("shard", F.explode(F.expr(
                 f"sequence(first_doc DIV {W}, last_doc DIV {W})")))
         )
@@ -547,7 +558,7 @@ class Searcher:
             cand = (postings.groupBy("shard")
                     .applyInPandas(kernel, "doc_id long, score double"))
         else:
-            doc_cols = ["doc_id", "doc_len"]
+            doc_cols = ["doc_id"]
             if eff_sort and eff_sort not in doc_cols:
                 doc_cols.append(eff_sort)
             docs_side = (docs_f.select(*doc_cols)
