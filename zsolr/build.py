@@ -231,15 +231,12 @@ class IndexBuilder:
         is never re-scanned for planning."""
         cfg = self.cfg
         stats = self.cat.read(spark, "term_stats").select("term", "df")
-        # adaptive probe: the df quantile tells us where "hot" starts for
-        # this corpus; the parallelism term keeps every (term, salt) group
-        # small enough that no single encode task serializes a wave; the
-        # absolute threshold caps per-task posting state at any scale
+        # the parallelism term keeps every (term, salt) group small enough
+        # that no single encode task serializes a wave; the absolute
+        # threshold caps per-task posting state at any scale
         par = spark.sparkContext.defaultParallelism
         adaptive = max(4 * cfg.block_size, n_docs // max(1, par * 8))
-        qs = stats.approxQuantile("df", [cfg.hot_quantile], 0.01)
-        q_thr = int(qs[0]) if qs else cfg.hot_df_threshold
-        threshold = max(1, min(cfg.hot_df_threshold, q_thr, adaptive))
+        threshold = max(1, min(cfg.hot_df_threshold, adaptive))
         hot = {r["term"]: r["df"] for r in
                stats.filter(F.col("df") > threshold).collect()}
         if not hot:
