@@ -110,6 +110,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.term_postings("spark")
     q["term_lookup"] = term_lookup
 
+    def postings_roundtrip(spark, sf):
+        # encoded-postings integrity: per content term, the sum of block
+        # n_docs must equal the term's df (I6 roundtrip, SQL-verified)
+        cat, _s = _index(spark, sf)
+        return (cat.read(spark, "postings")
+                .filter(~F.col("term").contains("=")
+                        & ~F.col("term").startswith("\x00"))
+                .groupBy("term")
+                .agg(F.sum("n_docs").alias("df")))
+    q["postings_roundtrip"] = postings_roundtrip
+
+    def term_df_quantiles(spark, sf):
+        # I11's planning statistic: exact df quantiles over content terms
+        cat, _s = _index(spark, sf)
+        stats = (cat.read(spark, "term_stats")
+                 .filter(~F.col("term").contains("=")
+                         & ~F.col("term").startswith("\x00")))
+        return stats.agg(
+            F.expr("percentile(df, 0.5)").alias("df_p50"),
+            F.expr("percentile(df, 0.9)").alias("df_p90"),
+            F.max("df").cast("double").alias("df_max"))
+    q["term_df_quantiles"] = term_df_quantiles
+
     # ---- query plane (Q2-Q11) ----
     def filter_lang(spark, sf):
         _cat, s = _index(spark, sf)
@@ -330,6 +353,14 @@ SELECT term, df, max_tf FROM tdf"""
 
     o["term_lookup"] = f"""{_BASE}
 SELECT doc_id, tf FROM tf WHERE term = 'spark'"""
+
+    o["postings_roundtrip"] = f"""{_BASE}
+SELECT term, df FROM tdf"""
+
+    o["term_df_quantiles"] = f"""{_BASE}
+SELECT quantile_cont(df, 0.5) AS df_p50, quantile_cont(df, 0.9) AS df_p90,
+       max(df)::DOUBLE AS df_max
+FROM tdf"""
 
     o["filter_lang"] = f"""{_BASE}
 SELECT doc_id, repo, path FROM ids WHERE lang = 'en'"""

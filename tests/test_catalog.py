@@ -1,0 +1,67 @@
+"""Catalog semantics: atomic commit, snapshot isolation, append, time
+travel (SURVEY.md §1.2 — the Iceberg behaviors the engine relies on)."""
+
+from zsolr.catalog import ManifestParquetCatalog
+
+
+def test_overwrite_append_and_time_travel(tmp_path, spark):
+    cat = ManifestParquetCatalog(str(tmp_path))
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    s1 = cat.write(df1, "t", mode="overwrite")
+    assert cat.read(spark, "t").count() == 2
+
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    s2 = cat.write(df2, "t", mode="append")
+    assert cat.read(spark, "t").count() == 3
+
+    # time travel: the first snapshot still reads the old state
+    assert cat.read(spark, "t", snapshot_id=s1).count() == 2
+    assert cat.read(spark, "t", snapshot_id=s2).count() == 3
+
+    # overwrite replaces; prior snapshots remain readable
+    df3 = spark.createDataFrame([(9, "z")], "id long, v string")
+    cat.write(df3, "t", mode="overwrite")
+    assert cat.read(spark, "t").count() == 1
+    assert cat.read(spark, "t", snapshot_id=s2).count() == 3
+
+
+def test_snapshot_isolation_reader_pins_state(tmp_path, spark):
+    cat = ManifestParquetCatalog(str(tmp_path))
+    cat.write(spark.createDataFrame([(1,)], "id long"), "t")
+    pinned = cat.read(spark, "t")  # resolves current snapshot's file list
+    cat.write(spark.createDataFrame([(1,), (2,), (3,)], "id long"), "t",
+              mode="overwrite")
+    # the pinned reader still sees the old snapshot's single row
+    assert pinned.count() == 1
+    assert cat.read(spark, "t").count() == 3
+
+
+def test_partitioned_write_prunes(tmp_path, spark):
+    import io
+    from contextlib import redirect_stdout
+
+    cat = ManifestParquetCatalog(str(tmp_path))
+    df = spark.createDataFrame([(i, i % 4) for i in range(100)],
+                               "id long, bucket int")
+    cat.write(df, "t", partition_by=["bucket"])
+    out = cat.read(spark, "t").filter("bucket = 2")
+    assert out.count() == 25
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert "PartitionFilters: [isnotnull(bucket" in buf.getvalue()
+
+
+def test_write_small_roundtrip(tmp_path, spark):
+    import pyarrow as pa
+
+    cat = ManifestParquetCatalog(str(tmp_path))
+    cat.write_small({"a": pa.array([1, 2], pa.int64()),
+                     "b": pa.array(["x", "y"], pa.string())}, "tiny")
+    rows = {tuple(r) for r in cat.read(spark, "tiny").collect()}
+    assert rows == {(1, "x"), (2, "y")}
+    assert cat.row_count("tiny") == 2
+    cat.write_small({"a": pa.array([3], pa.int64()),
+                     "b": pa.array(["z"], pa.string())}, "tiny", mode="append")
+    assert cat.row_count("tiny") == 3
+    assert cat.row_count("tiny", last_dir_only=True) == 1

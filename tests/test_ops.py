@@ -1,0 +1,146 @@
+"""Training-data ops vs plain-Python references (zsolr.ops; these are also
+DuckDB-oracle-checked by the driver — here we verify semantics locally)."""
+
+import hashlib
+import math
+import re
+
+import numpy as np
+import pytest
+
+from zsolr import ops
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def docs_py(docs_df):
+    return [r.asDict() for r in docs_df.collect()]
+
+
+def _tokens(text):
+    return re.findall(r"[a-z0-9]+", text.lower())
+
+
+def test_dedup_exact(spark, docs_df, docs_py):
+    got = {r["text_sha"]: (r["keeper"], r["n_copies"])
+           for r in ops.dedup_exact(docs_df).collect()}
+    exp = {}
+    for d in docs_py:
+        h = hashlib.sha256(d["text"].encode()).hexdigest()
+        k, n = exp.get(h, (d["doc_id"], 0))
+        exp[h] = (min(k, d["doc_id"]), n + 1)
+    assert got == exp
+
+
+def test_minhash_lsh_pairs_symmetric_and_plausible(spark, docs_df):
+    sub = docs_df.filter("doc_id % 10 = 0")
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in ops.minhash_lsh_pairs(sub).collect()}
+    assert all(a < b for a, b in pairs)
+    docs = {d["doc_id"]: set(_tokens(d["text"]))
+            for d in [r.asDict() for r in sub.collect()]}
+    # precision side (loose — LSH admits false positives by design):
+    # candidates still need real overlap
+    for a, b in list(pairs)[:100]:
+        inter = docs[a] & docs[b]
+        union = docs[a] | docs[b]
+        assert len(inter) / len(union) > 0.05, (a, b)
+    # recall side: near-identical token sets MUST be candidates
+    ids = sorted(docs)
+    hits = misses = 0
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            j = len(docs[a] & docs[b]) / len(docs[a] | docs[b])
+            if j >= 0.95:
+                if (a, b) in pairs:
+                    hits += 1
+                else:
+                    misses += 1
+    assert misses == 0 or hits / (hits + misses) > 0.9
+
+
+def test_ngram_jaccard_matches_python(spark, docs_df, docs_py):
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+           for r in ops.ngram_jaccard_adjacent(docs_df).collect()}
+    by_id = {d["doc_id"]: set(_tokens(d["text"])) for d in docs_py}
+    for (a, b), j in list(got.items())[:100]:
+        exp = len(by_id[a] & by_id[b]) / len(by_id[a] | by_id[b])
+        assert abs(j - round(exp, 6)) < 1e-9
+
+
+def test_simhash_matches_python(spark, docs_df, docs_py):
+    sub = docs_df.filter("doc_id % 20 = 0")
+    got = {r["doc_id"]: r["simhash"] for r in ops.simhash32(sub).collect()}
+    for d in docs_py:
+        if d["doc_id"] % 20:
+            continue
+        terms = set(_tokens(d["text"]))
+        sums = [0] * 32
+        for t in terms:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for j in range(32):
+                sums[j] += ((h >> j) & 1) * 2 - 1
+        exp = sum(1 << j for j in range(32) if sums[j] > 0)
+        assert got[d["doc_id"]] == exp
+
+
+def test_cosine_topk_matches_numpy(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = mat[ids.tolist().index(0)]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((ids, -cos))[:10]
+    exp = ids[order].tolist()
+    got = [r["vec_id"] for r in ops.cosine_topk(emb, q.tolist(), 10)
+           .orderBy("rank").collect()]
+    assert got == exp
+
+
+def test_lsh_bucket_topk_subset_of_bruteforce_bucket(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in
+         emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    out = ops.lsh_bucket_topk(emb, q, k=5).collect()
+    assert out, "query's own bucket can never be empty"
+    assert out[0]["vec_id"] == 0  # self-similarity = 1.0 ranks first
+    assert 0 < out[0]["bucket_size"] <= emb.count()
+
+
+def test_quality_and_langid(spark, docs_df, docs_py):
+    q = {r["doc_id"]: r for r in ops.quality_score(docs_df).collect()}
+    lid = {r["doc_id"]: r["en_ratio"]
+           for r in ops.lang_id_heuristic(docs_df).collect()}
+    for d in docs_py[:100]:
+        toks = _tokens(d["text"])
+        row = q[d["doc_id"]]
+        assert row["n_chars"] == len(d["text"])
+        assert row["n_tokens"] == len(toks)
+        stops = sum(1 for t in toks if t in ("the", "a"))
+        assert abs(row["stop_ratio"] - round(stops / max(1, len(toks)), 6)) < 1e-9
+        assert abs(lid[d["doc_id"]] - round(stops / max(1, len(toks)), 6)) < 1e-9
+
+
+def test_doc_fingerprint_deterministic_and_order_sensitive(spark, docs_df):
+    sub = docs_df.filter("doc_id % 20 = 0")
+    a = {r["doc_id"]: r["fingerprint"]
+         for r in ops.doc_fingerprint(sub).collect()}
+    b = {r["doc_id"]: r["fingerprint"]
+         for r in ops.doc_fingerprint(sub).collect()}
+    assert a == b and len(set(a.values())) > 1
+
+
+def test_media_features_stub(spark, docs_df):
+    out = {r["doc_id"]: r for r in ops.media_features(docs_df).collect()}
+    for d in [r.asDict() for r in docs_df.limit(20).collect()]:
+        row = out[d["doc_id"]]
+        n = len(d["text"].encode())
+        assert (row["n_bytes"], row["width"], row["height"]) == \
+            (n, n % 512, (n // 7) % 512)
+    with pytest.raises(NotImplementedError):
+        ops.media_decode_stub(b"\x89PNG")
