@@ -108,10 +108,12 @@ past ~8-16 cores.
         lines.append(f"| local[{cpus}] | {r['p50_query_ms']:.0f} "
                      f"| {r['p95_query_ms']:.0f} |")
     lines.append("""
-Query latency here is fixed Spark job-scheduling overhead (~2 jobs/query),
-not data volume: the fast path reads only the query terms' posting buckets
-(directory pruning + parquet term predicates), so p95 stays flat as the
-corpus grows.
+Query cost = fixed Spark job overhead (~2 jobs/query) + the query terms'
+posting volume only (bucket directory pruning + parquet term predicates —
+never the corpus size).  Note the synthetic 31-word vocabulary makes every
+term's tf distribution near-uniform, which defeats block-max pruning
+(every block's upper bound ties), so latency here tracks posting-list
+length; real source-code corpora have the tf/df skew WAND exploits.
 
 ## Rank identity & invariants (gates, enforced in pytest)
 
