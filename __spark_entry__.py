@@ -269,11 +269,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def events_windowed(spark, sf):
         e = spark.read.parquet(f"{sf}/events.parquet")
-        return (e.groupBy(
-            F.unix_timestamp(F.date_trunc("hour", F.col("ts")))
-            .alias("hour_s"), "event_type")
-            .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(F.floor(F.col("value") * 1000)).alias("sum_value_milli")))
+        # hour bucketing via pure epoch arithmetic — independent of the
+        # session time zone (the driver's session TZ is not ours to set)
+        hour = (F.floor(F.unix_timestamp(F.col("ts")) / 3600) * 3600)
+        return (e.groupBy(hour.cast("long").alias("hour_s"), "event_type")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.floor(F.col("value") * 1000)).alias("sum_value_milli")))
     q["events_windowed"] = events_windowed
 
     return q
@@ -539,7 +540,7 @@ SELECT lang, source, count(*)::BIGINT AS cnt
 FROM documents GROUP BY CUBE (lang, source)"""
 
     o["events_windowed"] = """
-SELECT epoch(date_trunc('hour', ts))::BIGINT AS hour_s, event_type,
+SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS hour_s, event_type,
        count(*)::BIGINT AS n,
        sum(floor(value * 1000))::BIGINT AS sum_value_milli
 FROM events GROUP BY 1, 2"""

@@ -117,3 +117,22 @@ def test_missing_term_matches_nothing(searcher):
     assert n == 0 and df.count() == 0
     df2 = searcher.search("spark AND zzzznotaterm", k=10)
     assert df2.count() == 0
+
+
+def test_match_all_minus_exclusion(searcher, oracle):
+    """Solr `*:* AND NOT x` semantics (match-all minus the match set)."""
+    got, n = searcher.search("[* TO *] AND NOT spark", k=15, with_count=True)
+    excluded = {d for d, _ in oracle.search(
+        __import__("zsolr.parse", fromlist=["parse"]).parse("spark"), k=None)}
+    all_ids = set(oracle.meta)
+    exp = sorted(all_ids - excluded)
+    assert n == len(exp)
+    assert [r["doc_id"] for r in got.collect()] == exp[:15]
+
+
+def test_reserved_word_rejected():
+    import pytest as _pytest
+    from zsolr.parse import parse as _parse
+    for bad in ("AND", "spark AND", "OR spark"):
+        with _pytest.raises(ValueError):
+            _parse(bad)

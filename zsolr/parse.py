@@ -142,6 +142,9 @@ class _Parser:
             self.pop()
             return self._phrase(_unescape(val[1:-1]), "content")
         if kind == "word":
+            if val in ("AND", "OR", "NOT"):
+                raise ValueError(
+                    f"operator {val} in term position (Solr rejects this too)")
             self.pop()
             # fielded?
             if self.peek()[0] == "colon":

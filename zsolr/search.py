@@ -63,6 +63,7 @@ class Plan:
     content_terms: list[str]           # every content term incl. NOT'd
     filters: list[tuple]               # docs-side predicates
     match_all: bool
+    exclude_ast: object | None = None  # `*:* AND NOT x` exclusions
 
 
 def _is_meta(node) -> bool:
@@ -113,8 +114,19 @@ def plan_query(q) -> Plan:
         else:
             _assert_no_meta(c)
             scored.append(c)
-    if len(scored) == 1 and isinstance(scored[0], Not):
-        raise UnsupportedQuery("pure-negative query needs a positive clause")
+    had_match_all = any(_is_match_all(c) for c in conjuncts)
+    if scored and all(isinstance(c, Not) for c in scored):
+        # pure-negative needs an explicit positive clause — Lucene/Solr
+        # semantics; `[* TO *] AND NOT x` (match-all minus x) is supported
+        if not had_match_all and not filters:
+            raise UnsupportedQuery(
+                "pure-negative query needs a positive clause")
+        children = tuple(c.child for c in scored)
+        exclude = children[0] if len(children) == 1 else Or(children)
+        terms: list[str] = []
+        _collect_terms(exclude, terms)
+        return Plan(None, sorted(set(terms)), filters, match_all=True,
+                    exclude_ast=exclude)
     scored_ast = None if not scored else (
         scored[0] if len(scored) == 1 else And(tuple(scored)))
     terms: list[str] = []
@@ -501,6 +513,11 @@ class Searcher:
             sort_desc = len(parts) > 1 and parts[1].lower() == "desc"
 
         if plan.match_all:
+            if plan.exclude_ast is not None:
+                # match-all minus exclusions: anti-join the inner match set
+                inner = self.search(plan.exclude_ast, k=None,
+                                    wand=False).select("doc_id")
+                docs_f = docs_f.join(inner, "doc_id", "left_anti")
             return self._match_all(docs_f, k, start, sort_field, sort_desc,
                                    with_count)
 
