@@ -267,6 +267,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.count(F.lit(1)).alias("cnt")))
     q["cube_lang_source"] = cube_lang_source
 
+    def rollup_orders(spark, sf):
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        return (o.rollup("o_orderpriority", "o_orderstatus")
+                .agg(F.count(F.lit(1)).alias("n_orders"),
+                     F.sum(F.floor(F.col("o_totalprice") * 100))
+                     .alias("sum_cents")))
+    q["rollup_orders"] = rollup_orders
+
+    def semi_join_customers(spark, sf):
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+            "c_custkey", "c_mktsegment")
+    q["semi_join_customers"] = semi_join_customers
+
+    def anti_join_customers(spark, sf):
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+            "c_custkey", "c_name")
+    q["anti_join_customers"] = anti_join_customers
+
+    def asof_join_events(spark, sf):
+        """As-of join (Spark has no native one — SURVEY §2.4): for every
+        'click', the most recent prior-or-equal 'view' ts by the same user.
+        Union-tag + running last_value over an event-time window — one
+        range-free sort-based pass, no per-row Python."""
+        from pyspark.sql import Window
+
+        e = spark.read.parquet(f"{sf}/events.parquet")
+        clicks = e.filter(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts").withColumn("side", F.lit(1))
+        views = e.filter(F.col("event_type") == "view").select(
+            F.lit(None).cast("long").alias("event_id"), "user_id",
+            "ts").withColumn("side", F.lit(0))
+        both = clicks.unionByName(views)
+        # views sort before clicks at equal ts (side asc) so ts >= view_ts
+        w = (Window.partitionBy("user_id").orderBy("ts", "side")
+             .rowsBetween(Window.unboundedPreceding, 0))
+        tagged = both.withColumn(
+            "last_view_s",
+            F.last(F.when(F.col("side") == 0,
+                          F.unix_timestamp("ts")), ignorenulls=True).over(w))
+        return (tagged.filter(F.col("side") == 1)
+                .select("event_id", "user_id", "last_view_s"))
+    q["asof_join_events"] = asof_join_events
+
     def events_windowed(spark, sf):
         e = spark.read.parquet(f"{sf}/events.parquet")
         # hour bucketing via pure epoch arithmetic — independent of the
@@ -538,6 +585,27 @@ GROUP BY c_mktsegment"""
     o["cube_lang_source"] = """
 SELECT lang, source, count(*)::BIGINT AS cnt
 FROM documents GROUP BY CUBE (lang, source)"""
+
+    o["rollup_orders"] = """
+SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n_orders,
+       sum(floor(o_totalprice * 100))::BIGINT AS sum_cents
+FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"""
+
+    o["semi_join_customers"] = """
+SELECT c_custkey, c_mktsegment FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+
+    o["anti_join_customers"] = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+
+    o["asof_join_events"] = """
+WITH clicks AS (SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'click'),
+views AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
+SELECT c.event_id, c.user_id, floor(epoch(v.ts))::BIGINT AS last_view_s
+FROM clicks c ASOF LEFT JOIN views v
+  ON c.user_id = v.user_id AND c.ts >= v.ts"""
 
     o["events_windowed"] = """
 SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS hour_s, event_type,

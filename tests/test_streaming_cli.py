@@ -77,3 +77,24 @@ def test_spark_submit_pyfiles(tmp_path):
     assert built[-1]["n_docs"] == 500
     hits = run("search", "hash AND join", "--index", idx, "-k", "3")
     assert len(hits) == 3 and hits[0]["score"] > 0
+
+
+def test_streaming_windowed_agg(tmp_path, spark, sf_dir):
+    """Event-time window + watermark over the events fixture, checked
+    against the equivalent batch aggregation."""
+    from pyspark.sql import functions as F
+    from zsolr.streaming import windowed_event_counts
+
+    src = str(tmp_path / "events_in")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch.write.mode("overwrite").parquet(src)
+
+    q = windowed_event_counts(spark, src, str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    got = {(r["window"]["start"], r["event_type"]): (r["n"], round(r["total"], 6))
+           for r in spark.sql("SELECT * FROM win_counts").collect()}
+    exp = {(r["window"]["start"], r["event_type"]): (r["n"], round(r["total"], 6))
+           for r in batch.groupBy(F.window("ts", "1 hour"), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+           .collect()}
+    assert got == exp and len(got) > 10

@@ -31,6 +31,40 @@ CORPUS_SCHEMA = StructType([
 ])
 
 
+def windowed_event_counts(spark: SparkSession, events_dir: str,
+                          checkpoint_dir: str, window: str = "1 hour",
+                          watermark: str = "2 hours"):
+    """Standard streaming windowed aggregation (harness-breadth demo —
+    the reference has no streaming surface, SURVEY.md §2.4): event-time
+    tumbling window + watermark for late data, memory sink for tests.
+
+    Returns the started StreamingQuery; results land in the ``win_counts``
+    in-memory table."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType, TimestampType)
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4).parquet(events_dir))
+    agg = (stream.withWatermark("ts", watermark)
+           .groupBy(F.window("ts", window), "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("total")))
+    return (agg.writeStream.outputMode("complete")
+            .format("memory").queryName("win_counts")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def stream_index(spark: SparkSession, cat: ManifestParquetCatalog,
                  drop_dir: str, checkpoint_dir: str,
                  cfg: BuildConfig | None = None,
