@@ -11,7 +11,7 @@ import math
 import re
 from collections import Counter
 
-from zsolr.parse import And, Not, Or, Range, Term
+from zsolr.parse import And, Not, Or, Phrase, Range, Term
 
 K1, B = 1.2, 0.75
 
@@ -22,10 +22,12 @@ class OracleIndex:
         self.meta = {}
         self.tf: dict[str, dict[int, int]] = {}
         self.doclen: dict[int, int] = {}
+        self.tokens: dict[int, list[str]] = {}
         for r in rows:
             did = r["doc_id"]
             toks = re.findall(r"[a-z0-9]+", r["content"].lower())
             self.doclen[did] = len(toks)
+            self.tokens[did] = toks
             for t, c in Counter(toks).items():
                 self.tf.setdefault(t, {})[did] = c
             self.meta[did] = {k: v for k, v in r.items() if k != "content"}
@@ -45,6 +47,19 @@ class OracleIndex:
         return out
 
     def _eval(self, node) -> dict[int, float]:
+        if isinstance(node, Phrase):
+            # Lucene PhraseQuery: tf := phrase frequency, idf := Σ idfs
+            idf_p = sum(self.idf(t) for t in node.terms)
+            out = {}
+            n = len(node.terms)
+            for did, toks in self.tokens.items():
+                pf = sum(1 for i in range(len(toks) - n + 1)
+                         if tuple(toks[i:i + n]) == node.terms)
+                if pf:
+                    dl = self.doclen[did]
+                    out[did] = (idf_p * pf * (K1 + 1)
+                                / (pf + K1 * (1 - B + B * dl / self.avgdl)))
+            return out
         if isinstance(node, Term):
             if node.field == "content":
                 return self._score_term(node.term)

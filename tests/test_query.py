@@ -57,9 +57,12 @@ def test_parse_implicit_and():
 def test_parse_fielded_and_phrase():
     ast = P.parse("lang:en AND spark")
     assert ast == P.And((P.Term("en", "lang"), P.Term("spark")))
-    # phrase → AND of analyzed terms (v1)
+    # quoted multi-token → positional Phrase (Lucene PhraseQuery)
     ast = P.parse('"sort merge"')
-    assert ast == P.And((P.Term("sort"), P.Term("merge")))
+    assert ast == P.Phrase(("sort", "merge"))
+    assert P.parse('"spark"') == P.Term("spark")
+    ast = P.parse('"a b c"')
+    assert ast == P.Phrase(("a", "b", "c"))
 
 
 def test_parse_ranges():

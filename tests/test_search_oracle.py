@@ -136,3 +136,27 @@ def test_reserved_word_rejected():
     for bad in ("AND", "spark AND", "OR spark"):
         with _pytest.raises(ValueError):
             _parse(bad)
+
+
+@pytest.mark.parametrize("q", ['"sort merge"', '"the fast"', '"hash join"',
+                               '"merge sort"', '"sort merge part"',
+                               'lang:en AND "sort merge"',
+                               '"sort merge" OR spark',
+                               'spark AND NOT "sort merge"'])
+def test_phrase_queries(searcher, oracle, q):
+    """Positional PhraseQuery: rank + score identity vs the oracle's
+    independent implementation; numFound exact."""
+    got, n = searcher.search(q, k=10, with_count=True)
+    got = [(r["doc_id"], r["score"]) for r in got.collect()]
+    exp = oracle.search(parse(q), k=10)
+    assert [g[0] for g in got] == [e[0] for e in exp], q
+    for g, e in zip(got, exp):
+        assert abs(g[1] - e[1]) < 1e-9, (q, g, e)
+    assert n == oracle.num_found(parse(q)), q
+
+
+def test_phrase_stricter_than_and(searcher, oracle):
+    """A phrase must match a subset of the AND of its terms."""
+    _p, np_ = searcher.search('"sort merge"', k=5, with_count=True)
+    _a, na = searcher.search("sort AND merge", k=5, with_count=True)
+    assert 0 < np_ < na

@@ -58,6 +58,9 @@ POSTINGS_SCHEMA = StructType([
     StructField("n_docs", IntegerType()),
     StructField("doc_gaps", BinaryType()),
     StructField("tfs", BinaryType()),
+    # token positions, delta-encoded per doc then concatenated per block
+    # (PhraseQuery support; per-doc counts recovered from tfs at decode)
+    StructField("positions", BinaryType()),
     StructField("block_max_tf", IntegerType()),
 ])
 
@@ -102,19 +105,25 @@ def corpus_to_tokd(with_ids: DataFrame, tokenizer: str = "codegen") -> DataFrame
 
 
 def tokd_to_tf(tokd: DataFrame, n_buckets: int) -> DataFrame:
-    """tokd → tf(term, doc_id, tf, bucket): analyzed tokens + zero-scored
-    field terms + the norms sidecar (tf := doc_len)."""
+    """tokd → tf(term, doc_id, tf, positions, bucket): analyzed tokens
+    (with in-doc token positions for PhraseQuery) + zero-scored field terms
+    + the norms sidecar (tf := doc_len; no positions)."""
+    empty_pos = F.array().cast("array<int>")
     tok_tf = (
-        tokd.select("doc_id", F.explode("toks").alias("term"))
+        tokd.select("doc_id", F.posexplode("toks").alias("pos", "term"))
         .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"))
+        .agg(F.count(F.lit(1)).alias("tf"),
+             F.sort_array(F.collect_list(F.col("pos").cast("int")))
+             .alias("positions"))
     )
     extra = tokd.select(F.lit(NORMS_TERM).alias("term"), "doc_id",
-                        F.col("doc_len").alias("tf"))
+                        F.col("doc_len").alias("tf"),
+                        empty_pos.alias("positions"))
     for fld in FIELD_TERMS:
         part = tokd.select(
             F.concat(F.lit(f"{fld}="), F.col(fld)).alias("term"),
-            "doc_id", F.lit(1).cast("long").alias("tf"))
+            "doc_id", F.lit(1).cast("long").alias("tf"),
+            empty_pos.alias("positions"))
         extra = extra.unionByName(part)
     return tok_tf.unionByName(extra).withColumn(
         "bucket", F.pmod(F.crc32(F.col("term")), F.lit(n_buckets)).cast("int"))
@@ -247,38 +256,6 @@ class IndexBuilder:
         plan = {t: -(-n_docs // salt_width) for t in hot}
         return plan, salt_width
 
-    def _encode_kernel(self):
-        cfg_block, cfg_codec = self.cfg.block_size, self.cfg.codec
-
-        def encode_group(table: "pa.Table") -> "pa.Table":
-            # one (term, salt) sub-posting-list: sort by docID, emit blocks.
-            # Arrow-native (applyInArrow): the big int columns reach numpy
-            # zero-copy; the term string never materializes per-row.
-            import pyarrow as pa
-
-            term = table.column("term")[0].as_py()
-            bucket = table.column("bucket")[0].as_py()
-            d = table.column("doc_id").to_numpy(zero_copy_only=False)
-            t = table.column("tf").to_numpy(zero_copy_only=False)
-            order = np.argsort(d, kind="stable")
-            d, t = d[order], t[order]
-            firsts, lasts, lens, gblobs, tblobs, maxtfs = codec.encode_blocks(
-                d, t, block_size=cfg_block, codec=cfg_codec
-            )
-            n = len(firsts)
-            return pa.table({
-                "term": pa.array([term] * n, pa.string()),
-                "bucket": pa.array([bucket] * n, pa.int32()),
-                "first_doc": pa.array(np.asarray(firsts, dtype=np.int64)),
-                "last_doc": pa.array(np.asarray(lasts, dtype=np.int64)),
-                "n_docs": pa.array(np.asarray(lens, dtype=np.int32)),
-                "doc_gaps": pa.array(gblobs, pa.binary()),
-                "tfs": pa.array(tblobs, pa.binary()),
-                "block_max_tf": pa.array(np.asarray(maxtfs, dtype=np.int32)),
-            })
-
-        return encode_group
-
     def _encode_mapper(self):
         """mapInArrow kernel over JVM-pre-grouped rows: one row per
         (term, salt) sub-list with a ``sort_array(collect_list(struct))``
@@ -302,13 +279,35 @@ class IndexBuilder:
                 offs = np.asarray(la.offsets) - la.offsets[0].as_py()
                 d_all = flat.field("doc_id").to_numpy(zero_copy_only=False)
                 t_all = flat.field("tf").to_numpy(zero_copy_only=False)
+                pos_la = flat.field("positions")
+                pos_flat_all = pos_la.flatten().to_numpy(
+                    zero_copy_only=False).astype(np.int64)
+                pos_offs_all = np.asarray(pos_la.offsets) \
+                    - pos_la.offsets[0].as_py()
                 o_term, o_bucket, o_first, o_last = [], [], [], []
-                o_n, o_gaps, o_tfs, o_max = [], [], [], []
+                o_n, o_gaps, o_tfs, o_pos, o_max = [], [], [], [], []
                 for i, term in enumerate(terms):
                     s, e = int(offs[i]), int(offs[i + 1])
                     d, t = d_all[s:e], t_all[s:e]
                     firsts, lasts, lens, gb, tb, mx = codec.encode_blocks(
                         d, t, block_size=cfg_block, codec=cfg_codec)
+                    # positions: delta-encode within each doc, one varint
+                    # pass per group, split at block boundaries
+                    p_off = pos_offs_all[s:e + 1] - pos_offs_all[s]
+                    p = pos_flat_all[pos_offs_all[s]:pos_offs_all[e]]
+                    if len(p):
+                        deltas = np.empty(len(p), dtype=np.uint64)
+                        deltas[0] = p[0]
+                        np.subtract(p[1:], p[:-1], out=deltas[1:],
+                                    casting="unsafe")
+                        rs = p_off[:-1]
+                        rs = rs[rs < len(p)]
+                        deltas[rs] = p[rs]
+                    else:
+                        deltas = np.empty(0, dtype=np.uint64)
+                    blk_pos_starts = p_off[np.arange(0, e - s, cfg_block)]
+                    pb = codec.encode_u64_blocked(deltas, blk_pos_starts,
+                                                  cfg_codec)
                     nb = len(firsts)
                     o_term.extend([term] * nb)
                     o_bucket.extend([int(buckets[i])] * nb)
@@ -317,6 +316,7 @@ class IndexBuilder:
                     o_n.extend(lens)
                     o_gaps.extend(gb)
                     o_tfs.extend(tb)
+                    o_pos.extend(pb)
                     o_max.extend(mx)
                 yield pa.record_batch({
                     "term": pa.array(o_term, pa.string()),
@@ -326,6 +326,7 @@ class IndexBuilder:
                     "n_docs": pa.array(o_n, pa.int32()),
                     "doc_gaps": pa.array(o_gaps, pa.binary()),
                     "tfs": pa.array(o_tfs, pa.binary()),
+                    "positions": pa.array(o_pos, pa.binary()),
                     "block_max_tf": pa.array(o_max, pa.int32()),
                 })
 
@@ -466,5 +467,5 @@ def grouped_postings(tf: DataFrame) -> DataFrame:
     Keeps per-posting rows out of the Arrow boundary — see _encode_mapper."""
     return (tf.groupBy("term", "salt").agg(
         F.sort_array(F.collect_list(
-            F.struct("doc_id", "tf"))).alias("postings"),
+            F.struct("doc_id", "tf", "positions"))).alias("postings"),
         F.first("bucket").alias("bucket")))

@@ -134,15 +134,19 @@ def encode_u64_blocked(vals: np.ndarray, starts: np.ndarray,
     array, then a byte-offset split — per-block numpy-call overhead (which
     dominates at 128-value blocks) is gone."""
     vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
     if codec == CODEC_VARINT:
+        prefix = bytes([CODEC_VARINT])
+        if len(vals) == 0:
+            return [prefix] * len(starts)
         stream, sizes = _varint_encode_sized(vals)
-        byte_starts = np.zeros(len(starts), dtype=np.int64)
         csum = np.cumsum(sizes)
-        byte_starts[1:] = csum[starts[1:] - 1]
+        byte_starts = np.zeros(len(starts), dtype=np.int64)
+        nz = starts > 0
+        byte_starts[nz] = csum[starts[nz] - 1]
         ends = np.empty(len(starts), dtype=np.int64)
         ends[:-1] = byte_starts[1:]
         ends[-1] = len(stream)
-        prefix = bytes([CODEC_VARINT])
         return [prefix + stream[byte_starts[i]:ends[i]]
                 for i in range(len(starts))]
     # bitpack width is per-block → per-block encode (non-default path)

@@ -6,7 +6,7 @@ Grammar (the subset zeit.solr's builders emit + bare user queries):
     clause  := "NOT" clause | "(" query ")" | ranged | fielded | term
     fielded := NAME ":" (quoted | word | range)
     ranged  := NAME ":" "[" bound "TO" bound "]"
-    quoted  := '"' words '"'                      # phrase → AND of terms (v1)
+    quoted  := '"' words '"'                      # positional PhraseQuery
 
 Produces a tiny driver-side AST; the search planner (zsolr.search) splits
 it into scored term clauses vs metadata predicates.  Terms are run through
@@ -32,6 +32,15 @@ class Range:
     field: str
     lo: str | None   # None = open (*)
     hi: str | None
+
+
+@dataclass(frozen=True)
+class Phrase:
+    """Quoted multi-token value: terms must appear consecutively in order
+    (Lucene PhraseQuery).  Scored with tf := phrase frequency and
+    idf := sum of the member terms' idfs."""
+    terms: tuple
+    field: str = "content"
 
 
 @dataclass(frozen=True)
@@ -140,7 +149,7 @@ class _Parser:
             return self._range("*")
         if kind == "quoted":
             self.pop()
-            return self._phrase(_unescape(val[1:-1]), "content")
+            return self._phrase(_unescape(val[1:-1]), "content", quoted=True)
         if kind == "word":
             if val in ("AND", "OR", "NOT"):
                 raise ValueError(
@@ -159,7 +168,7 @@ class _Parser:
             return self._range(name)
         if kind == "quoted":
             self.pop()
-            return self._phrase(_unescape(val[1:-1]), name)
+            return self._phrase(_unescape(val[1:-1]), name, quoted=True)
         if kind == "word":
             self.pop()
             return self._phrase(_unescape(val), name)
@@ -179,10 +188,11 @@ class _Parser:
         return Range(name, lo, hi)
 
     @staticmethod
-    def _phrase(text: str, fld: str):
-        """Analyze value text; multi-token values (phrases) → AND of terms
-        (v1 semantics per SURVEY.md Appendix B).  Metadata fields keep the
-        raw value (exact match on stored field)."""
+    def _phrase(text: str, fld: str, quoted: bool = False):
+        """Analyze value text.  Quoted multi-token values → positional
+        Phrase (Lucene PhraseQuery); bare multi-token words (e.g. from
+        `Foo-Bar`) → AND of terms.  Metadata fields keep the raw value
+        (exact match on stored field)."""
         if fld != "content":
             return Term(text, fld)
         toks = tokenize_py(text)
@@ -190,6 +200,8 @@ class _Parser:
             raise ValueError(f"no tokens in {text!r}")
         if len(toks) == 1:
             return Term(toks[0], fld)
+        if quoted:
+            return Phrase(tuple(toks), fld)
         return And(tuple(Term(t, fld) for t in toks))
 
 

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from . import BM25_B, BM25_K1, codec
 from .build import NORMS_TERM, term_bucket
 from .catalog import ManifestParquetCatalog
-from .parse import And, Not, Or, Range, Term, parse
+from .parse import And, Not, Or, Phrase, Range, Term, parse
 
 DOC_META_FIELDS = ("repo", "path", "commit", "lang")
 
@@ -76,11 +76,23 @@ def _is_meta(node) -> bool:
 def _collect_terms(node, out: list[str]):
     if isinstance(node, Term):
         out.append(node.term)
+    elif isinstance(node, Phrase):
+        out.extend(node.terms)
     elif isinstance(node, (And, Or)):
         for c in node.children:
             _collect_terms(c, out)
     elif isinstance(node, Not):
         _collect_terms(node.child, out)
+
+
+def _collect_phrase_terms(node, out: set):
+    if isinstance(node, Phrase):
+        out.update(node.terms)
+    elif isinstance(node, (And, Or)):
+        for c in node.children:
+            _collect_phrase_terms(c, out)
+    elif isinstance(node, Not):
+        _collect_phrase_terms(node.child, out)
 
 
 def _assert_no_meta(node):
@@ -154,14 +166,51 @@ def _filter_expr(filters: list[tuple]):
 # ----------------------------------------------------------------- kernel --
 
 
-def _eval_ast(node, per_term, allowed_ids):
+def _eval_phrase(node, env):
+    """Positional PhraseQuery: per-doc phrase frequency via vectorized
+    (doc, position - i) key intersection across the member terms; score =
+    BM25 with tf := phrase_freq and idf := Σ member idfs (Lucene)."""
+    datas = [env["per_term_pos"].get(t) for t in node.terms]
+    empty = (np.empty(0, dtype=np.int64), np.empty(0))
+    if any(d is None or len(d[0]) == 0 for d in datas):
+        return empty
+    ids = datas[0][0]
+    for d in datas[1:]:
+        ids = ids[np.isin(ids, d[0], assume_unique=True)]
+    if not len(ids):
+        return empty
+    OFF = 64  # keep (pos - i) non-negative in the packed key
+    keys = None
+    for i, (tids, _tfs, pflat, poffs) in enumerate(datas):
+        counts = np.diff(poffs)
+        sel = np.isin(tids, ids, assume_unique=True)
+        pos_i = pflat[np.repeat(sel, counts)]
+        docloc = np.repeat(np.searchsorted(ids, tids[sel]), counts[sel])
+        k = docloc * (np.int64(1) << np.int64(40)) + (pos_i - i + OFF)
+        keys = k if keys is None else keys[np.isin(keys, k, assume_unique=True)]
+        if not len(keys):
+            return empty
+    locs, pf = np.unique(keys >> np.int64(40), return_counts=True)
+    m_ids = ids[locs]
+    pf = pf.astype(np.float64)
+    idf_p = sum(env["idf_map"][t] for t in node.terms)
+    dls = env["norm_vals"][np.searchsorted(env["norm_ids"], m_ids)]
+    k1, b, avgdl = env["k1"], env["b"], env["avgdl"]
+    sc = idf_p * pf * (k1 + 1.0) / (pf + k1 * (1 - b + b * dls / avgdl))
+    return m_ids, sc
+
+
+def _eval_ast(node, per_term, allowed_ids, env=None):
     """AST → (sorted doc ids, float64 scores).  per_term: term → (ids, sc)."""
     if isinstance(node, Term):
         return per_term[node.term]
+    if isinstance(node, Phrase):
+        return _eval_phrase(node, env)
     if isinstance(node, Range):  # match-all inside boolean context
         return allowed_ids, np.zeros(len(allowed_ids))
     if isinstance(node, Or):
-        parts = [_eval_ast(c, per_term, allowed_ids) for c in node.children]
+        parts = [_eval_ast(c, per_term, allowed_ids, env)
+                 for c in node.children]
         if any(isinstance(c, Not) for c in node.children):
             raise UnsupportedQuery("NOT inside OR is unsupported (v1)")
         ids = np.unique(np.concatenate([p[0] for p in parts]))
@@ -172,7 +221,7 @@ def _eval_ast(node, per_term, allowed_ids):
     if isinstance(node, And):
         pos = [c for c in node.children if not isinstance(c, Not)]
         neg = [c.child for c in node.children if isinstance(c, Not)]
-        parts = [_eval_ast(c, per_term, allowed_ids) for c in pos]
+        parts = [_eval_ast(c, per_term, allowed_ids, env) for c in pos]
         ids = parts[0][0]
         for p in parts[1:]:
             ids = ids[np.isin(ids, p[0], assume_unique=True)]
@@ -180,7 +229,7 @@ def _eval_ast(node, per_term, allowed_ids):
         for pids, psc in parts:
             sc += psc[np.searchsorted(pids, ids)]
         for n in neg:
-            nids, _ = _eval_ast(n, per_term, allowed_ids)
+            nids, _ = _eval_ast(n, per_term, allowed_ids, env)
             ids_mask = ~np.isin(ids, nids, assume_unique=True)
             ids, sc = ids[ids_mask], sc[ids_mask]
         return ids, sc
@@ -199,6 +248,7 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                        sort_field: str | None, sort_desc: bool,
                        deleted: np.ndarray | None = None,
                        cogroup: bool = True,
+                       phrase_terms: set | None = None,
                        k1: float = BM25_K1, b: float = BM25_B):
     """Build the per-shard kernel (two wire-ups, same body):
 
@@ -220,8 +270,9 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
     k is None) plus one sentinel row ``(-1, n_matches)`` with the shard's
     hit count.
     """
-    all_terms = sorted(pos_terms | neg_terms | zero_terms)
-    prunable = (pos_terms - neg_terms) - zero_terms
+    phrase_terms = phrase_terms or set()
+    all_terms = sorted(pos_terms | neg_terms | zero_terms | phrase_terms)
+    prunable = (pos_terms - neg_terms) - zero_terms - phrase_terms
     deleted_sorted = np.sort(deleted) if deleted is not None and len(deleted) \
         else None
 
@@ -298,9 +349,86 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
             sc = idf_t * tfs * (k1 + 1.0) / (tfs + k1 * (1 - b + b * dls / avgdl))
             return ids, sc
 
+        def decode_positions(rows: pd.DataFrame):
+            """Full decode incl. token positions → (ids, tfs, pflat, poffs);
+            shard-range and deletion masks applied consistently to the
+            per-doc position slices."""
+            ids_l, tfs_l, pos_l = [], [], []
+            gb = rows["doc_gaps"].to_numpy()
+            tb = rows["tfs"].to_numpy()
+            pb = rows["positions"].to_numpy()
+            fd = rows["first_doc"].to_numpy()
+            for i in range(len(rows)):
+                bids, btfs = codec.decode_block(int(fd[i]), gb[i], tb[i])
+                deltas = codec.decode_u64(pb[i]).astype(np.int64)
+                cts = btfs.astype(np.int64)
+                rstarts = np.zeros(len(cts), dtype=np.int64)
+                rstarts[1:] = np.cumsum(cts)[:-1]
+                total = np.cumsum(deltas)
+                rbase = np.zeros(len(cts), dtype=np.int64)
+                nzr = rstarts > 0
+                rbase[nzr] = total[rstarts[nzr] - 1]
+                pabs = total - np.repeat(rbase, cts)
+                m = (bids >= base) & (bids < base + shard_width)
+                if not m.any():
+                    continue
+                bids2, btfs2 = bids[m], btfs[m]
+                pabs2 = pabs[np.repeat(m, cts)]
+                if allowed is not None:
+                    am = allowed[bids2 - base]
+                elif deleted_sorted is not None:
+                    am = ~np.isin(bids2, deleted_sorted)
+                else:
+                    am = None
+                if am is not None:
+                    pabs2 = pabs2[np.repeat(am, btfs2.astype(np.int64))]
+                    bids2, btfs2 = bids2[am], btfs2[am]
+                if not len(bids2):
+                    continue
+                ids_l.append(bids2)
+                tfs_l.append(btfs2)
+                pos_l.append(pabs2)
+            if not ids_l:
+                return (np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.int64),
+                        np.zeros(1, dtype=np.int64))
+            ids = np.concatenate(ids_l)
+            tfs = np.concatenate(tfs_l).astype(np.int64)
+            pflat = np.concatenate(pos_l)
+            if len(ids_l) > 1 and not (ids[:-1] < ids[1:]).all():
+                order = np.argsort(ids, kind="stable")
+                ids, tfs = ids[order], tfs[order]
+                # reorder flat positions to match the doc order
+                starts = np.zeros(len(tfs), dtype=np.int64)
+                # recompute from pre-order counts then gather slices
+                pre_counts = np.concatenate(
+                    [t.astype(np.int64) for t in tfs_l])
+                pre_starts = np.zeros(len(pre_counts), dtype=np.int64)
+                pre_starts[1:] = np.cumsum(pre_counts)[:-1]
+                chunks = [pflat[pre_starts[j]:pre_starts[j] + pre_counts[j]]
+                          for j in order]
+                pflat = np.concatenate(chunks) if chunks else pflat[:0]
+            poffs = np.zeros(len(ids) + 1, dtype=np.int64)
+            poffs[1:] = np.cumsum(tfs)
+            return ids, tfs, pflat, poffs
+
+        # positional data for phrase member terms (full decode; these are
+        # never WAND-prunable — pruning is disabled on phrase queries)
+        per_term_pos: dict[str, tuple] = {}
+        for t in phrase_terms:
+            rows = by_term.get(t)
+            if rows is not None:
+                per_term_pos[t] = decode_positions(rows)
+        env = {"per_term_pos": per_term_pos, "idf_map": idf_map,
+               "norm_ids": norm_ids, "norm_vals": norm_vals,
+               "k1": k1, "b": b, "avgdl": avgdl}
+
         empty = (np.empty(0, dtype=np.int64), np.empty(0))
         if not wand or k is None or scored_ast is None or not prunable:
             for t in all_terms:
+                if t in phrase_terms and t not in pos_terms | neg_terms:
+                    continue  # only used positionally
                 rows = by_term.get(t)
                 per_term[t] = empty if rows is None else \
                     decode_term(t, rows, np.ones(len(rows), bool))
@@ -339,7 +467,7 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                     keep = np.zeros(len(rows), dtype=bool)
                     keep[np.argsort(-ubs[t], kind="stable")[:m]] = True
                     phase1[t] = decode_term(t, rows, keep)
-            p_ids, p_sc = _eval_ast(scored_ast, phase1, allowed_ids)
+            p_ids, p_sc = _eval_ast(scored_ast, phase1, allowed_ids, env)
             theta = float(np.partition(p_sc, -k)[-k]) if len(p_ids) >= k \
                 else -np.inf
             # phase 2: a block of term t survives unless even its best doc
@@ -356,7 +484,7 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
         if scored_ast is None:
             ids, sc = allowed_ids, np.zeros(len(allowed_ids))
         else:
-            ids, sc = _eval_ast(scored_ast, per_term, allowed_ids)
+            ids, sc = _eval_ast(scored_ast, per_term, allowed_ids, env)
 
         n_matches = len(ids)
         if k is not None and n_matches > k:
@@ -549,7 +677,9 @@ class Searcher:
         self._neg_terms(kernel_ast, neg)
         pos: set[str] = set()
         self._pos_terms(kernel_ast, pos)
-        all_terms = sorted(pos | neg)
+        phrase_terms: set[str] = set()
+        _collect_phrase_terms(kernel_ast, phrase_terms)
+        all_terms = sorted(pos | neg | phrase_terms)
         idf_map = self._idf_map([t for t in all_terms if t not in zero_terms])
 
         W = self.shard_width
@@ -569,8 +699,10 @@ class Searcher:
         # win on an arbitrary sort field.
         kernel = make_search_kernel(
             kernel_ast, idf_map, pos, neg, zero_terms, fetch, W, self.avgdl,
-            wand and not with_count and eff_sort is None, eff_sort, sort_desc,
-            deleted=self._deleted_np if fast else None, cogroup=not fast)
+            (wand and not with_count and eff_sort is None
+             and not phrase_terms), eff_sort, sort_desc,
+            deleted=self._deleted_np if fast else None, cogroup=not fast,
+            phrase_terms=phrase_terms)
         if fast:
             cand = (postings.groupBy("shard")
                     .applyInPandas(kernel, "doc_id long, score double"))
