@@ -155,6 +155,29 @@ def test_phrase_queries(searcher, oracle, q):
     assert n == oracle.num_found(parse(q)), q
 
 
+def test_topk_tie_at_k_boundary(spark, tmp_path):
+    """Regression (round-1 verdict): 40 identical docs ⇒ 40 exactly-equal
+    BM25 scores in ONE shard; the per-shard bounded top-k must keep the 10
+    lowest doc_ids (normative (-score, doc_id) order), not an arbitrary
+    argpartition subset."""
+    from zsolr.build import BuildConfig, IndexBuilder
+    from zsolr.catalog import ManifestParquetCatalog
+
+    rows = [("r", f"p{i:03d}", "c", "en", "alpha beta gamma")
+            for i in range(40)]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+              " content string")
+    cat = ManifestParquetCatalog(str(tmp_path / "tie-idx"))
+    IndexBuilder(cat, BuildConfig(n_buckets=4)).build(
+        spark, "tie-corpus", corpus_df=corpus)
+    s = Searcher(spark, cat)
+    for wand in (True, False):
+        got = [r["doc_id"] for r in
+               s.search("alpha", k=10, wand=wand).collect()]
+        assert got == list(range(10)), f"wand={wand}"
+
+
 def test_phrase_stricter_than_and(searcher, oracle):
     """A phrase must match a subset of the AND of its terms."""
     _p, np_ = searcher.search('"sort merge"', k=5, with_count=True)

@@ -489,8 +489,21 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
         n_matches = len(ids)
         if k is not None and n_matches > k:
             if sort_field is None:
-                # bounded top-k: argpartition = vectorized min-heap equivalent
-                top = np.argpartition(-sc, k - 1)[:k]
+                # bounded top-k under the normative total order
+                # (-score, doc_id): argpartition alone keeps an ARBITRARY
+                # subset of score-ties straddling the k boundary, which the
+                # driver-side merge cannot repair (it only sees k rows per
+                # shard).  Partition first (O(n)), then widen the selection
+                # to include every doc tied with the boundary score before
+                # the exact lexsort cut — still O(n + t log t) where t =
+                # k + |boundary ties|, never a full sort of n.
+                part = np.argpartition(-sc, k - 1)
+                kth = sc[part[k - 1]]
+                cand = part[:k] if k < len(sc) else part
+                extra = part[k:][sc[part[k:]] == kth]
+                cand = np.concatenate([cand, extra])
+                order = np.lexsort((ids[cand], -sc[cand]))
+                top = cand[order[:k]]
                 ids, sc = ids[top], sc[top]
             else:  # sort override: cogroup mode only (needs the docs side)
                 vals = docs.set_index("doc_id")[sort_field].loc[ids].to_numpy()
