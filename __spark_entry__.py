@@ -146,6 +146,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["and_intersect"] = lambda spark, sf: _match_ids(spark, sf, "hash AND join")
     q["or_union"] = lambda spark, sf: _match_ids(spark, sf, "stream OR batch")
     q["not_except"] = lambda spark, sf: _match_ids(spark, sf, "query AND NOT slow")
+    # round-2: metadata equality / complement legs inside OR (constant-score
+    # legs; evaluated fully in the kernel via zero-scored field terms and
+    # the shard live-doc universe)
+    q["or_meta_term"] = lambda spark, sf: _match_ids(
+        spark, sf, "lang:en OR spark")
+    q["or_with_not"] = lambda spark, sf: _match_ids(
+        spark, sf, "hash OR NOT join")
 
     def topk_bm25(spark, sf):
         from pyspark.sql import Window
@@ -424,6 +431,15 @@ UNION SELECT doc_id FROM tf WHERE term = 'batch'"""
     o["not_except"] = f"""{_BASE}
 SELECT doc_id FROM tf WHERE term = 'query'
 EXCEPT SELECT doc_id FROM tf WHERE term = 'slow'"""
+
+    o["or_meta_term"] = f"""{_BASE}
+SELECT doc_id FROM ids WHERE lang = 'en'
+UNION SELECT doc_id FROM tf WHERE term = 'spark'"""
+
+    o["or_with_not"] = f"""{_BASE}
+SELECT doc_id FROM tf WHERE term = 'hash'
+UNION (SELECT doc_id FROM ids
+       EXCEPT SELECT doc_id FROM tf WHERE term = 'join')"""
 
     o["topk_bm25"] = f"""{_BASE},
 scored AS (

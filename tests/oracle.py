@@ -82,12 +82,23 @@ class OracleIndex:
         if isinstance(node, Or):
             out: dict[int, float] = {}
             for c in node.children:
-                for d, s in self._eval(c).items():
+                if isinstance(c, Not):
+                    # complement leg: constant-score 0 (filter semantics)
+                    m = set(self._eval(c.child))
+                    part = {d: 0.0 for d in self.meta if d not in m}
+                else:
+                    part = self._eval(c)
+                for d, s in part.items():
                     out[d] = out.get(d, 0.0) + s
             return out
         if isinstance(node, And):
             pos = [c for c in node.children if not isinstance(c, Not)]
             neg = [c.child for c in node.children if isinstance(c, Not)]
+            if not pos:
+                excluded: set = set()
+                for nn in neg:
+                    excluded |= set(self._eval(nn))
+                return {d: 0.0 for d in self.meta if d not in excluded}
             sets = [self._eval(c) for c in pos]
             common = set(sets[0])
             for s in sets[1:]:

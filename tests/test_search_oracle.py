@@ -107,9 +107,44 @@ def test_facet(searcher, oracle):
     assert got == exp
 
 
-def test_unsupported_meta_in_or(searcher):
-    with pytest.raises(UnsupportedQuery):
-        searcher.search("lang:en OR spark", k=5)
+@pytest.mark.parametrize("q", [
+    "lang:en OR spark",                    # meta equality inside OR
+    "spark OR NOT join",                   # complement leg inside OR
+    "stream OR (NOT spark AND NOT join)",  # nested all-negative AND
+    "spark AND (lang:en OR join)",         # meta-in-OR under AND
+    "repo:src3 OR batch OR NOT stream",    # meta + term + complement mix
+])
+def test_or_complement_and_meta(searcher, oracle, q):
+    """Round-2: NOT / metadata inside OR (rank + score identity, numFound).
+    Complement and meta legs are constant-score 0; positive legs keep BM25."""
+    got, n = searcher.search(q, k=10, with_count=True)
+    got = [(r["doc_id"], r["score"]) for r in got.collect()]
+    exp = oracle.search(parse(q), k=10)
+    assert [g[0] for g in got] == [e[0] for e in exp], q
+    for g, e in zip(got, exp):
+        assert abs(g[1] - e[1]) < 1e-9, (q, g, e)
+    assert n == oracle.num_found(parse(q)), q
+
+
+def test_unsupported_nested_range_raises(searcher):
+    """Round-1 advice: a bounded range in scored position must raise, not
+    silently over-match; unknown fielded terms likewise."""
+    for q in ("size:[1 TO 5] AND spark", "title:[* TO *]",
+              "spark OR commit:[0 TO 5]", "spark AND title:foo",
+              "path:x OR spark"):
+        with pytest.raises(UnsupportedQuery):
+            searcher.search(q, k=5)
+
+
+def test_nested_match_all_range(searcher, oracle):
+    """`spark OR [* TO *]` in scored position = match-all via the shard
+    universe (score from the spark leg where it matches)."""
+    q = "spark OR [* TO *]"
+    got, n = searcher.search(q, k=10, with_count=True)
+    got = [(r["doc_id"], r["score"]) for r in got.collect()]
+    exp = oracle.search(parse(q), k=10)
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    assert n == oracle.num_found(parse(q))
 
 
 def test_missing_term_matches_nothing(searcher):

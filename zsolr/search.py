@@ -45,8 +45,10 @@ DOC_META_FIELDS = ("repo", "path", "commit", "lang")
 
 
 class UnsupportedQuery(ValueError):
-    """v1 planner restriction: metadata predicates must be conjunctive at
-    the top level (Solr fq semantics); metadata inside OR is unsupported."""
+    """Planner restriction: bounded ranges must be top-level conjuncts on
+    metadata fields; metadata equality on non-field-indexed columns
+    (path/commit) must be a top-level conjunct; unknown fielded terms are
+    rejected rather than silently mis-evaluated."""
 
 
 def idf(n_docs: int, df: int) -> float:
@@ -95,15 +97,62 @@ def _collect_phrase_terms(node, out: set):
         _collect_phrase_terms(node.child, out)
 
 
-def _assert_no_meta(node):
-    if _is_meta(node):
+def _rewrite_nested(node):
+    """Lower a scored (non-top-level-filter) clause into kernel-evaluable
+    form:
+
+    * equality on a field-indexed metadata column (``lang``/``repo``) →
+      the zero-scored field term (``lang=en``) that build.py already
+      indexes — so ``lang:en OR spark`` evaluates entirely in the kernel
+      as a posting union (constant-score filter leg, Solr fq semantics);
+    * equality on non-indexed metadata (path/commit) or unknown fields →
+      UnsupportedQuery (top-level conjunct is the supported position);
+    * any Range that is not the ``[* TO *]`` match-all → UnsupportedQuery
+      (previously silently dropped — round-1 advice);
+    * And/Or/Not recurse."""
+    from .build import FIELD_TERMS
+
+    if isinstance(node, Term):
+        if node.field == "content":
+            return node
+        if node.field in FIELD_TERMS:
+            return Term(f"{node.field}={node.term}")
         raise UnsupportedQuery(
-            f"metadata predicate {node} must be a top-level conjunct (v1)")
-    if isinstance(node, (And, Or)):
-        for c in node.children:
-            _assert_no_meta(c)
-    elif isinstance(node, Not):
-        _assert_no_meta(node.child)
+            f"fielded term {node.field}:{node.term} is only supported as a"
+            f" top-level conjunct" if node.field in DOC_META_FIELDS
+            else f"unknown field {node.field!r}")
+    if isinstance(node, Range):
+        if _is_match_all(node):
+            return node
+        raise UnsupportedQuery(
+            f"range on {node.field!r} must be a top-level conjunct on a"
+            f" metadata field")
+    if isinstance(node, Phrase):
+        return node
+    if isinstance(node, And):
+        return And(tuple(_rewrite_nested(c) for c in node.children))
+    if isinstance(node, Or):
+        return Or(tuple(_rewrite_nested(c) for c in node.children))
+    if isinstance(node, Not):
+        return Not(_rewrite_nested(node.child))
+    raise UnsupportedQuery(f"cannot plan {node}")
+
+
+def _needs_universe(node) -> bool:
+    """True when kernel evaluation requires the shard's full live-doc set:
+    NOT as a direct OR child (complement leg), an all-negative AND, or a
+    match-all Range in scored position."""
+    if isinstance(node, Range):
+        return True
+    if isinstance(node, Or):
+        return (any(isinstance(c, Not) for c in node.children)
+                or any(_needs_universe(c) for c in node.children))
+    if isinstance(node, And):
+        return (all(isinstance(c, Not) for c in node.children)
+                or any(_needs_universe(c) for c in node.children))
+    if isinstance(node, Not):
+        return _needs_universe(node.child)
+    return False
 
 
 def _is_match_all(node) -> bool:
@@ -124,8 +173,7 @@ def plan_query(q) -> Plan:
         elif _is_match_all(c):
             continue
         else:
-            _assert_no_meta(c)
-            scored.append(c)
+            scored.append(_rewrite_nested(c))
     had_match_all = any(_is_match_all(c) for c in conjuncts)
     if scored and all(isinstance(c, Not) for c in scored):
         # pure-negative needs an explicit positive clause — Lucene/Solr
@@ -200,6 +248,16 @@ def _eval_phrase(node, env):
     return m_ids, sc
 
 
+def _complement(ids: np.ndarray, env) -> np.ndarray:
+    """Shard universe minus ``ids`` (sorted).  Used for NOT legs inside OR
+    and all-negative ANDs; complement legs are constant-score (0.0) —
+    Solr/Lucene filter-clause semantics, mirrored by the test oracle."""
+    universe = env["universe"]
+    if not len(ids):
+        return universe
+    return universe[~np.isin(universe, ids, assume_unique=True)]
+
+
 def _eval_ast(node, per_term, allowed_ids, env=None):
     """AST → (sorted doc ids, float64 scores).  per_term: term → (ids, sc)."""
     if isinstance(node, Term):
@@ -207,12 +265,17 @@ def _eval_ast(node, per_term, allowed_ids, env=None):
     if isinstance(node, Phrase):
         return _eval_phrase(node, env)
     if isinstance(node, Range):  # match-all inside boolean context
-        return allowed_ids, np.zeros(len(allowed_ids))
+        u = env["universe"]
+        return u, np.zeros(len(u))
     if isinstance(node, Or):
-        parts = [_eval_ast(c, per_term, allowed_ids, env)
-                 for c in node.children]
-        if any(isinstance(c, Not) for c in node.children):
-            raise UnsupportedQuery("NOT inside OR is unsupported (v1)")
+        parts = []
+        for c in node.children:
+            if isinstance(c, Not):  # complement leg, score 0
+                cids, _ = _eval_ast(c.child, per_term, allowed_ids, env)
+                comp = _complement(cids, env)
+                parts.append((comp, np.zeros(len(comp))))
+            else:
+                parts.append(_eval_ast(c, per_term, allowed_ids, env))
         ids = np.unique(np.concatenate([p[0] for p in parts]))
         sc = np.zeros(len(ids))
         for pids, psc in parts:
@@ -221,6 +284,13 @@ def _eval_ast(node, per_term, allowed_ids, env=None):
     if isinstance(node, And):
         pos = [c for c in node.children if not isinstance(c, Not)]
         neg = [c.child for c in node.children if isinstance(c, Not)]
+        if not pos:
+            # all-negative conjunction: universe minus the union of the
+            # negated match sets (previously an IndexError — round-1 advice)
+            nids = np.unique(np.concatenate(
+                [_eval_ast(n, per_term, allowed_ids, env)[0] for n in neg]))
+            ids = _complement(nids, env)
+            return ids, np.zeros(len(ids))
         parts = [_eval_ast(c, per_term, allowed_ids, env) for c in pos]
         ids = parts[0][0]
         for p in parts[1:]:
@@ -249,6 +319,7 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                        deleted: np.ndarray | None = None,
                        cogroup: bool = True,
                        phrase_terms: set | None = None,
+                       needs_universe: bool = False,
                        k1: float = BM25_K1, b: float = BM25_B):
     """Build the per-shard kernel (two wire-ups, same body):
 
@@ -420,9 +491,23 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
             rows = by_term.get(t)
             if rows is not None:
                 per_term_pos[t] = decode_positions(rows)
+        # shard universe (live docs) for complement legs: the filtered docs
+        # side in cogroup mode, else the norms sidecar (covers every doc)
+        # minus broadcast tombstones.  Complement-then-filter == filter-
+        # then-complement for the AND-of-filters shape, so both paths agree.
+        if needs_universe:
+            if allowed is not None:
+                universe = allowed_ids
+            elif deleted_sorted is not None:
+                universe = norm_ids[
+                    ~np.isin(norm_ids, deleted_sorted)].astype(np.int64)
+            else:
+                universe = norm_ids.astype(np.int64)
+        else:
+            universe = np.empty(0, dtype=np.int64)
         env = {"per_term_pos": per_term_pos, "idf_map": idf_map,
                "norm_ids": norm_ids, "norm_vals": norm_vals,
-               "k1": k1, "b": b, "avgdl": avgdl}
+               "universe": universe, "k1": k1, "b": b, "avgdl": avgdl}
 
         empty = (np.empty(0, dtype=np.int64), np.empty(0))
         if not wand or k is None or scored_ast is None or not prunable:
@@ -671,9 +756,10 @@ class Searcher:
         # tombstones broadcast).  cogroup path: ships a filtered doc-store
         # side per shard — needed for range predicates / sort overrides.
         filters_as_terms = self._filters_as_field_terms(plan.filters)
+        # any Range surviving planning is the [* TO *] match-all, evaluated
+        # against the shard universe — both paths handle it
         fast = (eff_sort is None
                 and filters_as_terms is not None
-                and not self._has_range(plan.scored_ast)
                 and self._deleted_np is not None)
         zero_terms: set[str] = set()
         kernel_ast = plan.scored_ast
@@ -693,7 +779,13 @@ class Searcher:
         phrase_terms: set[str] = set()
         _collect_phrase_terms(kernel_ast, phrase_terms)
         all_terms = sorted(pos | neg | phrase_terms)
+        # nested metadata equality was rewritten to field terms ("lang=en")
+        # by the planner — they filter but never score, in either path
+        from .build import FIELD_TERMS
+        zero_terms |= {t for t in all_terms
+                       if "=" in t and t.split("=", 1)[0] in FIELD_TERMS}
         idf_map = self._idf_map([t for t in all_terms if t not in zero_terms])
+        needs_universe = _needs_universe(kernel_ast)
 
         W = self.shard_width
         fetch_terms = all_terms + [NORMS_TERM]
@@ -713,9 +805,10 @@ class Searcher:
         kernel = make_search_kernel(
             kernel_ast, idf_map, pos, neg, zero_terms, fetch, W, self.avgdl,
             (wand and not with_count and eff_sort is None
-             and not phrase_terms), eff_sort, sort_desc,
-            deleted=self._deleted_np if fast else None, cogroup=not fast,
-            phrase_terms=phrase_terms)
+             and not phrase_terms and not needs_universe), eff_sort,
+            sort_desc, deleted=self._deleted_np if fast else None,
+            cogroup=not fast, phrase_terms=phrase_terms,
+            needs_universe=needs_universe)
         if fast:
             cand = (postings.groupBy("shard")
                     .applyInPandas(kernel, "doc_id long, score double"))
