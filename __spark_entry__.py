@@ -379,6 +379,41 @@ _DOC_TOKS = ("list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),"
              " x -> x <> '')")
 
 
+def _ann_lsh_oracle(k: int = 5, n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB twin of ops.lsh_bucket_topk: the seeded hyperplanes are
+    inlined as literal doubles; projections are written as the same
+    left-associative double sums the Spark fold computes, so sign bits are
+    bit-identical; the Hamming-≤1 multi-probe is a character-distance
+    filter against the query's bucket computed from the same data."""
+    planes = ops.lsh_planes(n_planes, dim)
+
+    def bucket(col: str) -> str:
+        bits = []
+        for p in planes:
+            s = " + ".join(f"({col}[{i + 1}]::DOUBLE * {float(x)!r})"
+                           for i, x in enumerate(p))
+            bits.append(f"CASE WHEN 0.0 + {s} >= 0 THEN '1' ELSE '0' END")
+        return "concat(" + ", ".join(bits) + ")"
+
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+b AS (SELECT vec_id, embedding, {bucket('embedding')} AS bucket
+      FROM embeddings),
+qb AS (SELECT {bucket('qv')} AS bucket FROM q),
+cand AS (
+  SELECT b.vec_id, b.embedding FROM b, qb
+  WHERE len(list_filter(range(1, {n_planes + 1}),
+        i -> substr(b.bucket, i::INTEGER, 1)
+             <> substr(qb.bucket, i::INTEGER, 1))) <= 1),
+sz AS (SELECT count(*)::BIGINT AS bucket_size FROM cand),
+sims AS (SELECT vec_id,
+                list_cosine_similarity(embedding, (SELECT qv FROM q)) AS cos
+         FROM cand)
+SELECT row_number() OVER (ORDER BY cos DESC, vec_id)::BIGINT AS rank, vec_id,
+       (SELECT bucket_size FROM sz) AS bucket_size
+FROM sims ORDER BY cos DESC, vec_id LIMIT {k}"""
+
+
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
@@ -563,6 +598,18 @@ SELECT doc_id,
          AS n_bpe_tokens
 FROM documents"""
 
+    o["doc_fingerprint"] = f"""
+WITH t AS (SELECT doc_id, {_DOC_TOKS} AS ts FROM documents
+           WHERE doc_id % 20 = 0)
+SELECT doc_id,
+       (CASE WHEN len(ts) = 0 THEN 0
+             ELSE list_reduce(
+                    list_transform(ts,
+                        x -> ('0x' || substr(md5(x), 1, 7))::BIGINT),
+                    (acc, h) -> (acc * 1000003 + h) % 2147483647)
+        END)::BIGINT AS fingerprint
+FROM t"""
+
     o["media_features"] = """
 SELECT doc_id, length(text)::BIGINT AS n_bytes,
        (length(text) % 512)::BIGINT AS width,
@@ -576,6 +623,8 @@ sims AS (
   FROM embeddings)
 SELECT row_number() OVER (ORDER BY cos DESC, vec_id)::BIGINT AS rank, vec_id
 FROM sims ORDER BY cos DESC, vec_id LIMIT 10"""
+
+    o["ann_lsh_bucketed"] = _ann_lsh_oracle(k=5)
 
     o["tpch_q1"] = """
 SELECT l_returnflag, l_linestatus,

@@ -48,13 +48,32 @@ class OracleIndex:
 
     def _eval(self, node) -> dict[int, float]:
         if isinstance(node, Phrase):
-            # Lucene PhraseQuery: tf := phrase frequency, idf := Σ idfs
+            # Lucene PhraseQuery: tf := phrase frequency, idf := Σ idfs.
+            # slop > 0: ordered greedy earliest-next chain per first-term
+            # occurrence with total extra gap ≤ slop (engine-independent
+            # linear-scan implementation of the same documented semantics).
             idf_p = sum(self.idf(t) for t in node.terms)
             out = {}
             n = len(node.terms)
             for did, toks in self.tokens.items():
-                pf = sum(1 for i in range(len(toks) - n + 1)
-                         if tuple(toks[i:i + n]) == node.terms)
+                if node.slop:
+                    pf = 0
+                    for i0, t0 in enumerate(toks):
+                        if t0 != node.terms[0]:
+                            continue
+                        p, ok = i0, True
+                        for t in node.terms[1:]:
+                            q = next((j for j in range(p + 1, len(toks))
+                                      if toks[j] == t), None)
+                            if q is None:
+                                ok = False
+                                break
+                            p = q
+                        if ok and (p - i0) - (n - 1) <= node.slop:
+                            pf += 1
+                else:
+                    pf = sum(1 for i in range(len(toks) - n + 1)
+                             if tuple(toks[i:i + n]) == node.terms)
                 if pf:
                     dl = self.doclen[did]
                     out[did] = (idf_p * pf * (K1 + 1)

@@ -118,3 +118,77 @@ def test_salting_was_exercised(built_index):
     _cat, res = built_index
     g0 = res.stages.get("postings_g0", {})
     assert g0.get("hot_terms", 0) > 0, "test config must trigger hot-term salting"
+
+
+def test_blocks_shard_aligned_and_search_consistent(spark, tmp_path):
+    """Round-2 scale fix: with a forced small shard_width, no posting block
+    spans a shard boundary (block→shard routing is 1:1) and multi-shard
+    search stays rank-identical with the single-shard result."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from zsolr.build import BuildConfig, IndexBuilder
+    from zsolr.catalog import ManifestParquetCatalog
+    from zsolr.search import Searcher
+
+    words = ["alpha", "beta", "gamma", "delta", "query", "spark", "join"]
+    rng = np.random.default_rng(3)
+    rows = [("r", f"p{i:04d}", "c", "en",
+             " ".join(rng.choice(words, size=int(rng.integers(3, 12)))))
+            for i in range(300)]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+              " content string")
+    cat = ManifestParquetCatalog(str(tmp_path / "aligned-idx"))
+    W = 64  # forces ~5 shards over 300 docs
+    IndexBuilder(cat, BuildConfig(n_buckets=4, shard_width=W)).build(
+        spark, "aligned-corpus", corpus_df=corpus)
+
+    stats = cat.read(spark, "index_stats").collect()[0]
+    assert int(stats["shard_width"]) == W
+    spans = (cat.read(spark, "postings")
+             .filter(F.expr(f"first_doc DIV {W} <> last_doc DIV {W}"))
+             .count())
+    assert spans == 0
+
+    multi = Searcher(spark, cat)          # adopts stored W=64 → 5 shards
+    assert multi.shard_width == W
+    single = Searcher(spark, cat, shard_width=100_000)  # 1 shard
+    for q in ("alpha", "query AND spark", "beta OR NOT join"):
+        a = [(r["doc_id"], r["score"]) for r in multi.search(q, k=10).collect()]
+        b = [(r["doc_id"], r["score"]) for r in single.search(q, k=10).collect()]
+        assert a == b, q
+
+
+def test_pfor_codec_end_to_end(spark, tmp_path):
+    """BuildConfig(codec=PFOR) round-trips through build + search with
+    results identical to a varint-coded index; index_stats records codec=3."""
+    import numpy as np
+
+    from zsolr import codec as zcodec
+    from zsolr.build import BuildConfig, IndexBuilder
+    from zsolr.catalog import ManifestParquetCatalog
+    from zsolr.search import Searcher
+
+    words = ["alpha", "beta", "gamma", "query", "spark", "join", "the"]
+    rng = np.random.default_rng(5)
+    rows = [("r", f"p{i:04d}", "c", "en",
+             " ".join(rng.choice(words, size=int(rng.integers(3, 15)))))
+            for i in range(150)]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+              " content string")
+    results = {}
+    for name, cdc in (("varint", zcodec.CODEC_VARINT),
+                      ("pfor", zcodec.CODEC_PFOR)):
+        cat = ManifestParquetCatalog(str(tmp_path / f"idx-{name}"))
+        IndexBuilder(cat, BuildConfig(n_buckets=4, codec=cdc)).build(
+            spark, f"c-{name}", corpus_df=corpus)
+        if name == "pfor":
+            st = cat.read(spark, "index_stats").collect()[0]
+            assert int(st["codec"]) == zcodec.CODEC_PFOR
+        s = Searcher(spark, cat)
+        results[name] = {
+            q: [(r["doc_id"], r["score"]) for r in s.search(q, k=10).collect()]
+            for q in ("spark", "query AND join", '"alpha beta"')}
+    assert results["varint"] == results["pfor"]

@@ -6,7 +6,7 @@ import pytest
 from zsolr import codec
 
 
-@pytest.mark.parametrize("c", [codec.CODEC_VARINT, codec.CODEC_BITPACK])
+@pytest.mark.parametrize("c", [codec.CODEC_VARINT, codec.CODEC_BITPACK, codec.CODEC_PFOR])
 def test_roundtrip_small(c):
     for arr in (
         np.array([], dtype=np.uint64),
@@ -17,7 +17,7 @@ def test_roundtrip_small(c):
         assert np.array_equal(out, arr), (c, arr, out)
 
 
-@pytest.mark.parametrize("c", [codec.CODEC_VARINT, codec.CODEC_BITPACK])
+@pytest.mark.parametrize("c", [codec.CODEC_VARINT, codec.CODEC_BITPACK, codec.CODEC_PFOR])
 @pytest.mark.parametrize("seed", range(5))
 def test_roundtrip_random(c, seed):
     rng = np.random.default_rng(seed)
@@ -30,7 +30,7 @@ def test_roundtrip_random(c, seed):
     assert np.array_equal(codec.decode_u64(codec.encode_u64(arr, c)), arr)
 
 
-@pytest.mark.parametrize("c", [codec.CODEC_VARINT, codec.CODEC_BITPACK])
+@pytest.mark.parametrize("c", [codec.CODEC_VARINT, codec.CODEC_BITPACK, codec.CODEC_PFOR])
 def test_blocks_roundtrip_and_blockmax(c):
     rng = np.random.default_rng(42)
     n = 1000
@@ -56,3 +56,51 @@ def test_varint_compression_effective():
     gaps = np.full(10_000, 3, dtype=np.uint64)
     blob = codec.encode_u64(gaps, codec.CODEC_VARINT)
     assert len(blob) < 10_100
+
+
+def test_block_starts_alignment():
+    """block_starts: every `block_size` postings AND at every docID shard
+    boundary; equivalent to the naive per-segment computation."""
+    import numpy as np
+
+    from zsolr import codec
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        n = int(rng.integers(1, 2000))
+        ids = np.sort(rng.choice(100_000, size=n, replace=False))
+        bs = int(rng.integers(2, 200))
+        aw = int(rng.integers(10, 5000))
+        got = codec.block_starts(ids, bs, aw)
+        # naive oracle
+        exp = []
+        seg_start = 0
+        for i in range(1, n + 1):
+            if i == n or ids[i] // aw != ids[i - 1] // aw:
+                exp.extend(range(seg_start, i, bs))
+                seg_start = i
+        assert got.tolist() == exp, (n, bs, aw)
+        # no block spans a shard boundary
+        f, l, cnt, gb, tb, mx = codec.encode_blocks(
+            ids, np.ones(n, dtype=np.int64), block_size=bs, starts=got)
+        assert all(a // aw == b // aw for a, b in zip(f, l))
+        # roundtrip over aligned blocks reconstructs the full list
+        dec = np.concatenate([
+            codec.decode_block(f[i], gb[i], tb[i])[0] for i in range(len(f))])
+        assert (dec == ids).all()
+
+
+def test_pfor_beats_varint_on_skewed_gaps():
+    """Patched PFor (I6 v2): mostly-small gaps with rare huge outliers —
+    patching keeps the base width at the 90th percentile instead of the
+    max, so the blob beats varint AND the no-exception bitpack."""
+    rng = np.random.default_rng(9)
+    gaps = rng.integers(1, 8, 2048).astype(np.uint64)     # 3-bit bodies
+    gaps[rng.choice(2048, 20, replace=False)] = rng.integers(
+        2**40, 2**50, 20).astype(np.uint64)               # rare outliers
+    pfor = codec.encode_u64(gaps, codec.CODEC_PFOR)
+    varint = codec.encode_u64(gaps, codec.CODEC_VARINT)
+    bitpack = codec.encode_u64(gaps, codec.CODEC_BITPACK)
+    assert np.array_equal(codec.decode_u64(pfor), gaps)
+    assert len(pfor) < len(varint)
+    assert len(pfor) < len(bitpack) / 4  # bitpack pays max-width for all

