@@ -153,6 +153,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf, "lang:en OR spark")
     q["or_with_not"] = lambda spark, sf: _match_ids(
         spark, sf, "hash OR NOT join")
+    # round-2: PrefixQuery (constant-score term expansion) + clause boosts
+    q["prefix_search"] = lambda spark, sf: _match_ids(spark, sf, "st*")
+
+    def boosted_or(spark, sf):
+        from pyspark.sql import Window
+
+        _cat, s = _index(spark, sf)
+        out = s.search("spark^2 OR join", k=10)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.select(F.row_number().over(w).cast("long").alias("rank"),
+                          "doc_id")
+    q["boosted_or"] = boosted_or
 
     def topk_bm25(spark, sf):
         from pyspark.sql import Window
@@ -475,6 +487,20 @@ UNION SELECT doc_id FROM tf WHERE term = 'spark'"""
 SELECT doc_id FROM tf WHERE term = 'hash'
 UNION (SELECT doc_id FROM ids
        EXCEPT SELECT doc_id FROM tf WHERE term = 'join')"""
+
+    o["prefix_search"] = f"""{_BASE}
+SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'st%'"""
+
+    o["boosted_or"] = f"""{_BASE},
+scored AS (
+  SELECT tf.doc_id,
+         sum((CASE WHEN tf.term = 'spark' THEN 2.0 ELSE 1.0 END)
+             * {_SCORE}) AS score
+  FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats st
+  WHERE tf.term IN ('spark', 'join')
+  GROUP BY tf.doc_id)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank, doc_id
+FROM scored ORDER BY score DESC, doc_id LIMIT 10"""
 
     o["topk_bm25"] = f"""{_BASE},
 scored AS (

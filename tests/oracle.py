@@ -11,7 +11,7 @@ import math
 import re
 from collections import Counter
 
-from zsolr.parse import And, Not, Or, Phrase, Range, Term
+from zsolr.parse import And, Boost, Not, Or, Phrase, Prefix, Range, Term
 
 K1, B = 1.2, 0.75
 
@@ -98,6 +98,14 @@ class OracleIndex:
                     continue
                 out[d] = 0.0
             return out
+        if isinstance(node, Prefix):
+            # Lucene PrefixQuery: constant-score (0) over docs containing
+            # any token with the prefix
+            return {d: 0.0 for d, toks in self.tokens.items()
+                    if any(t.startswith(node.prefix) for t in toks)}
+        if isinstance(node, Boost):
+            return {d: s * node.weight
+                    for d, s in self._eval(node.child).items()}
         if isinstance(node, Or):
             out: dict[int, float] = {}
             for c in node.children:

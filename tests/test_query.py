@@ -86,3 +86,21 @@ def test_builders_parse_back():
 def test_analyzer_applied_to_query_terms():
     assert P.parse("SPARK") == P.Term("spark")
     assert P.parse("Foo-Bar") == P.And((P.Term("foo"), P.Term("bar")))
+
+
+def test_prefix_and_boost_builders():
+    import pytest
+
+    from zsolr import query as q
+    from zsolr.parse import Boost, Phrase, Prefix, parse
+
+    assert q.prefix("spar") == "spar*"
+    with pytest.raises(ValueError):
+        q.prefix("a b")
+    assert q.boost("spark", 2) == "spark^2"
+    assert q.boost('"sort merge"', 1.5) == '"sort merge"^1.5'
+    ast = parse(q.and_(q.prefix("spar"), q.boost("spark", 2)))
+    assert isinstance(ast.children[0], Prefix)
+    assert isinstance(ast.children[1], Boost)
+    b = parse(q.boost('"sort merge"', 1.5))
+    assert isinstance(b, Boost) and isinstance(b.child, Phrase)

@@ -243,6 +243,41 @@ def test_slop_widens_match_set(searcher):
     assert counts[0] < counts[2]  # slop genuinely widens on this corpus
 
 
+@pytest.mark.parametrize("q", [
+    "st*",                       # prefix, constant-score
+    "sor* AND spark",            # prefix AND scored term
+    "spar* AND spark",           # expansion overlaps a scored term
+    "qu* OR NOT join",           # prefix + complement leg
+    "spark^2 OR join",           # term boost changes ranking
+    "spark^2 AND NOT slow",
+    '"sort merge"^3 OR spark',   # phrase boost
+    '"sort merge"~2^2',          # slop + boost combined
+    "scan^0.5 OR spark^2",
+])
+def test_prefix_and_boost_queries(searcher, oracle, q):
+    """PrefixQuery (constant-score expansion) + clause boosts: rank + score
+    identity vs the oracle; numFound exact."""
+    got, n = searcher.search(q, k=10, with_count=True)
+    got = [(r["doc_id"], r["score"]) for r in got.collect()]
+    exp = oracle.search(parse(q), k=10)
+    assert [g[0] for g in got] == [e[0] for e in exp], q
+    for g, e in zip(got, exp):
+        assert abs(g[1] - e[1]) < 1e-9, (q, g, e)
+    assert n == oracle.num_found(parse(q)), q
+
+
+def test_prefix_no_match_and_cap(searcher):
+    df, n = searcher.search("zzz*", k=10, with_count=True)
+    assert n == 0 and df.count() == 0
+    from zsolr.parse import Boost, Phrase, Prefix
+    ast = parse('spar* AND "a b"~1^2')
+    assert isinstance(ast.children[0], Prefix)
+    assert isinstance(ast.children[1], Boost)
+    assert ast.children[1].weight == 2.0
+    assert isinstance(ast.children[1].child, Phrase)
+    assert ast.children[1].child.slop == 1
+
+
 def test_phrase_stricter_than_and(searcher, oracle):
     """A phrase must match a subset of the AND of its terms."""
     _p, np_ = searcher.search('"sort merge"', k=5, with_count=True)

@@ -52,6 +52,22 @@ class Phrase:
 
 
 @dataclass(frozen=True)
+class Prefix:
+    """``spar*`` — Lucene PrefixQuery.  Rewritten at plan time to the set
+    of matching index terms (capped, Lucene maxBooleanClauses-style) and
+    evaluated CONSTANT-SCORE (Lucene's default multi-term rewrite)."""
+    prefix: str
+    field: str = "content"
+
+
+@dataclass(frozen=True)
+class Boost:
+    """``term^2`` / ``"a b"^1.5`` — multiplies the child clause's score."""
+    child: object
+    weight: float
+
+
+@dataclass(frozen=True)
 class And:
     children: tuple
 
@@ -168,6 +184,13 @@ class _Parser:
             if self.peek()[0] == "colon":
                 self.pop()
                 return self._fielded(_unescape(val))
+            m = re.fullmatch(r"(.+)\^(\d+(?:\.\d+)?)", val)
+            if m:  # term boost: term^2
+                return Boost(self._phrase(_unescape(m.group(1)), "content"),
+                             float(m.group(2)))
+            m = re.fullmatch(r"([A-Za-z0-9]+)\*", val)
+            if m:  # prefix query: spar*
+                return Prefix(m.group(1).lower())
             return self._phrase(_unescape(val), "content")
         raise ValueError(f"unexpected token {kind}:{val}")
 
@@ -185,13 +208,18 @@ class _Parser:
         raise ValueError(f"bad fielded value for {name}")
 
     def _maybe_slop(self, node):
-        """Consume a trailing ``~k`` after a quoted phrase (Lucene slop)."""
+        """Consume trailing ``~k`` (slop) and/or ``^w`` (boost) after a
+        quoted phrase — Lucene allows ``"a b"~2^3``."""
         kind, val = self.peek()
-        if kind == "word" and re.fullmatch(r"~\d+", val):
+        if kind == "word" and re.fullmatch(
+                r"(~\d+)?(\^\d+(?:\.\d+)?)?", val) and val:
             self.pop()
-            if isinstance(node, Phrase):
-                return Phrase(node.terms, node.field, int(val[1:]))
-            return node  # single-token quote: slop is a no-op
+            m = re.fullmatch(r"(?:~(\d+))?(?:\^(\d+(?:\.\d+)?))?", val)
+            slop = int(m.group(1)) if m.group(1) else 0
+            if slop and isinstance(node, Phrase):
+                node = Phrase(node.terms, node.field, slop)
+            if m.group(2):
+                node = Boost(node, float(m.group(2)))
         return node
 
     def _range(self, name: str):

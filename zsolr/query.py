@@ -65,3 +65,17 @@ def datetime_range(name: str, start: datetime | None, end: datetime | None) -> s
 
 def bool_field(name: str, value: bool) -> str:
     return f"{name}:{'true' if value else 'false'}"
+
+
+def prefix(text: str) -> str:
+    """PrefixQuery fragment: ``text*`` (single alphanumeric token)."""
+    if not text.isalnum():
+        raise ValueError("prefix() takes a single alphanumeric token")
+    return f"{text}*"
+
+
+def boost(term_or_phrase: str, weight: float) -> str:
+    """Clause boost ``q^w`` — applies to a term or quoted phrase (the
+    grammar attaches ``^w`` to term/phrase clauses, like Lucene)."""
+    w = int(weight) if float(weight).is_integer() else weight
+    return f"{term_or_phrase}^{w}"

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 from . import BM25_B, BM25_K1, codec
 from .build import NORMS_TERM, term_bucket
 from .catalog import ManifestParquetCatalog
-from .parse import And, Not, Or, Phrase, Range, Term, parse
+from .parse import And, Boost, Not, Or, Phrase, Prefix, Range, Term, parse
 
 DOC_META_FIELDS = ("repo", "path", "commit", "lang")
 
@@ -57,6 +57,15 @@ def idf(n_docs: int, df: int) -> float:
 
 
 # --------------------------------------------------------------- planning --
+
+
+@dataclass(frozen=True)
+class ConstSet:
+    """Constant-score union of index terms — the PrefixQuery rewrite.
+    Evaluates to the union of the terms' posting docIDs with score 0.0
+    (Lucene's constant-score multi-term rewrite), independent of whether
+    the same terms also appear scored elsewhere in the query."""
+    terms: tuple
 
 
 @dataclass
@@ -85,6 +94,9 @@ def _collect_terms(node, out: list[str]):
             _collect_terms(c, out)
     elif isinstance(node, Not):
         _collect_terms(node.child, out)
+    elif isinstance(node, Boost):
+        _collect_terms(node.child, out)
+    # Prefix: terms unknown until plan-time expansion (Searcher._expand_ast)
 
 
 def _collect_phrase_terms(node, out: set):
@@ -93,7 +105,7 @@ def _collect_phrase_terms(node, out: set):
     elif isinstance(node, (And, Or)):
         for c in node.children:
             _collect_phrase_terms(c, out)
-    elif isinstance(node, Not):
+    elif isinstance(node, (Not, Boost)):
         _collect_phrase_terms(node.child, out)
 
 
@@ -129,6 +141,12 @@ def _rewrite_nested(node):
             f" metadata field")
     if isinstance(node, Phrase):
         return node
+    if isinstance(node, Prefix):
+        if node.field != "content":
+            raise UnsupportedQuery("prefix queries only on content")
+        return node
+    if isinstance(node, Boost):
+        return Boost(_rewrite_nested(node.child), node.weight)
     if isinstance(node, And):
         return And(tuple(_rewrite_nested(c) for c in node.children))
     if isinstance(node, Or):
@@ -150,8 +168,18 @@ def _needs_universe(node) -> bool:
     if isinstance(node, And):
         return (all(isinstance(c, Not) for c in node.children)
                 or any(_needs_universe(c) for c in node.children))
-    if isinstance(node, Not):
+    if isinstance(node, (Not, Boost)):
         return _needs_universe(node.child)
+    return False
+
+
+def _has_boost(node) -> bool:
+    if isinstance(node, Boost):
+        return True
+    if isinstance(node, (And, Or)):
+        return any(_has_boost(c) for c in node.children)
+    if isinstance(node, Not):
+        return _has_boost(node.child)
     return False
 
 
@@ -304,6 +332,15 @@ def _eval_ast(node, per_term, allowed_ids, env=None):
     if isinstance(node, Range):  # match-all inside boolean context
         u = env["universe"]
         return u, np.zeros(len(u))
+    if isinstance(node, Boost):
+        ids, sc = _eval_ast(node.child, per_term, allowed_ids, env)
+        return ids, sc * node.weight
+    if isinstance(node, ConstSet):
+        if not node.terms:
+            return np.empty(0, dtype=np.int64), np.empty(0)
+        ids = np.unique(np.concatenate(
+            [per_term[t][0] for t in node.terms]))
+        return ids, np.zeros(len(ids))
     if isinstance(node, Or):
         parts = []
         for c in node.children:
@@ -753,6 +790,8 @@ class Searcher:
                 self._neg_terms(c, acc, under_not)
         elif isinstance(node, Not):
             self._neg_terms(node.child, acc, True)
+        elif isinstance(node, Boost):
+            self._neg_terms(node.child, acc, under_not)
 
     def _pos_terms(self, node, acc: set):
         if isinstance(node, Term):
@@ -760,7 +799,52 @@ class Searcher:
         elif isinstance(node, (And, Or)):
             for c in node.children:
                 self._pos_terms(c, acc)
+        elif isinstance(node, Boost):
+            self._pos_terms(node.child, acc)
         # Not children deliberately skipped
+
+    # -- prefix expansion (Lucene PrefixQuery rewrite) -----------------------
+    def _expand_prefix(self, prefix: str, cap: int = 1024) -> list[str]:
+        """prefix → matching index terms, from the (tiny) term_stats table
+        with a StringStartsWith parquet pushdown; capped like Lucene's
+        maxBooleanClauses.  Memoized per searcher."""
+        key = f"\x01pfx:{prefix}"
+        if key not in self._df_cache:
+            rows = (self._term_stats
+                    .filter(F.col("term").startswith(prefix)
+                            & ~F.col("term").contains("=")
+                            & ~F.col("term").startswith("\x00"))
+                    .select("term").limit(cap + 1).collect())
+            terms = sorted(r["term"] for r in rows)
+            if len(terms) > cap:
+                raise UnsupportedQuery(
+                    f"prefix {prefix}* expands to >{cap} terms")
+            self._df_cache[key] = terms
+        return self._df_cache[key]
+
+    def _expand_ast(self, node):
+        """Replace Prefix nodes with ConstSet term unions."""
+        if isinstance(node, Prefix):
+            return ConstSet(tuple(self._expand_prefix(node.prefix)))
+        if isinstance(node, And):
+            return And(tuple(self._expand_ast(c) for c in node.children))
+        if isinstance(node, Or):
+            return Or(tuple(self._expand_ast(c) for c in node.children))
+        if isinstance(node, Not):
+            return Not(self._expand_ast(node.child))
+        if isinstance(node, Boost):
+            return Boost(self._expand_ast(node.child), node.weight)
+        return node
+
+    @staticmethod
+    def _const_terms(node, acc: set):
+        if isinstance(node, ConstSet):
+            acc.update(node.terms)
+        elif isinstance(node, (And, Or)):
+            for c in node.children:
+                Searcher._const_terms(c, acc)
+        elif isinstance(node, (Not, Boost)):
+            Searcher._const_terms(node.child, acc)
 
     # -- main entry ----------------------------------------------------------
     def search(self, q, k: int | None = 10, start: int = 0,
@@ -818,18 +902,26 @@ class Searcher:
                 zero_terms.add(ft)
             kernel_ast = And(tuple(conjuncts))
 
+        if kernel_ast is not None:
+            kernel_ast = self._expand_ast(kernel_ast)
         neg: set[str] = set()
         self._neg_terms(kernel_ast, neg)
         pos: set[str] = set()
         self._pos_terms(kernel_ast, pos)
         phrase_terms: set[str] = set()
         _collect_phrase_terms(kernel_ast, phrase_terms)
-        all_terms = sorted(pos | neg | phrase_terms)
+        const_terms: set[str] = set()
+        self._const_terms(kernel_ast, const_terms)
+        all_terms = sorted(pos | neg | phrase_terms | const_terms)
         # nested metadata equality was rewritten to field terms ("lang=en")
         # by the planner — they filter but never score, in either path
         from .build import FIELD_TERMS
         zero_terms |= {t for t in all_terms
                        if "=" in t and t.split("=", 1)[0] in FIELD_TERMS}
+        # prefix-expanded terms used ONLY constant-score skip idf/scoring in
+        # decode; a term that is also scored elsewhere stays scored (the
+        # ConstSet leg zeroes itself at eval time either way)
+        zero_terms |= const_terms - pos - neg - phrase_terms
         idf_map = self._idf_map([t for t in all_terms if t not in zero_terms])
         needs_universe = _needs_universe(kernel_ast)
 
@@ -851,7 +943,8 @@ class Searcher:
         kernel = make_search_kernel(
             kernel_ast, idf_map, pos, neg, zero_terms, fetch, W, self.avgdl,
             (wand and not with_count and eff_sort is None
-             and not phrase_terms and not needs_universe), eff_sort,
+             and not phrase_terms and not needs_universe
+             and not _has_boost(kernel_ast)), eff_sort,
             sort_desc, deleted=self._deleted_np if fast else None,
             cogroup=not fast, phrase_terms=phrase_terms,
             needs_universe=needs_universe)
