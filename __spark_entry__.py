@@ -237,6 +237,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["media_features"] = lambda spark, sf: ops.media_features(
         _docs(spark, sf))
 
+    def dedup_emb_cosine(spark, sf):
+        """Embedding near-dup pairs over the fixture augmented with scaled
+        copies (vec_id+10000, 2·v): exact-direction duplicates collide in
+        every LSH band, so the banded-candidate → exact-verify pipeline is
+        provably complete here and the brute-force SQL oracle must agree."""
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id", "embedding")
+        dup = emb.select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.transform("embedding",
+                        lambda x: (x * F.lit(2.0)).cast("float"))
+            .alias("embedding"))
+        return ops.dedup_embedding_cosine(emb.unionByName(dup), tau=0.99)
+    q["dedup_embedding_cosine"] = dedup_emb_cosine
+
     def ann_cosine(spark, sf):
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         qv = [float(x) for x in
@@ -641,6 +656,19 @@ SELECT doc_id, length(text)::BIGINT AS n_bytes,
        (length(text) % 512)::BIGINT AS width,
        ((length(text) // 7) % 512)::BIGINT AS height
 FROM documents"""
+
+    o["dedup_embedding_cosine"] = """
+WITH aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000,
+         list_transform(embedding, x -> CAST(x * 2 AS REAL))
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_cosine_similarity(a.embedding, b.embedding) AS cos
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id)
+SELECT vec_a, vec_b, round(cos, 6) AS cos FROM pairs WHERE cos >= 0.99"""
 
     o["ann_cosine_topk"] = """
 WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

@@ -187,3 +187,31 @@ def test_media_features_stub(spark, docs_df):
             (n, n % 512, (n // 7) % 512)
     with pytest.raises(NotImplementedError):
         ops.media_decode_stub(b"\x89PNG")
+
+
+def test_dedup_embedding_cosine_planted(spark):
+    """Banded-LSH candidate pairs + exact cosine verify: every reported
+    pair really is >= tau (precision, numpy-checked) and >=90% of planted
+    noisy near-dups are recovered (recall)."""
+    rng = np.random.default_rng(17)
+    dim = 64
+    rows = []
+    for i in range(30):
+        v = rng.standard_normal(dim)
+        rows.append((i, [float(x) for x in v]))
+        rows.append((1000 + i,
+                     [float(x) for x in v + 0.012 * rng.standard_normal(dim)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ops.dedup_embedding_cosine(emb, tau=0.98).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in out}
+    m = {r[0]: np.asarray(r[1], dtype=np.float64) for r in rows}
+
+    def cosine(a, b):
+        return m[a] @ m[b] / (np.linalg.norm(m[a]) * np.linalg.norm(m[b]))
+
+    for a, b in pairs:
+        assert cosine(a, b) >= 0.98 - 1e-9, (a, b)
+    planted = {(i, 1000 + i) for i in range(30) if cosine(i, 1000 + i) >= 0.98}
+    assert planted, "fixture sanity: planted dups exist"
+    recall = len(pairs & planted) / len(planted)
+    assert recall >= 0.9, recall

@@ -211,6 +211,58 @@ def lsh_bucket_topk(embeddings: DataFrame, query_vec: list[float],
     return exact.crossJoin(F.broadcast(size))
 
 
+def dedup_embedding_cosine(embeddings: DataFrame, tau: float = 0.99,
+                           n_planes: int = 8, bands: int = 2,
+                           vec_col: str = "embedding",
+                           id_col: str = "vec_id",
+                           seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector twin of
+    minhash_lsh_pairs: ``bands`` independent hyperplane tables bucket each
+    vector; candidate pairs collide in ANY band (equi-join on
+    (band, bucket) — the shuffle is on bucket keys, never an O(n²) cross
+    join); an exact codegen cosine then keeps pairs ≥ tau.
+
+    Identical vectors collide in every band (recall 1.0 for exact dups);
+    near-dups miss only if every band flips a sign — P ≈ (m·θ/π)^bands.
+    → (vec_a, vec_b, cos) with vec_a < vec_b."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    band_cols = []
+    for bnd in range(bands):
+        planes = lsh_planes(n_planes, dim, seed + 101 * bnd)
+        bits = []
+        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        for p in planes:
+            arr = F.array(*[F.lit(float(x)) for x in p])
+            proj = F.aggregate(F.zip_with(v, arr, lambda a, b: a * b),
+                               F.lit(0.0), lambda acc, x: acc + x)
+            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+        band_cols.append(F.concat(F.lit(f"{bnd}:"), *bits))
+    bucketed = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"),
+        F.explode(F.array(*band_cols)).alias("bucket"))
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cand = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_a"),
+                    F.col("b.vec_id").alias("vec_b"),
+                    F.col("a.emb").alias("ea"), F.col("b.emb").alias("eb"))
+            .dropDuplicates(["vec_a", "vec_b"]))
+
+    def _d(u, w):
+        return F.aggregate(
+            F.zip_with(F.transform(u, lambda x: x.cast("double")),
+                       F.transform(w, lambda x: x.cast("double")),
+                       lambda x, y: x * y),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    cos = _d(F.col("ea"), F.col("eb")) / (
+        F.sqrt(_d(F.col("ea"), F.col("ea")))
+        * F.sqrt(_d(F.col("eb"), F.col("eb"))))
+    return (cand.withColumn("cos", cos)
+            .filter(F.col("cos") >= tau)
+            .select("vec_a", "vec_b", F.round("cos", 6).alias("cos")))
+
+
 # ------------------------------------------------------------ text analysis ---
 
 def lang_id_heuristic(docs: DataFrame, text_col: str = "text",
