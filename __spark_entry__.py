@@ -266,6 +266,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ops.lsh_bucket_topk(emb, qv, k=5)
     q["ann_lsh_bucketed"] = ann_lsh
 
+    def ann_ivf(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        return ops.ann_ivf_topk(emb, qv, k=5, n_cells=8, nprobe=2)
+    q["ann_ivf_topk"] = ann_ivf
+
     # ---- harness breadth: TPC-H-ish + events (SURVEY §2.4, non-parity) ----
     def tpch_q1(spark, sf):
         li = spark.read.parquet(f"{sf}/lineitem.parquet")
@@ -438,6 +445,51 @@ sims AS (SELECT vec_id,
          FROM cand)
 SELECT row_number() OVER (ORDER BY cos DESC, vec_id)::BIGINT AS rank, vec_id,
        (SELECT bucket_size FROM sz) AS bucket_size
+FROM sims ORDER BY cos DESC, vec_id LIMIT {k}"""
+
+
+def _ann_ivf_oracle(k: int = 5, n_cells: int = 8, nprobe: int = 2,
+                    dim: int = 64) -> str:
+    """DuckDB twin of ops.ann_ivf_topk: centroids inlined as literals;
+    cell = 0-based first-index-of-max over the same left-associative dot
+    sums (list_position + list_aggregate max ↔ Spark array_position +
+    array_max — identical tie rule); probes computed in numpy here since
+    the centroids are seeded constants."""
+    import numpy as np
+
+    cents = ops.ivf_centroids(n_cells, dim)
+
+    def dot(col: str, c) -> str:
+        return "0.0 + " + " + ".join(
+            f"({col}[{i + 1}]::DOUBLE * {float(x)!r})"
+            for i, x in enumerate(c))
+
+    dots = "list_value(" + ", ".join(
+        dot("embedding", c) for c in cents) + ")"
+    # probes for the vec_id=0 query are data-dependent; but cells are a
+    # pure function of the embedding, so filter by recomputed cell ranks
+    # of the QUERY vector done via a scalar subquery on the same dots list
+    qdots = "list_value(" + ", ".join(
+        dot("qv", c) for c in cents) + ")"
+    return f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+qd AS (SELECT {qdots} AS l FROM q),
+probes AS (
+  SELECT j - 1 AS cell
+  FROM qd, range(1, {n_cells + 1}) t(j)
+  ORDER BY l[j::INTEGER] DESC, j LIMIT {nprobe}),
+b AS (
+  SELECT vec_id, embedding,
+         (list_position({dots},
+                        list_aggregate({dots}, 'max')) - 1) AS cell
+  FROM embeddings),
+cand AS (SELECT b.* FROM b WHERE cell IN (SELECT cell FROM probes)),
+sz AS (SELECT count(*)::BIGINT AS n_cand FROM cand),
+sims AS (SELECT vec_id,
+                list_cosine_similarity(embedding, (SELECT qv FROM q)) AS cos
+         FROM cand)
+SELECT row_number() OVER (ORDER BY cos DESC, vec_id)::BIGINT AS rank, vec_id,
+       (SELECT n_cand FROM sz) AS n_cand
 FROM sims ORDER BY cos DESC, vec_id LIMIT {k}"""
 
 
@@ -680,6 +732,8 @@ FROM sims ORDER BY cos DESC, vec_id LIMIT 10"""
 
     o["ann_lsh_bucketed"] = _ann_lsh_oracle(k=5)
 
+    o["ann_ivf_topk"] = _ann_ivf_oracle(k=5, n_cells=8, nprobe=2)
+
     o["tpch_q1"] = """
 SELECT l_returnflag, l_linestatus,
        sum(floor(l_quantity))::BIGINT AS sum_qty,
@@ -732,7 +786,7 @@ SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS hour_s, event_type,
        sum(floor(value * 1000))::BIGINT AS sum_value_milli
 FROM events GROUP BY 1, 2"""
 
-    # rows-only (no SQL twin): search_e2e covers scores via pytest oracle;
-    # ann_lsh_bucketed (seeded hyperplanes), doc_fingerprint (rolling hash),
-    # dedup pipelines' Spark-side internals are checked in tests/.
+    # round 2: every queries() entry has a DuckDB twin (zero rows-only
+    # checks); BM25 *scores* are additionally verified to atol 1e-9 against
+    # the pure-Python oracle in tests/ (the driver compare is rank-based).
     return o

@@ -215,3 +215,44 @@ def test_dedup_embedding_cosine_planted(spark):
     assert planted, "fixture sanity: planted dups exist"
     recall = len(pairs & planted) / len(planted)
     assert recall >= 0.9, recall
+
+
+def test_ann_ivf_matches_bruteforce_on_probed_cells(spark, sf_dir):
+    """IVF: Spark cell assignment == numpy argmax assignment; top-k inside
+    the probed cells == numpy brute force over the same candidate set;
+    pruning is real (n_cand < N)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.collect()
+    mat = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = np.array([r["vec_id"] for r in rows])
+    q = mat[ids.tolist().index(0)]
+    cents = ops.ivf_centroids(8, 64)
+    cells = np.argmax(mat @ cents.T, axis=1)
+    probes = np.argsort(-(cents @ q))[:2]
+    cand_mask = np.isin(cells, probes)
+    cm, ci = mat[cand_mask], ids[cand_mask]
+    cos = (cm @ q) / (np.linalg.norm(cm, axis=1) * np.linalg.norm(q))
+    exp = ci[np.lexsort((ci, -cos))[:5]].tolist()
+    out = ops.ann_ivf_topk(emb, q.tolist(), k=5, n_cells=8, nprobe=2) \
+        .orderBy("rank").collect()
+    assert [r["vec_id"] for r in out] == exp
+    assert out[0]["n_cand"] == int(cand_mask.sum()) < len(ids)
+
+
+def test_ann_ivf_recall_on_planted_clusters(spark):
+    """Planted near-dups of the query land in the query's cell → IVF with
+    nprobe=2 recovers ≥0.9 of the true top-10."""
+    rng = np.random.default_rng(23)
+    dim = 64
+    qv = rng.standard_normal(dim)
+    qv /= np.linalg.norm(qv)
+    rows = [(i, [float(x) for x in qv + 0.012 * rng.standard_normal(dim)])
+            for i in range(10)]
+    rows += [(100 + i, [float(x) for x in rng.standard_normal(dim)])
+             for i in range(500)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ops.ann_ivf_topk(emb, qv.tolist(), k=10, n_cells=8, nprobe=2) \
+        .collect()
+    got = {r["vec_id"] for r in out}
+    assert len(got & set(range(10))) / 10 >= 0.9
+    assert out[0]["n_cand"] < 350  # pruning, not a full scan

@@ -15,6 +15,7 @@ baseline with an LSH-bucketed variant as the 100 TB path.
 
 from __future__ import annotations
 
+from functools import reduce
 from typing import Iterator
 
 import numpy as np
@@ -75,15 +76,25 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     """MinHash + LSH near-dup candidates: band the signature, bucket-join.
 
     Candidate pairs come from equi-joining band keys — the shuffle is on
-    (band, h1, h2) and no cross join ever materializes, which is the whole
-    point at 10^9 docs.  → (doc_a, doc_b) distinct, doc_a < doc_b."""
-    sig = minhash_signatures(docs, text_col, id_col, n_hashes)
-    bands = (sig.withColumn("band", (F.col("k") / band_rows).cast("int"))
-             .withColumn("slot", F.pmod(F.col("k"), F.lit(band_rows)))
-             .groupBy("doc_id", "band")
-             .agg(F.sort_array(F.collect_list(
-                 F.struct("slot", "minhash"))).alias("sig"))
-             .withColumn("sig", F.col("sig").cast("string")))
+    (band, sig) and no cross join ever materializes, which is the whole
+    point at 10^9 docs.  The k min-hashes are computed as k aggregate
+    COLUMNS in one doc_id-keyed aggregation (the earlier seed-explode
+    amplified the shuffle ×k).  → (doc_a, doc_b) distinct, doc_a < doc_b."""
+    ts = _token_set(docs, text_col, id_col)
+    sig = ts.groupBy("doc_id").agg(*[
+        F.min(_hash60_seeded(F.col("term"), F.lit(k))).alias(f"mh{k}")
+        for k in range(n_hashes)])
+    band_structs = []
+    for bnd in range(n_hashes // band_rows):
+        slots = [F.col(f"mh{bnd * band_rows + s}").cast("string")
+                 for s in range(band_rows)]
+        band_structs.append(F.struct(
+            F.lit(bnd).alias("band"),
+            F.concat_ws(",", *slots).alias("sig")))
+    bands = (sig.select("doc_id",
+                        F.explode(F.array(*band_structs)).alias("b"))
+             .select("doc_id", F.col("b.band").alias("band"),
+                     F.col("b.sig").alias("sig")))
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -121,15 +132,18 @@ def simhash32(docs: DataFrame, text_col: str = "text",
     ts = _token_set(docs, text_col, id_col).withColumn(
         "h", F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
         .cast("long"))
-    bits = ts.select(
-        "doc_id", "h",
-        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j"))
-    per_bit = (bits.withColumn(
-        "c", F.expr("(shiftright(h, j) & 1) * 2 - 1"))
-        .groupBy("doc_id", "j").agg(F.sum("c").alias("s")))
-    return (per_bit.withColumn(
-        "bitval", F.expr("CASE WHEN s > 0 THEN shiftleft(1L, j) ELSE 0L END"))
-        .groupBy("doc_id").agg(F.sum("bitval").alias("simhash")))
+    # 32 signed-sum aggregate COLUMNS over the (doc, term) rows — one
+    # map-side-combined shuffle keyed on doc_id only (the earlier explode
+    # over bit index amplified shuffle rows ×32); bit assembly is codegen
+    sums = (ts.groupBy("doc_id").agg(*[
+        F.sum(F.expr(f"(shiftright(h, {j}) & 1) * 2 - 1")).alias(f"s{j}")
+        for j in range(32)]))
+    bitval = reduce(
+        lambda a, b: a + b,
+        [F.when(F.col(f"s{j}") > 0,
+                F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+         for j in range(32)])
+    return sums.select("doc_id", bitval.alias("simhash"))
 
 
 # ----------------------------------------------------- similarity search ---
@@ -208,6 +222,45 @@ def lsh_bucket_topk(embeddings: DataFrame, query_vec: list[float],
     cand = bucketed.filter(F.col("bucket").isin(probes))
     exact = cosine_topk(cand, query_vec, k, vec_col, id_col)
     size = cand.agg(F.count(F.lit(1)).cast("long").alias("bucket_size"))
+    return exact.crossJoin(F.broadcast(size))
+
+
+def ivf_centroids(n_cells: int, dim: int, seed: int = 7) -> np.ndarray:
+    """Deterministic unit-norm coarse-quantizer centroids (shared by engine
+    and oracle).  A k-means-trained codebook drops in transparently — the
+    assignment/probe machinery is identical."""
+    c = np.random.default_rng(seed).standard_normal((n_cells, dim))
+    return c / np.linalg.norm(c, axis=1, keepdims=True)
+
+
+def _dot_expr(vcol, vec: np.ndarray):
+    arr = F.array(*[F.lit(float(x)) for x in vec])
+    return F.aggregate(
+        F.zip_with(F.transform(vcol, lambda x: x.cast("double")), arr,
+                   lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ann_ivf_topk(embeddings: DataFrame, query_vec: list[float],
+                 k: int = 10, n_cells: int = 8, nprobe: int = 2,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 seed: int = 7) -> DataFrame:
+    """Approximate NN, IVF flavor: every vector is assigned to its nearest
+    coarse centroid (argmax dot, ties → smallest cell — matches the DuckDB
+    ``list_position(l, list_aggregate(l,'max'))`` rule); the query probes
+    its ``nprobe`` nearest cells and runs exact cosine inside them only
+    (~nprobe·N/n_cells rows).  Single job; ``n_cand`` rides along as a
+    broadcast 1-row aggregate.  → (rank, vec_id, n_cand)."""
+    cents = ivf_centroids(n_cells, len(query_vec), seed)
+    dots = F.array(*[_dot_expr(F.col(vec_col), c) for c in cents])
+    cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
+    qv = np.asarray(query_vec, dtype=np.float64)
+    qdots = cents @ qv
+    probes = [int(j) for j in np.argsort(-qdots)[:nprobe]]
+    cand = (embeddings.withColumn("cell", cell)
+            .filter(F.col("cell").isin(probes)))
+    exact = cosine_topk(cand, query_vec, k, vec_col, id_col)
+    size = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
     return exact.crossJoin(F.broadcast(size))
 
 
