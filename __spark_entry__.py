@@ -197,6 +197,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.facet("spark", "lang")
     q["facet_lang"] = facet_lang
 
+    # round-2 Solr components: suggester, stats.field, range facets,
+    # result grouping
+    def suggest_terms(spark, sf):
+        _cat, s = _index(spark, sf)
+        return s.suggest("s", 10)
+    q["suggest_terms"] = suggest_terms
+
+    def stats_doclen(spark, sf):
+        _cat, s = _index(spark, sf)
+        return s.stats("spark", "doc_len")
+    q["stats_doclen"] = stats_doclen
+
+    def facet_range_doclen(spark, sf):
+        _cat, s = _index(spark, sf)
+        return s.facet_range("spark", "doc_len", 0, 200, 25)
+    q["facet_range_doclen"] = facet_range_doclen
+
+    def group_top1_lang(spark, sf):
+        _cat, s = _index(spark, sf)
+        return s.group_top1("spark", "lang")
+    q["group_top1_lang"] = group_top1_lang
+
     # ---- lifecycle demos (I9, I10) ----
     q["delete_antijoin"] = lambda spark, sf: _docs(spark, sf).join(
         _docs(spark, sf).filter(F.col("doc_id") % 17 == 0).select("doc_id"),
@@ -600,6 +622,39 @@ ORDER BY i.path, i.doc_id LIMIT 10 OFFSET 5"""
 matches AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark')
 SELECT i.lang, count(*)::BIGINT AS hits
 FROM matches JOIN ids i USING (doc_id) GROUP BY i.lang"""
+
+    o["suggest_terms"] = f"""{_BASE}
+SELECT term, df FROM tdf WHERE term LIKE 's%'
+ORDER BY df DESC, term LIMIT 10"""
+
+    o["stats_doclen"] = f"""{_BASE},
+matches AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark')
+SELECT count(*)::BIGINT AS n, min(doc_len)::BIGINT AS min_v,
+       max(doc_len)::BIGINT AS max_v, sum(doc_len)::BIGINT AS sum_v,
+       avg(doc_len) AS mean_v
+FROM matches JOIN dl USING (doc_id)"""
+
+    o["facet_range_doclen"] = f"""{_BASE},
+matches AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark')
+SELECT (floor(doc_len / 25) * 25)::BIGINT AS bucket_start,
+       count(*)::BIGINT AS hits
+FROM matches JOIN dl USING (doc_id)
+WHERE doc_len >= 0 AND doc_len < 200
+GROUP BY 1"""
+
+    o["group_top1_lang"] = f"""{_BASE},
+scored AS (
+  SELECT tf.doc_id, {_SCORE} AS score
+  FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats st
+  WHERE tf.term = 'spark'),
+ranked AS (
+  SELECT i.lang, s.doc_id,
+         row_number() OVER (PARTITION BY i.lang
+                            ORDER BY s.score DESC, s.doc_id) AS rn,
+         count(*) OVER (PARTITION BY i.lang) AS hits
+  FROM scored s JOIN ids i USING (doc_id))
+SELECT lang AS group_val, hits::BIGINT AS hits, doc_id AS top_doc_id
+FROM ranked WHERE rn = 1"""
 
     o["delete_antijoin"] = """
 SELECT doc_id FROM documents WHERE doc_id NOT IN (

@@ -283,3 +283,46 @@ def test_phrase_stricter_than_and(searcher, oracle):
     _p, np_ = searcher.search('"sort merge"', k=5, with_count=True)
     _a, na = searcher.search("sort AND merge", k=5, with_count=True)
     assert 0 < np_ < na
+
+
+def test_suggest_terms(searcher, oracle):
+    got = [(r["term"], r["df"]) for r in searcher.suggest("s", 5).collect()]
+    dfs = sorted(((t, len(d)) for t, d in oracle.tf.items()
+                  if t.startswith("s")), key=lambda kv: (-kv[1], kv[0]))
+    assert got == dfs[:5]
+
+
+def test_stats_component(searcher, oracle):
+    row = searcher.stats("spark", "doc_len").collect()[0]
+    matched = [d for d, _s in oracle.search(parse("spark"), k=None)]
+    lens = [oracle.doclen[d] for d in matched]
+    assert row["n"] == len(lens)
+    assert row["min_v"] == min(lens) and row["max_v"] == max(lens)
+    assert row["sum_v"] == sum(lens)
+    assert abs(row["mean_v"] - sum(lens) / len(lens)) < 1e-9
+
+
+def test_facet_range(searcher, oracle):
+    got = {r["bucket_start"]: r["hits"]
+           for r in searcher.facet_range("spark", "doc_len",
+                                         0, 200, 25).collect()}
+    exp: dict[int, int] = {}
+    for d, _s in oracle.search(parse("spark"), k=None):
+        v = oracle.doclen[d]
+        if 0 <= v < 200:
+            b = (v // 25) * 25
+            exp[b] = exp.get(b, 0) + 1
+    assert got == exp
+
+
+def test_group_top1(searcher, oracle):
+    got = {r["group_val"]: (r["hits"], r["top_doc_id"])
+           for r in searcher.group_top1("spark", "lang").collect()}
+    by_lang: dict[str, list] = {}
+    for d, s in oracle.search(parse("spark"), k=None):
+        by_lang.setdefault(oracle.meta[d]["lang"], []).append((d, s))
+    exp = {}
+    for lang, docs in by_lang.items():
+        best = min(docs, key=lambda ds: (-ds[1], ds[0]))
+        exp[lang] = (len(docs), best[0])
+    assert got == exp

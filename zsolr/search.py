@@ -1068,6 +1068,73 @@ class Searcher:
             out = out.join(self.docs.select("doc_id"), "doc_id", "left_semi")
         return out
 
+    # -- Solr suggester (terms component) -------------------------------------
+    def suggest(self, prefix: str, n: int = 10) -> DataFrame:
+        """Term suggestions: index terms with the prefix, by descending df
+        (Solr terms/suggest component).  Driver-tiny scan of term_stats
+        with a StartsWith parquet pushdown.  → (term, df)."""
+        return (self._term_stats
+                .filter(F.col("term").startswith(prefix)
+                        & ~F.col("term").contains("=")
+                        & ~F.col("term").startswith("\x00"))
+                .orderBy(F.desc("df"), "term")
+                .select("term", "df").limit(n))
+
+    # -- Solr stats component --------------------------------------------------
+    def stats(self, q, field: str = "doc_len") -> DataFrame:
+        """Numeric field statistics over the full match set (Solr
+        ``stats.field``).  → one row (count, min, max, sum, mean)."""
+        matched = self._matched_docs(q)
+        return matched.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(field).cast("long").alias("min_v"),
+            F.max(field).cast("long").alias("max_v"),
+            F.sum(field).cast("long").alias("sum_v"),
+            F.avg(field).alias("mean_v"))
+
+    # -- Solr range facets ------------------------------------------------------
+    def facet_range(self, q, field: str, start: float, end: float,
+                    gap: float) -> DataFrame:
+        """Range facet: bucket = floor((v - start)/gap) over [start, end).
+        → (bucket_start, hits)."""
+        matched = self._matched_docs(q)
+        v = F.col(field)
+        bucket = F.floor((v - F.lit(start)) / F.lit(gap))
+        return (matched.filter((v >= start) & (v < end))
+                .groupBy((F.lit(start) + bucket * F.lit(gap))
+                         .cast("long").alias("bucket_start"))
+                .agg(F.count(F.lit(1)).alias("hits")))
+
+    # -- Solr result grouping (top-1 per group) ---------------------------------
+    def group_top1(self, q, field: str) -> DataFrame:
+        """Result grouping (Solr ``group=true&group.field=``): per field
+        value, the hit count and the best doc under (-score, doc_id).
+        Evaluated over the FULL match set (k=None) so per-shard top-k cuts
+        can never drop a group winner; the window shuffle keys on the
+        group field.  → (group_val, hits, top_doc_id)."""
+        from pyspark.sql import Window
+
+        scored = self.search(q, k=None, wand=False).select("doc_id", "score")
+        j = scored.join(self.docs.select("doc_id", field), "doc_id")
+        w = Window.partitionBy(field).orderBy(F.desc("score"), F.asc("doc_id"))
+        cnt = Window.partitionBy(field)
+        return (j.withColumn("rn", F.row_number().over(w))
+                .withColumn("hits", F.count(F.lit(1)).over(cnt))
+                .filter(F.col("rn") == 1)
+                .select(F.col(field).alias("group_val"), "hits",
+                        F.col("doc_id").alias("top_doc_id")))
+
+    def _matched_docs(self, q) -> DataFrame:
+        """Full match set joined to the doc store (shared by facet/stats)."""
+        plan = plan_query(q)
+        docs_f = self.docs
+        if plan.filters:
+            docs_f = docs_f.filter(_filter_expr(plan.filters))
+        if plan.match_all:
+            return docs_f
+        matches = self.search(q, k=None, wand=False).select("doc_id")
+        return docs_f.join(matches, "doc_id")
+
     # -- Q11 facets -----------------------------------------------------------
     def facet(self, q, field: str) -> DataFrame:
         """Per-field value → hit count over the full match set."""
