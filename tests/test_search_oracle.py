@@ -326,3 +326,16 @@ def test_group_top1(searcher, oracle):
         best = min(docs, key=lambda ds: (-ds[1], ds[0]))
         exp[lang] = (len(docs), best[0])
     assert got == exp
+
+
+@pytest.mark.parametrize("q", ["spark^2 OR join", "scan^0.5 OR spark^2",
+                               "spark^3 AND NOT slow",
+                               "the^2 OR spark"])
+def test_wand_safe_under_boosts(searcher, q):
+    """WAND stays enabled for boosted queries (block UBs scale by the max
+    enclosing boost product) and must equal exhaustive evaluation."""
+    w = [(r["doc_id"], r["score"])
+         for r in searcher.search(q, k=10, wand=True).collect()]
+    e = [(r["doc_id"], r["score"])
+         for r in searcher.search(q, k=10, wand=False).collect()]
+    assert w == e, q

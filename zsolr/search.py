@@ -173,14 +173,19 @@ def _needs_universe(node) -> bool:
     return False
 
 
-def _has_boost(node) -> bool:
-    if isinstance(node, Boost):
-        return True
-    if isinstance(node, (And, Or)):
-        return any(_has_boost(c) for c in node.children)
-    if isinstance(node, Not):
-        return _has_boost(node.child)
-    return False
+def _boost_mults(node, acc: dict, mult: float = 1.0):
+    """Per-term MAX effective boost multiplier (product of enclosing Boost
+    weights) — scales WAND block upper bounds so pruning stays safe under
+    boosts: UB_w = w·UB ≥ w·score for every w ≤ the max multiplier."""
+    if isinstance(node, Term):
+        acc[node.term] = max(acc.get(node.term, 1.0), mult)
+    elif isinstance(node, (And, Or)):
+        for c in node.children:
+            _boost_mults(c, acc, mult)
+    elif isinstance(node, Not):
+        _boost_mults(node.child, acc, mult)
+    elif isinstance(node, Boost):
+        _boost_mults(node.child, acc, mult * node.weight)
 
 
 def _is_match_all(node) -> bool:
@@ -394,6 +399,7 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                        cogroup: bool = True,
                        phrase_terms: set | None = None,
                        needs_universe: bool = False,
+                       boost_mult: dict | None = None,
                        k1: float = BM25_K1, b: float = BM25_B):
     """Build the per-shard kernel (two wire-ups, same body):
 
@@ -609,6 +615,7 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                 ub = _term_ub(idf_map[t],
                               rows["block_max_tf"].to_numpy(np.float64),
                               k1, b, avgdl, dl_min)
+                ub = ub * (boost_mult or {}).get(t, 1.0)
                 if t in prunable:
                     ubs[t] = ub
                 max_ub[t] = float(ub.max()) if len(ub) else 0.0
@@ -940,14 +947,16 @@ class Searcher:
         # only reports exact totals when pruning is off).  A sort override
         # also disables it: score upper bounds say nothing about which docs
         # win on an arbitrary sort field.
+        boost_mult: dict = {}
+        _boost_mults(kernel_ast, boost_mult)
+        boost_mult = {t: w for t, w in boost_mult.items() if w != 1.0}
         kernel = make_search_kernel(
             kernel_ast, idf_map, pos, neg, zero_terms, fetch, W, self.avgdl,
             (wand and not with_count and eff_sort is None
-             and not phrase_terms and not needs_universe
-             and not _has_boost(kernel_ast)), eff_sort,
+             and not phrase_terms and not needs_universe), eff_sort,
             sort_desc, deleted=self._deleted_np if fast else None,
             cogroup=not fast, phrase_terms=phrase_terms,
-            needs_universe=needs_universe)
+            needs_universe=needs_universe, boost_mult=boost_mult)
         if fast:
             cand = (postings.groupBy("shard")
                     .applyInPandas(kernel, "doc_id long, score double"))
