@@ -192,3 +192,15 @@ def test_pfor_codec_end_to_end(spark, tmp_path):
             q: [(r["doc_id"], r["score"]) for r in s.search(q, k=10).collect()]
             for q in ("spark", "query AND join", '"alpha beta"')}
     assert results["varint"] == results["pfor"]
+
+
+def test_fingerprint_keys_resume_groups():
+    """Round-1 advice: resuming under a different resume_groups value must
+    NOT match prior manifest rows (group-id remapping would silently skip
+    buckets) — the fingerprint keys it."""
+    from zsolr.build import BuildConfig
+
+    a = BuildConfig(resume_groups=1).fingerprint("c")
+    b = BuildConfig(resume_groups=4).fingerprint("c")
+    c = BuildConfig(shard_width=1024).fingerprint("c")
+    assert len({a, b, c}) == 3
