@@ -77,6 +77,15 @@ def test_spark_submit_pyfiles(tmp_path):
     assert built[-1]["n_docs"] == 500
     hits = run("search", "hash AND join", "--index", idx, "-k", "3")
     assert len(hits) == 3 and hits[0]["score"] > 0
+    sugg = run("suggest", "s", "--index", idx, "-n", "3")
+    assert len(sugg) == 3 and all(r["term"].startswith("s") for r in sugg)
+    stats = run("stats", "spark", "--index", idx)
+    assert stats[0]["n"] > 0 and stats[0]["min_v"] <= stats[0]["max_v"]
+    grp = run("group", "spark", "--index", idx, "--field", "lang")
+    assert {r["group_val"] for r in grp} <= {"en", "de", "fr", "es", "zh"}
+    fr = run("facet", "spark", "--index", idx, "--field", "doc_len",
+             "--range", "0:200:25")
+    assert sum(r["hits"] for r in fr) > 0
 
 
 def test_streaming_windowed_agg(tmp_path, spark, sf_dir):

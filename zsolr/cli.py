@@ -45,6 +45,28 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--no-wand", action="store_true")
     s.add_argument("--count", action="store_true")
 
+    fc = sub.add_parser("facet", help="field / range facets over a query")
+    fc.add_argument("query")
+    fc.add_argument("--index", required=True)
+    fc.add_argument("--field", required=True)
+    fc.add_argument("--range", dest="frange", default=None,
+                    help="start:end:gap for a range facet")
+
+    sg = sub.add_parser("suggest", help="term suggestions by prefix")
+    sg.add_argument("prefix")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("-n", type=int, default=10)
+
+    st = sub.add_parser("stats", help="stats.field over a query match set")
+    st.add_argument("query")
+    st.add_argument("--index", required=True)
+    st.add_argument("--field", default="doc_len")
+
+    gp = sub.add_parser("group", help="result grouping (top-1 per value)")
+    gp.add_argument("query")
+    gp.add_argument("--index", required=True)
+    gp.add_argument("--field", required=True)
+
     d = sub.add_parser("delete", help="delete by query or ids")
     d.add_argument("--index", required=True)
     d.add_argument("--query")
@@ -100,6 +122,22 @@ def main(argv: list[str] | None = None) -> int:
                                    sort=args.sort,
                                    wand=not args.no_wand).collect()
         for r in rows:
+            print(json.dumps(r.asDict()))
+    elif args.cmd in ("facet", "suggest", "stats", "group"):
+        from zsolr.search import Searcher
+        searcher = Searcher(spark, cat)
+        if args.cmd == "facet" and args.frange:
+            start, end, gap = (float(x) for x in args.frange.split(":"))
+            df = searcher.facet_range(args.query, args.field, start, end, gap)
+        elif args.cmd == "facet":
+            df = searcher.facet(args.query, args.field)
+        elif args.cmd == "suggest":
+            df = searcher.suggest(args.prefix, args.n)
+        elif args.cmd == "stats":
+            df = searcher.stats(args.query, args.field)
+        else:
+            df = searcher.group_top1(args.query, args.field)
+        for r in df.collect():
             print(json.dumps(r.asDict()))
     elif args.cmd == "delete":
         from zsolr.lifecycle import delete_by_ids, delete_by_query
