@@ -159,3 +159,67 @@ def test_checkpoint_resume(tmp_path, spark, corpus_df):
         return {t: sorted(v) for t, v in out.items()}
 
     assert decode_all(cat_ref) == decode_all(cat_k)
+
+
+def test_lifecycle_fuzz_sequence(tmp_path, spark, corpus_df):
+    """Randomized (seeded) lifecycle sequence — update → delete-by-query →
+    update → compact — mirrored on a pure-Python corpus dict; after every
+    step the engine must stay rank+score-identical to the oracle over the
+    live corpus."""
+    import re
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    schema = ("repo string, path string, commit string, lang string,"
+              " content string")
+    rows = [r.asDict() for r in corpus_df.limit(80).collect()]
+    live = {(d["repo"], d["path"]): dict(d) for d in rows}
+    cat, _ = _build(tmp_path / "idx", spark,
+                    spark.createDataFrame(list(live.values()), schema))
+
+    def check(step):
+        s = Searcher(spark, cat)
+        oracle = _oracle_from(
+            spark, cat, spark.createDataFrame(list(live.values()), schema))
+        assert oracle.n == len(live), step
+        for q in ("spark", "hash AND join", "stream OR batch",
+                  '"sort merge"', "lang:en AND spark"):
+            got = [(r["doc_id"], r["score"])
+                   for r in s.search(q, k=10).collect()]
+            exp = oracle.search(parse(q), k=10)
+            assert [g[0] for g in got] == [e[0] for e in exp], (step, q)
+            for g, e in zip(got, exp):
+                assert abs(g[1] - e[1]) < 1e-9, (step, q, g, e)
+
+    def snapshot_update(step):
+        keys = sorted(live)
+        for k in [keys[i] for i in
+                  rng.choice(len(keys), size=6, replace=False)]:
+            live[k]["content"] += f" mutated{step} zzz{step}"
+            live[k]["commit"] = f"{step}" * 20
+        for k in [keys[i] for i in
+                  rng.choice(len(keys), size=3, replace=False)]:
+            live.pop(k, None)
+        for i in range(3):
+            d = {"repo": f"srcF{step}", "path": f"fz/f{step}_{i}.py",
+                 "commit": "e" * 40, "lang": "en",
+                 "content": f"spark fuzz{step} stream batch number {i}"}
+            live[(d["repo"], d["path"])] = d
+        incremental_update(
+            spark, cat, spark.createDataFrame(list(live.values()), schema))
+
+    snapshot_update(1)
+    check("update1")
+
+    victim = "batch"
+    delete_by_query(spark, cat, victim)
+    live = {k: d for k, d in live.items()
+            if victim not in re.findall(r"[a-z0-9]+", d["content"].lower())}
+    check("delete_q")
+
+    snapshot_update(2)
+    check("update2")
+
+    compact(spark, cat)
+    check("compact")
