@@ -377,6 +377,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("event_id", "user_id", "last_view_s"))
     q["asof_join_events"] = asof_join_events
 
+    def sessionize(spark, sf):
+        e = spark.read.parquet(f"{sf}/events.parquet")
+        return ops.sessionize_events(e, gap_s=1800)
+    q["sessionize_events"] = sessionize
+
     def events_windowed(spark, sf):
         e = spark.read.parquet(f"{sf}/events.parquet")
         # hour bucketing via pure epoch arithmetic — independent of the
@@ -834,6 +839,22 @@ views AS (SELECT user_id, ts FROM events WHERE event_type = 'view')
 SELECT c.event_id, c.user_id, floor(epoch(v.ts))::BIGINT AS last_view_s
 FROM clicks c ASOF LEFT JOIN views v
   ON c.user_id = v.user_id AND c.ts >= v.ts"""
+
+    o["sessionize_events"] = """
+WITH e AS (SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS t
+           FROM events),
+lagged AS (
+  SELECT user_id, event_id, t,
+         lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS pt
+  FROM e),
+sess AS (
+  SELECT user_id, t,
+         sum(CASE WHEN pt IS NULL OR t - pt > 1800 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY t, event_id) AS session_no
+  FROM lagged)
+SELECT user_id, session_no, count(*)::BIGINT AS n_events,
+       min(t) AS start_s, max(t) AS end_s
+FROM sess GROUP BY user_id, session_no"""
 
     o["events_windowed"] = """
 SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS hour_s, event_type,

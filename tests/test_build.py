@@ -204,3 +204,32 @@ def test_fingerprint_keys_resume_groups():
     b = BuildConfig(resume_groups=4).fingerprint("c")
     c = BuildConfig(shard_width=1024).fingerprint("c")
     assert len({a, b, c}) == 3
+
+
+def test_empty_and_single_doc_corpus(spark, tmp_path):
+    """Build + search degrade gracefully at the corpus-size floor."""
+    from zsolr.build import BuildConfig, IndexBuilder
+    from zsolr.catalog import ManifestParquetCatalog
+    from zsolr.search import Searcher
+
+    schema = ("repo string, path string, commit string, lang string,"
+              " content string")
+    one = spark.createDataFrame([("r", "p", "c", "en", "hello world")], schema)
+    cat1 = ManifestParquetCatalog(str(tmp_path / "one"))
+    res = IndexBuilder(cat1, BuildConfig(n_buckets=2)).build(
+        spark, "one", corpus_df=one)
+    assert res.n_docs == 1
+    s = Searcher(spark, cat1)
+    hits = s.search("hello", k=5).collect()
+    assert [r["doc_id"] for r in hits] == [0]
+    df, n = s.search("zzz", k=5, with_count=True)
+    assert n == 0 and df.count() == 0
+
+    empty = spark.createDataFrame([], schema)
+    cat0 = ManifestParquetCatalog(str(tmp_path / "zero"))
+    res0 = IndexBuilder(cat0, BuildConfig(n_buckets=2)).build(
+        spark, "zero", corpus_df=empty)
+    assert res0.n_docs == 0
+    s0 = Searcher(spark, cat0)
+    df, n = s0.search("hello", k=5, with_count=True)
+    assert n == 0 and df.count() == 0

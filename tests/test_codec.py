@@ -104,3 +104,21 @@ def test_pfor_beats_varint_on_skewed_gaps():
     assert np.array_equal(codec.decode_u64(pfor), gaps)
     assert len(pfor) < len(varint)
     assert len(pfor) < len(bitpack) / 4  # bitpack pays max-width for all
+
+
+def test_codec_hypothesis_roundtrip():
+    """Property: decode(encode(x)) == x for all three codecs over
+    adversarial arrays (hypothesis shrinks failures)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.integers(min_value=0, max_value=2**62 - 1),
+                    max_size=600),
+           st.sampled_from([codec.CODEC_VARINT, codec.CODEC_BITPACK,
+                            codec.CODEC_PFOR]))
+    def prop(vals, c):
+        arr = np.array(vals, dtype=np.uint64)
+        assert np.array_equal(codec.decode_u64(codec.encode_u64(arr, c)), arr)
+
+    prop()

@@ -56,7 +56,7 @@ class ManifestParquetCatalog:
             return json.load(f)
 
     def _commit(self, table: str, data_dirs: list[str], parent: str | None,
-                meta: dict | None = None) -> str:
+                meta: dict | None = None, schema_json: str | None = None) -> str:
         """Atomic commit: write snapshot json, then os.replace the pointer.
 
         Readers between the two steps still resolve the old pointer → old
@@ -69,6 +69,10 @@ class ManifestParquetCatalog:
             "data_dirs": data_dirs,
             "committed_at_ms": int(time.time() * 1000),
             "meta": meta or {},
+            # logical schema at write time — lets readers reconstruct an
+            # empty DataFrame when a data dir holds zero parquet files
+            # (e.g. a partitioned write of an empty table)
+            "schema": schema_json,
         }
         os.makedirs(os.path.dirname(self._snap_path(table, snap_id)), exist_ok=True)
         tmp = self._snap_path(table, snap_id) + ".tmp"
@@ -103,7 +107,8 @@ class ManifestParquetCatalog:
         else:
             dirs = [data_dir]
             parent = cur["snapshot_id"] if cur else None
-        return self._commit(table, dirs, parent, meta)
+        return self._commit(table, dirs, parent, meta,
+                            schema_json=df.schema.json())
 
     def read(self, spark: SparkSession, table: str,
              snapshot_id: str | None = None) -> DataFrame:
@@ -116,11 +121,26 @@ class ManifestParquetCatalog:
                 snap = json.load(f)
         # per-dir read + unionByName keeps partition discovery (and thus
         # directory-level pruning on e.g. bucket=) intact for every data dir
-        dfs = [spark.read.parquet(d) for d in snap["data_dirs"]]
+        dfs = [self._read_dir(spark, d, snap) for d in snap["data_dirs"]]
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d, allowMissingColumns=False)
         return out
+
+    @staticmethod
+    def _read_dir(spark: SparkSession, d: str, snap: dict) -> DataFrame:
+        from pyspark.errors import AnalysisException
+        from pyspark.sql.types import StructType
+
+        try:
+            return spark.read.parquet(d)
+        except AnalysisException:
+            # zero data files (empty table / empty dynamic-partition write):
+            # reconstruct an empty frame from the committed schema
+            if snap.get("schema"):
+                return spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(snap["schema"])))
+            raise
 
     def write_small(self, columns: dict, table: str, mode: str = "overwrite",
                     meta: dict | None = None) -> str:

@@ -385,6 +385,27 @@ def doc_fingerprint(docs: DataFrame, text_col: str = "text",
                        fp.alias("fingerprint"))
 
 
+def sessionize_events(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Batch sessionization: per user, a new session starts when the gap to
+    the previous event exceeds ``gap_s``.  One window shuffle keyed on
+    user_id (running flag-sum = session number), then a hash agg.
+    → (user_id, session_no, n_events, start_s, end_s).  The streaming twin
+    (zsolr.streaming.sessionize_stream) must emit exactly these rows for
+    every CLOSED session."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_timestamp("ts")).over(w)
+    new_sess = (prev.isNull()
+                | ((F.unix_timestamp("ts") - prev) > gap_s)).cast("long")
+    return (events
+            .withColumn("session_no", F.sum(new_sess).over(w))
+            .groupBy("user_id", "session_no")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min(F.unix_timestamp("ts")).alias("start_s"),
+                 F.max(F.unix_timestamp("ts")).alias("end_s")))
+
+
 # -------------------------------------------------------------- multimodal ---
 
 def media_features(docs: DataFrame, text_col: str = "text",

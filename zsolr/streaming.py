@@ -69,6 +69,92 @@ def windowed_event_counts(spark: SparkSession, events_dir: str,
             .start())
 
 
+def sessionize_stream(spark: SparkSession, events_dir: str,
+                      checkpoint_dir: str, gap_s: int = 1800):
+    """Custom STATEFUL streaming operator via ``applyInPandasWithState``
+    (SURVEY.md §2.4): per-user sessionization with a ``gap_s`` inactivity
+    gap.  State per user = the open session (session_no, n, start, last);
+    a batch whose first event exceeds the gap CLOSES the open session and
+    emits it.  Emitted rows match ``zsolr.ops.sessionize_events`` exactly
+    for every closed session (tested); each user's final open session
+    stays in state (a real deployment adds a timeout to flush it).
+
+    Returns the started StreamingQuery; rows land in the ``sessions``
+    in-memory table."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType, TimestampType)
+
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ])
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("session_no", LongType()),
+        StructField("n_events", LongType()),
+        StructField("start_s", LongType()),
+        StructField("end_s", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("session_no", LongType()),
+        StructField("n", LongType()),
+        StructField("start_s", LongType()),
+        StructField("last_s", LongType()),
+    ])
+
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+
+        user = key[0]
+        sess_no, n, start, last = state.get if state.exists \
+            else (0, 0, None, None)
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts = (pdf["ts"].astype("int64") // 10**9).to_numpy()
+            if not len(ts):
+                continue
+            # vectorized gap detection → per-SESSION segments (no per-row
+            # Python; the loop below is O(sessions in batch))
+            brk = np.nonzero(np.diff(ts) > gap_s)[0] + 1
+            seg_s = np.concatenate([np.int64([0]), brk])
+            seg_e = np.concatenate([brk, np.int64([len(ts)])])
+            segs = [(int(e - s), int(ts[s]), int(ts[e - 1]))
+                    for s, e in zip(seg_s, seg_e)]
+            if n and ts[0] - last <= gap_s:  # continue the open session
+                c, _st, en_ = segs.pop(0)
+                n += c
+                last = en_
+            for c, st_, en_ in segs:
+                if n:
+                    closed.append((user, sess_no, n, start, last))
+                sess_no += 1
+                n, start, last = c, st_, en_
+        state.update((sess_no, n, start, last))
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["user_id", "session_no", "n_events",
+                                 "start_s", "end_s"])
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 4).parquet(events_dir))
+    out = (stream.groupBy(F.col("user_id"))
+           .applyInPandasWithState(fn, out_schema, state_schema,
+                                   "append", GroupStateTimeout.NoTimeout))
+    return (out.writeStream.outputMode("append")
+            .format("memory").queryName("sessions")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start())
+
+
 def stream_index(spark: SparkSession, cat: ManifestParquetCatalog,
                  drop_dir: str, checkpoint_dir: str,
                  cfg: BuildConfig | None = None,
