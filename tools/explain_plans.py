@@ -104,6 +104,12 @@ def main():
         "Measured by counting rows before/after the shard explode for a\n"
         "2-term query + norms sidecar on the multi-shard audit index.\n"))
 
+    # 4c. suggester: StartsWith predicate pushed to the term_stats scan
+    add("Suggest (terms component): StartsWith pushdown on term_stats",
+        s.suggest("sp", 10),
+        [("prefix pushed", "PushedFilters: [IsNotNull(term), "
+                           "StringStartsWith(term,sp)")])
+
     # 5. broadcast join in bulk path
     cand = spark.createDataFrame([(1,)], "doc_id long")
     add("Bulk match join: broadcast hash join, no doc-store shuffle",
