@@ -339,3 +339,47 @@ def test_wand_safe_under_boosts(searcher, q):
     e = [(r["doc_id"], r["score"])
          for r in searcher.search(q, k=10, wand=False).collect()]
     assert w == e, q
+
+
+def test_pure_filter_or_query(searcher, oracle):
+    """OR of two zero-scored filter legs: evaluated without shipping the
+    norms sidecar at all (norms pruning fast path)."""
+    q = "lang:en OR repo:src3"
+    got, n = searcher.search(q, k=10, with_count=True)
+    got = [(r["doc_id"], r["score"]) for r in got.collect()]
+    exp = oracle.search(parse(q), k=10)
+    assert [g[0] for g in got] == [e[0] for e in exp]
+    assert all(abs(g[1] - e[1]) < 1e-9 for g, e in zip(got, exp))
+    assert n == oracle.num_found(parse(q))
+
+
+def test_norms_pruned_for_rare_terms(spark, tmp_path):
+    """Rare-term queries on a multi-shard index must stay rank-identical
+    with the norms semi-join active (est_docs*2 < n_shards gate)."""
+    import numpy as np
+
+    from zsolr.build import BuildConfig, IndexBuilder
+    from zsolr.catalog import ManifestParquetCatalog
+
+    rng = np.random.default_rng(13)
+    words = ["alpha", "beta", "gamma", "delta"]
+    rows = []
+    for i in range(400):
+        body = " ".join(rng.choice(words, size=6))
+        if i in (37, 251):              # rare term in exactly 2 docs
+            body += " rareterm"
+        rows.append(("r", f"p{i:04d}", "c", "en", body))
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+              " content string")
+    cat = ManifestParquetCatalog(str(tmp_path / "np-idx"))
+    IndexBuilder(cat, BuildConfig(n_buckets=4, shard_width=16)).build(
+        spark, "np", corpus_df=corpus)  # 25 shards; df(rareterm)=2 → prune
+    s = Searcher(spark, cat)
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in s.search("rareterm", k=10).collect()]
+    assert [g[0] for g in got] == [37, 251]
+    assert got[0][1] > 0  # scored — norms present in the pruned shards
+    wide = Searcher(spark, cat, shard_width=10**9)  # 1 shard — no pruning
+    assert got == [(r["doc_id"], round(r["score"], 9))
+                   for r in wide.search("rareterm", k=10).collect()]

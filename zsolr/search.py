@@ -933,15 +933,55 @@ class Searcher:
         needs_universe = _needs_universe(kernel_ast)
 
         W = self.shard_width
-        fetch_terms = all_terms + [NORMS_TERM]
-        buckets = sorted({term_bucket(t, self.n_buckets) for t in fetch_terms})
-        postings = (
+        # query-term blocks: bucket dir pruning + parquet term predicate.
+        # The norms sidecar spans EVERY doc, so naively shipping it costs
+        # O(N/block) rows per query regardless of the terms' selectivity —
+        # for rare terms that dominates the kernel stage at 10^12 docs
+        # (125k shards × one norms stream each).  Norms are only READ when
+        # scoring (BM25 of scored terms, phrase scoring) — zero-scored
+        # filter legs and NOT-exclusions never touch them — so a broadcast
+        # semi-join prunes norms blocks to the shards holding at least one
+        # scoring-term block.  Gated adaptively: the df stats the planner
+        # already fetched bound the shards touched (≤ Σdf), so the extra
+        # broadcast job is paid ONLY when it removes ≥ half the norms
+        # volume; universe queries (complements) always ship all norms.
+        q_buckets = sorted({term_bucket(t, self.n_buckets)
+                            for t in all_terms})
+        shard_col = F.explode(F.expr(
+            f"sequence(first_doc DIV {W}, last_doc DIV {W})")).alias("shard")
+        qblocks = (
             self._postings
-            .filter(F.col("bucket").isin(buckets)
-                    & F.col("term").isin(fetch_terms))
-            .withColumn("shard", F.explode(F.expr(
-                f"sequence(first_doc DIV {W}, last_doc DIV {W})")))
+            .filter(F.col("bucket").isin(q_buckets)
+                    & F.col("term").isin(all_terms))
+            .withColumn("shard", shard_col)
         )
+        nblocks = (
+            self._postings
+            .filter((F.col("bucket") == term_bucket(NORMS_TERM,
+                                                    self.n_buckets))
+                    & (F.col("term") == NORMS_TERM))
+            .withColumn("shard", shard_col)
+        )
+        norm_terms = sorted((pos | phrase_terms) - zero_terms)
+        n_shards = -(-self.n_docs_total // W)
+        est_docs = sum(self._df_cache.get(t, 0) for t in norm_terms)
+        if not needs_universe and not norm_terms:
+            # nothing scores (pure filter/const legs) → norms never read
+            nblocks = nblocks.filter(F.lit(False))
+        elif (not needs_universe and norm_terms
+                and all(t in self._df_cache for t in norm_terms)
+                and est_docs * 2 < n_shards):
+            scoring_blocks = (
+                self._postings
+                .filter(F.col("bucket").isin(
+                    sorted({term_bucket(t, self.n_buckets)
+                            for t in norm_terms}))
+                    & F.col("term").isin(norm_terms))
+                .withColumn("shard", shard_col))
+            nblocks = nblocks.join(
+                F.broadcast(scoring_blocks.select("shard").distinct()),
+                "shard", "left_semi")
+        postings = qblocks.unionByName(nblocks)
         # exact numFound requires evaluating every block — WAND's whole
         # point is to skip blocks, so counting disables it (Lucene likewise
         # only reports exact totals when pruning is off).  A sort override
