@@ -65,3 +65,40 @@ def test_write_small_roundtrip(tmp_path, spark):
                      "b": pa.array(["z"], pa.string())}, "tiny", mode="append")
     assert cat.row_count("tiny") == 3
     assert cat.row_count("tiny", last_dir_only=True) == 1
+
+
+def test_commit_cas_and_concurrent_append(spark, tmp_path):
+    """Optimistic concurrency: expected_parent turns commit into CAS;
+    concurrent appends merge under the commit lock (no lost dirs)."""
+    import threading
+
+    import pytest as _pytest
+
+    from zsolr.catalog import CommitConflict, ManifestParquetCatalog
+
+    cat = ManifestParquetCatalog(str(tmp_path / "cas"))
+    df = spark.range(3).selectExpr("id AS x")
+    cat.write(df, "t", mode="overwrite")
+    base = cat.current_snapshot("t")["snapshot_id"]
+    cat.write(df, "t", mode="append")  # another writer advances the table
+    with _pytest.raises(CommitConflict):
+        cat.write(df, "t", mode="append", expected_parent=base)
+    cur = cat.current_snapshot("t")["snapshot_id"]
+    cat.write(df, "t", mode="append", expected_parent=cur)  # CAS succeeds
+    assert cat.read(spark, "t").count() == 9
+
+    errs = []
+
+    def app():
+        try:
+            cat.write(df, "t", mode="append")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=app) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert cat.read(spark, "t").count() == 9 + 4 * 3

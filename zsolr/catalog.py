@@ -30,6 +30,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class CommitConflict(RuntimeError):
+    """Optimistic-concurrency failure: the table moved past the snapshot
+    the writer based its work on (Iceberg-style CAS commit)."""
+
+
+_ANY = object()  # sentinel: commit regardless of the current snapshot
+
+
 class ManifestParquetCatalog:
     def __init__(self, root: str):
         self.root = root
@@ -55,13 +63,60 @@ class ManifestParquetCatalog:
         with open(self._snap_path(table, snap_id)) as f:
             return json.load(f)
 
-    def _commit(self, table: str, data_dirs: list[str], parent: str | None,
-                meta: dict | None = None, schema_json: str | None = None) -> str:
+    def _lock(self, table: str):
+        """Tiny O_EXCL commit mutex (single-filesystem semantics; a real
+        Iceberg deployment delegates this CAS to the catalog service)."""
+        import contextlib
+
+        path = os.path.join(self._tdir(table), "_LOCK")
+        os.makedirs(self._tdir(table), exist_ok=True)
+
+        @contextlib.contextmanager
+        def ctx():
+            deadline = time.time() + 30
+            while True:
+                try:
+                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    break
+                except FileExistsError:
+                    if time.time() > deadline:
+                        raise CommitConflict(
+                            f"commit lock on {table!r} held past timeout")
+                    time.sleep(0.02)
+            try:
+                yield
+            finally:
+                os.close(fd)
+                os.unlink(path)
+        return ctx()
+
+    def _commit(self, table: str, new_dirs: list[str], mode: str,
+                meta: dict | None = None, schema_json: str | None = None,
+                expected_parent=_ANY) -> str:
         """Atomic commit: write snapshot json, then os.replace the pointer.
 
         Readers between the two steps still resolve the old pointer → old
         snapshot (snapshot isolation); a crashed writer leaves only unreferenced
-        staging dirs, never a torn table."""
+        staging dirs, never a torn table.  The current snapshot is resolved
+        UNDER the commit lock, so concurrent appends merge rather than lose
+        each other's dirs.  ``expected_parent`` (a snapshot id, or None for
+        table-must-be-empty) turns the commit into a compare-and-swap:
+        CommitConflict if another writer advanced the table first."""
+        with self._lock(table):
+            cur = self.current_snapshot(table)
+            cur_id = cur["snapshot_id"] if cur else None
+            if expected_parent is not _ANY and expected_parent != cur_id:
+                raise CommitConflict(
+                    f"table {table!r} moved: based on "
+                    f"{expected_parent}, current {cur_id}")
+            dirs = (cur["data_dirs"] + new_dirs) \
+                if (mode == "append" and cur is not None) else new_dirs
+            return self._commit_locked(table, dirs, cur_id, meta,
+                                       schema_json)
+
+    def _commit_locked(self, table: str, data_dirs: list[str],
+                       parent: str | None, meta: dict | None,
+                       schema_json: str | None) -> str:
         snap_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         snap = {
             "snapshot_id": snap_id,
@@ -92,7 +147,7 @@ class ManifestParquetCatalog:
     # -- write/read ---------------------------------------------------------
     def write(self, df: DataFrame, table: str, mode: str = "overwrite",
               partition_by: list[str] | None = None,
-              meta: dict | None = None) -> str:
+              meta: dict | None = None, expected_parent=_ANY) -> str:
         """Stage parquet into a fresh data dir, then commit a snapshot."""
         assert mode in ("overwrite", "append")
         data_dir = os.path.join(self._tdir(table), "data", uuid.uuid4().hex[:12])
@@ -100,15 +155,9 @@ class ManifestParquetCatalog:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(data_dir)
-        cur = self.current_snapshot(table)
-        if mode == "append" and cur is not None:
-            dirs = cur["data_dirs"] + [data_dir]
-            parent = cur["snapshot_id"]
-        else:
-            dirs = [data_dir]
-            parent = cur["snapshot_id"] if cur else None
-        return self._commit(table, dirs, parent, meta,
-                            schema_json=df.schema.json())
+        return self._commit(table, [data_dir], mode, meta,
+                            schema_json=df.schema.json(),
+                            expected_parent=expected_parent)
 
     def read(self, spark: SparkSession, table: str,
              snapshot_id: str | None = None) -> DataFrame:
@@ -155,14 +204,7 @@ class ManifestParquetCatalog:
         os.makedirs(data_dir, exist_ok=True)
         pq.write_table(pa.table(columns),
                        os.path.join(data_dir, "part-0.parquet"))
-        cur = self.current_snapshot(table)
-        if mode == "append" and cur is not None:
-            dirs = cur["data_dirs"] + [data_dir]
-            parent = cur["snapshot_id"]
-        else:
-            dirs = [data_dir]
-            parent = cur["snapshot_id"] if cur else None
-        return self._commit(table, dirs, parent, meta)
+        return self._commit(table, [data_dir], mode, meta)
 
     def row_count(self, table: str, last_dir_only: bool = False) -> int:
         """Row count from parquet footers — no Spark job."""
