@@ -233,3 +233,45 @@ def test_empty_and_single_doc_corpus(spark, tmp_path):
     s0 = Searcher(spark, cat0)
     df, n = s0.search("hello", k=5, with_count=True)
     assert n == 0 and df.count() == 0
+
+
+def test_positions_false_index_options(spark, tmp_path):
+    """Lucene IndexOptions tier: positions=False skips the per-token
+    position payload; term/boolean results identical to a positional
+    build, phrase queries raise UnsupportedQuery."""
+    import numpy as np
+
+    from zsolr.build import BuildConfig, IndexBuilder
+    from zsolr.catalog import ManifestParquetCatalog
+    from zsolr.search import Searcher, UnsupportedQuery
+
+    words = ["alpha", "beta", "gamma", "query", "spark", "join"]
+    rng = np.random.default_rng(8)
+    rows = [("r", f"p{i:04d}", "c", "en",
+             " ".join(rng.choice(words, size=int(rng.integers(3, 12)))))
+            for i in range(200)]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+              " content string")
+    searchers = {}
+    for name, pos in (("with", True), ("without", False)):
+        cat = ManifestParquetCatalog(str(tmp_path / f"pos-{name}"))
+        IndexBuilder(cat, BuildConfig(n_buckets=4, positions=pos)).build(
+            spark, f"pc-{name}", corpus_df=corpus)
+        searchers[name] = Searcher(spark, cat)
+        if name == "without":
+            # the positions payload is actually absent (all empty blobs,
+            # codec header byte only)
+            import pyspark.sql.functions as F
+            mx = (cat.read(spark, "postings")
+                  .agg(F.max(F.length("positions"))).collect()[0][0])
+            assert mx <= 1
+    for q in ("spark", "query AND join", "alpha OR NOT beta"):
+        a = [(r["doc_id"], r["score"])
+             for r in searchers["with"].search(q, k=10).collect()]
+        b = [(r["doc_id"], r["score"])
+             for r in searchers["without"].search(q, k=10).collect()]
+        assert a == b, q
+    import pytest as _pytest
+    with _pytest.raises(UnsupportedQuery):
+        searchers["without"].search('"alpha beta"', k=5)

@@ -115,18 +115,32 @@ def corpus_to_tokd(with_ids: DataFrame, tokenizer: str = "codegen") -> DataFrame
     ).withColumn("doc_len", F.size("toks").cast("long"))
 
 
-def tokd_to_tf(tokd: DataFrame, n_buckets: int) -> DataFrame:
+def tokd_to_tf(tokd: DataFrame, n_buckets: int,
+               positions: bool = True) -> DataFrame:
     """tokd → tf(term, doc_id, tf, positions, bucket): analyzed tokens
     (with in-doc token positions for PhraseQuery) + zero-scored field terms
-    + the norms sidecar (tf := doc_len; no positions)."""
+    + the norms sidecar (tf := doc_len; no positions).
+
+    ``positions=False`` is the Lucene ``IndexOptions.DOCS_AND_FREQS``
+    tier: the per-token position payload (the dominant share of the tf
+    shuffle) is skipped entirely; phrase queries against such an index
+    raise UnsupportedQuery."""
     empty_pos = F.array().cast("array<int>")
-    tok_tf = (
-        tokd.select("doc_id", F.posexplode("toks").alias("pos", "term"))
-        .groupBy("term", "doc_id")
-        .agg(F.count(F.lit(1)).alias("tf"),
-             F.sort_array(F.collect_list(F.col("pos").cast("int")))
-             .alias("positions"))
-    )
+    if positions:
+        tok_tf = (
+            tokd.select("doc_id", F.posexplode("toks").alias("pos", "term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"),
+                 F.sort_array(F.collect_list(F.col("pos").cast("int")))
+                 .alias("positions"))
+        )
+    else:
+        tok_tf = (
+            tokd.select("doc_id", F.explode("toks").alias("term"))
+            .groupBy("term", "doc_id")
+            .agg(F.count(F.lit(1)).alias("tf"))
+            .withColumn("positions", empty_pos)
+        )
     extra = tokd.select(F.lit(NORMS_TERM).alias("term"), "doc_id",
                         F.col("doc_len").alias("tf"),
                         empty_pos.alias("positions"))
@@ -151,6 +165,8 @@ class BuildConfig:
     resume_groups: int = 1              # posting bucket groups per commit
     doc_id_partitions: int | None = None
     shard_width: int | None = None      # None = compute_shard_width(n, par)
+    positions: bool = True              # Lucene IndexOptions: DOCS_AND_FREQS
+    #                                     (False) vs ..._AND_POSITIONS (True)
     fail_after_group: int | None = None  # test hook: simulate mid-build kill
 
     def fingerprint(self, corpus_location: str) -> str:
@@ -159,7 +175,8 @@ class BuildConfig:
         # sets and silently skip never-encoded buckets (round-1 advice)
         key = (f"{corpus_location}|nb={self.n_buckets}|bs={self.block_size}"
                f"|codec={self.codec}|tok={self.tokenizer}"
-               f"|rg={self.resume_groups}|sw={self.shard_width}")
+               f"|rg={self.resume_groups}|sw={self.shard_width}"
+               f"|pos={int(self.positions)}")
         return hashlib.sha256(key.encode()).hexdigest()[:16]
 
 
@@ -234,7 +251,7 @@ class IndexBuilder:
         # zero-scored field terms (`lang=en`) make metadata filters pure
         # posting intersections.
         tokd = corpus_to_tokd(with_ids, cfg.tokenizer)
-        tf = tokd_to_tf(tokd, cfg.n_buckets)
+        tf = tokd_to_tf(tokd, cfg.n_buckets, positions=cfg.positions)
         self.cat.write(tf, "tfs", mode="overwrite")
         docs = tokd.drop("toks")
         self.cat.write(docs, "docs", mode="overwrite")
@@ -444,6 +461,7 @@ class IndexBuilder:
             "block_size": pa.array([self.cfg.block_size], pa.int32()),
             "codec": pa.array([self.cfg.codec], pa.int32()),
             "shard_width": pa.array([width], pa.int64()),
+            "positions": pa.array([int(self.cfg.positions)], pa.int32()),
         }, "index_stats", mode="overwrite")
         wall = int((time.time() - t0) * 1000)
         self._manifest_append(spark, [

@@ -88,6 +88,8 @@ def _refresh_stats(spark: SparkSession, cat: ManifestParquetCatalog):
         # alignment width is immutable post-build: existing posting blocks
         # were split at these boundaries
         "shard_width": pa.array([int(cfg_row["shard_width"])], pa.int64()),
+        "positions": pa.array(
+            [int(cfg_row.asDict().get("positions", 1))], pa.int32()),
     }, "index_stats", mode="overwrite")
 
 
@@ -97,9 +99,11 @@ def incremental_update(spark: SparkSession, cat: ManifestParquetCatalog,
     """I10 — diff the new corpus snapshot against the doc store and
     re-index only added/changed docs; tombstone removed/changed ones."""
     cfg_row = cat.read(spark, "index_stats").collect()[0]
-    cfg = cfg or BuildConfig(n_buckets=int(cfg_row["n_buckets"]),
-                             block_size=int(cfg_row["block_size"]),
-                             codec=int(cfg_row["codec"]))
+    cfg = cfg or BuildConfig(
+        n_buckets=int(cfg_row["n_buckets"]),
+        block_size=int(cfg_row["block_size"]),
+        codec=int(cfg_row["codec"]),
+        positions=bool(cfg_row.asDict().get("positions", 1)))
     live = _live(spark, cat, "docs").select(
         "doc_id", "repo", "path",
         F.col("content_sha256").alias("old_sha"))
@@ -153,7 +157,7 @@ def _append_partial_index(spark: SparkSession, cat: ManifestParquetCatalog,
     with_ids = assign_doc_ids(corpus).withColumn(
         "doc_id", F.col("doc_id") + F.lit(id_offset))
     tokd = corpus_to_tokd(with_ids, cfg.tokenizer)
-    tf = tokd_to_tf(tokd, cfg.n_buckets)
+    tf = tokd_to_tf(tokd, cfg.n_buckets, positions=cfg.positions)
     cat.write(tf, "tfs", mode="append")
     docs = tokd.drop("toks")
     cat.write(docs, "docs", mode="append")

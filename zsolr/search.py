@@ -730,6 +730,7 @@ class Searcher:
         # (tests) and the pre-alignment fallback keep sequence-routing
         # correctness: an overlapping block still reaches every shard it
         # spans via the sequence() explode.
+        self.positions = bool(st.asDict().get("positions", 1))
         stored = st.asDict().get("shard_width")
         if shard_width:
             self.shard_width = shard_width
@@ -917,6 +918,10 @@ class Searcher:
         self._pos_terms(kernel_ast, pos)
         phrase_terms: set[str] = set()
         _collect_phrase_terms(kernel_ast, phrase_terms)
+        if phrase_terms and not self.positions:
+            raise UnsupportedQuery(
+                "phrase query against an index built with positions=False"
+                " (Lucene IndexOptions.DOCS_AND_FREQS)")
         const_terms: set[str] = set()
         self._const_terms(kernel_ast, const_terms)
         all_terms = sorted(pos | neg | phrase_terms | const_terms)
