@@ -251,6 +251,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["simhash"] = lambda spark, sf: ops.simhash32(
         _docs(spark, sf).filter(F.col("doc_id") % 20 == 0))
     q["lang_id"] = lambda spark, sf: ops.lang_id_heuristic(_docs(spark, sf))
+    q["lang_id_ngram"] = lambda spark, sf: ops.lang_id_ngram(
+        _docs(spark, sf).filter(F.col("doc_id") % 5 == 0))
     q["quality_score"] = lambda spark, sf: ops.quality_score(_docs(spark, sf))
     q["token_count_bpe"] = lambda spark, sf: ops.token_count_bpe(
         _docs(spark, sf))
@@ -735,6 +737,25 @@ SELECT doc_id,
        round(len(list_filter(ts, x -> x IN ('the', 'a')))::DOUBLE
              / greatest(len(ts), 1), 6) AS en_ratio
 FROM t"""
+
+    def _tri_hits(lang: str) -> str:
+        lits = ", ".join(
+            "'" + g.replace("'", "''") + "'" for g in ops.LANG_TRIGRAMS[lang])
+        return (f"len(list_filter(list_transform("
+                f"range(1, greatest(length(lower(text)) - 2, 0) + 1),"
+                f" i -> substr(lower(text), i::INTEGER, 3)),"
+                f" t -> t IN ({lits})))::BIGINT")
+
+    o["lang_id_ngram"] = f"""
+WITH h AS (
+  SELECT doc_id, {_tri_hits('de')} AS de_hits, {_tri_hits('en')} AS en_hits,
+         {_tri_hits('fr')} AS fr_hits
+  FROM documents WHERE doc_id % 5 = 0)
+SELECT doc_id, en_hits, de_hits, fr_hits,
+       CASE WHEN de_hits >= en_hits AND de_hits >= fr_hits THEN 'de'
+            WHEN en_hits > de_hits AND en_hits >= fr_hits THEN 'en'
+            ELSE 'fr' END AS pred_lang
+FROM h"""
 
     o["quality_score"] = f"""
 WITH t AS (SELECT doc_id, text, {_DOC_TOKS} AS ts FROM documents)

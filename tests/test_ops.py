@@ -256,3 +256,21 @@ def test_ann_ivf_recall_on_planted_clusters(spark):
     got = {r["vec_id"] for r in out}
     assert len(got & set(range(10))) / 10 >= 0.9
     assert out[0]["n_cand"] < 350  # pruning, not a full scan
+
+
+def test_lang_id_ngram_matches_python(spark, docs_df, docs_py):
+    got = {r["doc_id"]: (r["en_hits"], r["de_hits"], r["fr_hits"],
+                         r["pred_lang"])
+           for r in ops.lang_id_ngram(
+               docs_df.filter("doc_id % 5 = 0")).collect()}
+    for d in docs_py:
+        if d["doc_id"] % 5:
+            continue
+        t = d["text"].lower()
+        tris = [t[i:i + 3] for i in range(len(t) - 2)]
+        hits = {lang: sum(1 for x in tris if x in set(g))
+                for lang, g in ops.LANG_TRIGRAMS.items()}
+        # argmax, ties → lexicographically first language
+        pred = sorted(hits, key=lambda s: (-hits[s], s))[0]
+        assert got[d["doc_id"]] == (hits["en"], hits["de"], hits["fr"],
+                                    pred), d["doc_id"]

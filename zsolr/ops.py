@@ -330,6 +330,51 @@ def lang_id_heuristic(docs: DataFrame, text_col: str = "text",
                 F.greatest(F.size(toks), F.lit(1)), 6).alias("en_ratio"))
 
 
+# character-trigram profiles (public-knowledge frequency lists); weights
+# are membership hits — enough to separate languages at paragraph length
+LANG_TRIGRAMS = {
+    "en": ("the", "he ", " th", "ing", "and", " an", "nd ", " of", "of ",
+           "ed ", " in", "ion", " to", "to ", "er ", "ng ", "ent", "is "),
+    "de": ("der", "ie ", "ein", "sch", "ich", "nde", "die", "che", "en ",
+           "und", " un", "cht", " de", "ung", "ber", "gen", " ge", "ten"),
+    "fr": ("es ", "de ", " de", "le ", "ent", " le", "la ", " la", "et ",
+           " et", "que", " qu", "ue ", "re ", "ion", "ne ", "ait", "les"),
+}
+
+
+def lang_id_ngram(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Character-trigram language ID (the real n-gram heuristic, replacing
+    the stopword stand-in for multi-language corpora): per language, count
+    how many of the doc's trigrams hit that language's profile; predict
+    the argmax (ties → lexicographically first language — same rule in
+    the DuckDB oracle).  Pure codegen: trigram array via transform over a
+    position sequence, per-language hit counts via size(filter(...)).
+    → (doc_id, en_hits, de_hits, fr_hits, pred_lang)."""
+    cols = {}
+    for lang, grams in LANG_TRIGRAMS.items():
+        lits = ", ".join("'" + g.replace("'", "''") + "'" for g in grams)
+        cols[lang] = F.expr(
+            f"size(filter(transform(sequence(1, greatest(length(lower("
+            f"{text_col})) - 2, 0)), i -> substring(lower({text_col}), i,"
+            f" 3)), t -> t IN ({lits})))").cast("long")
+    langs = sorted(LANG_TRIGRAMS)
+    best = None
+    for lang in langs:  # argmax with ties → first in sorted order
+        cond = F.lit(True)
+        for other in langs:
+            if other < lang:
+                cond = cond & (cols[lang] > cols[other])
+            elif other > lang:
+                cond = cond & (cols[lang] >= cols[other])
+        best = F.when(cond, F.lit(lang)) if best is None \
+            else best.when(cond, F.lit(lang))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[cols[lang].alias(f"{lang}_hits") for lang in langs],
+        best.otherwise(F.lit(langs[0])).alias("pred_lang"))
+
+
 def quality_score(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Length / token / stopword quality features.
