@@ -81,6 +81,36 @@ def main():
         p50 = lat_ms[len(lat_ms) // 2]
         total = round(build_s + sum(v for k, v in queries.items()
                                     if k != "build"), 3)
+
+        # training-data ops at the same sf (separate section — NOT part of
+        # `value`, which stays comparable to BENCH/BASELINE.md)
+        ops_s: dict[str, float] = {}
+        try:
+            from zsolr import ops as zops
+
+            docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            qv = [float(x) for x in
+                  emb.filter("vec_id = 0").collect()[0]["embedding"]]
+            ops_runs = {
+                "dedup_exact": lambda: zops.dedup_exact(docs).count(),
+                "dedup_minhash_lsh": lambda: zops.minhash_lsh_pairs(
+                    docs).count(),
+                "simhash": lambda: zops.simhash32(docs).count(),
+                "doc_fingerprint": lambda: zops.doc_fingerprint(
+                    docs).count(),
+                "lang_id_ngram": lambda: zops.lang_id_ngram(docs).count(),
+                "ann_lsh_topk": lambda: zops.lsh_bucket_topk(
+                    emb, qv, k=10).count(),
+                "sessionize_events": lambda: zops.sessionize_events(
+                    spark.read.parquet(f"{sf_dir}/events.parquet")).count(),
+            }
+            for name, fn in ops_runs.items():
+                t0 = time.time()
+                fn()
+                ops_s[name] = round(time.time() - t0, 3)
+        except Exception as e:  # ops bench is best-effort
+            ops_s["error"] = str(e)[:200]
         out = {
             "metric": "index-build + BM25 top-10 query suite wall time",
             "value": total,
@@ -94,6 +124,7 @@ def main():
             "p95_query_ms": round(p95, 1),
             "cpus": cpus,
             "replicate": replicate,
+            "ops": ops_s,
         }
         print(json.dumps(out))
     finally:

@@ -223,3 +223,34 @@ def test_lifecycle_fuzz_sequence(tmp_path, spark, corpus_df):
 
     compact(spark, cat)
     check("compact")
+
+
+def test_compact_layout_merges_dirs(tmp_path, spark, corpus_df):
+    """Layout-only compaction: after several incremental appends the
+    postings table spans many data dirs; compact_layout folds them into
+    one bucket-partitioned dir with identical search results."""
+    from zsolr.lifecycle import compact_layout
+
+    schema = ("repo string, path string, commit string, lang string,"
+              " content string")
+    rows = [r.asDict() for r in corpus_df.limit(60).collect()]
+    cat, _ = _build(tmp_path / "idx", spark,
+                    spark.createDataFrame(rows, schema))
+    for step in range(3):
+        rows.append({"repo": f"srcL{step}", "path": f"l/f{step}.py",
+                     "commit": "a" * 40, "lang": "en",
+                     "content": f"layout spark doc {step}"})
+        incremental_update(spark, cat,
+                           spark.createDataFrame(rows, schema))
+    assert len(cat.current_snapshot("postings")["data_dirs"]) >= 4
+    s = Searcher(spark, cat)
+    pre = {q: [(r["doc_id"], round(r["score"], 9))
+               for r in s.search(q, k=10).collect()]
+           for q in ("spark", "layout", "hash AND join")}
+    compact_layout(spark, cat)
+    assert len(cat.current_snapshot("postings")["data_dirs"]) == 1
+    s2 = Searcher(spark, cat)
+    post = {q: [(r["doc_id"], round(r["score"], 9))
+                for r in s2.search(q, k=10).collect()]
+            for q in pre}
+    assert pre == post

@@ -274,3 +274,16 @@ def test_lang_id_ngram_matches_python(spark, docs_df, docs_py):
         pred = sorted(hits, key=lambda s: (-hits[s], s))[0]
         assert got[d["doc_id"]] == (hits["en"], hits["de"], hits["fr"],
                                     pred), d["doc_id"]
+
+
+def test_minhash_max_bucket_guard(spark, docs_df):
+    """The skew guard drops degenerate buckets: capped output is a subset
+    of the uncapped pairs and strictly smaller on this tiny-vocab fixture
+    (where buckets are pathologically hot)."""
+    sub = docs_df.filter("doc_id % 10 = 0")
+    full = {(r["doc_a"], r["doc_b"])
+            for r in ops.minhash_lsh_pairs(sub).collect()}
+    capped = {(r["doc_a"], r["doc_b"])
+              for r in ops.minhash_lsh_pairs(sub, max_bucket=5).collect()}
+    assert capped <= full
+    assert len(capped) < len(full)

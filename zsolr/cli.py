@@ -79,8 +79,11 @@ def main(argv: list[str] | None = None) -> int:
     u.add_argument("--corpus-sf")
     u.add_argument("--replicate", type=int, default=1)
 
-    sub.add_parser("compact", help="rewrite postings without tombstones") \
-        .add_argument("--index", required=True)
+    cp = sub.add_parser("compact", help="rewrite postings without "
+                                        "tombstones (or merge dirs only)")
+    cp.add_argument("--index", required=True)
+    cp.add_argument("--layout-only", action="store_true",
+                    help="merge posting data dirs without re-encoding")
 
     args = p.parse_args(argv)
 
@@ -152,9 +155,13 @@ def main(argv: list[str] | None = None) -> int:
         stats = incremental_update(spark, cat, corpus)
         print(json.dumps(stats))
     elif args.cmd == "compact":
-        from zsolr.lifecycle import compact
-        compact(spark, cat)
-        print(json.dumps({"compacted": True}))
+        from zsolr.lifecycle import compact, compact_layout
+        if args.layout_only:
+            compact_layout(spark, cat)
+        else:
+            compact(spark, cat)
+        print(json.dumps({"compacted": True,
+                          "layout_only": bool(args.layout_only)}))
     spark.stop()
     return 0
 

@@ -180,6 +180,22 @@ def _append_partial_index(spark: SparkSession, cat: ManifestParquetCatalog,
          cfg.fingerprint("incremental"), n_added, 0, 0, "committed")])
 
 
+def compact_layout(spark: SparkSession, cat: ManifestParquetCatalog):
+    """Minor compaction: every incremental update appends a posting data
+    dir per snapshot, so long-lived indexes accumulate small files.  This
+    rewrites the ALREADY-ENCODED blocks into one bucket-partitioned dir
+    (term-clustered within each file) — pure layout shuffle of compressed
+    blocks, no decode/re-encode and no tfs scan, so it costs a tiny
+    fraction of a full :func:`compact`.  Tombstones are untouched (still
+    applied at read time); docIDs and scores are unchanged."""
+    cfg_row = cat.read(spark, "index_stats").collect()[0]
+    n_buckets = int(cfg_row["n_buckets"])
+    blocks = (cat.read(spark, "postings")
+              .repartition(n_buckets, "bucket")
+              .sortWithinPartitions("term", "first_doc"))
+    cat.write(blocks, "postings", mode="overwrite", partition_by=["bucket"])
+
+
 def compact(spark: SparkSession, cat: ManifestParquetCatalog):
     """Rewrite the index without tombstoned docs (segment-merge analogue).
     docIDs are preserved; tombstones are cleared afterwards."""

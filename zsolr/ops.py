@@ -72,7 +72,8 @@ def _hash60_seeded(term_col, k_col):
 
 def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n_hashes: int = 8,
-                      band_rows: int = 2) -> DataFrame:
+                      band_rows: int = 2,
+                      max_bucket: int | None = None) -> DataFrame:
     """MinHash + LSH near-dup candidates: band the signature, bucket-join.
 
     Candidate pairs come from equi-joining band keys — the shuffle is on
@@ -95,6 +96,16 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                         F.explode(F.array(*band_structs)).alias("b"))
              .select("doc_id", F.col("b.band").alias("band"),
                      F.col("b.sig").alias("sig")))
+    if max_bucket is not None:
+        # skew guard (standard LSH practice): a degenerate bucket of size
+        # s yields s(s-1)/2 candidate pairs — one hot signature can turn
+        # the equi-join quadratic.  Drop buckets past the cap; recall for
+        # them is recovered by the other bands (or a higher band count).
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band", "sig")
+        bands = (bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
+                 .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
