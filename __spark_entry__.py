@@ -155,6 +155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         spark, sf, "hash OR NOT join")
     # round-2: PrefixQuery (constant-score term expansion) + clause boosts
     q["prefix_search"] = lambda spark, sf: _match_ids(spark, sf, "st*")
+    q["fuzzy_search"] = lambda spark, sf: _match_ids(spark, sf, "sparl~1")
 
     def boosted_or(spark, sf):
         from pyspark.sql import Window
@@ -586,6 +587,9 @@ UNION (SELECT doc_id FROM ids
 
     o["prefix_search"] = f"""{_BASE}
 SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'st%'"""
+
+    o["fuzzy_search"] = f"""{_BASE}
+SELECT DISTINCT doc_id FROM tf WHERE levenshtein(term, 'sparl') <= 1"""
 
     o["boosted_or"] = f"""{_BASE},
 scored AS (

@@ -11,7 +11,20 @@ import math
 import re
 from collections import Counter
 
-from zsolr.parse import And, Boost, Not, Or, Phrase, Prefix, Range, Term
+from zsolr.parse import (And, Boost, Fuzzy, Not, Or, Phrase, Prefix, Range,
+                         Term)
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain DP Levenshtein (independent of the engine's expansion)."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
 
 K1, B = 1.2, 0.75
 
@@ -103,6 +116,14 @@ class OracleIndex:
             # any token with the prefix
             return {d: 0.0 for d, toks in self.tokens.items()
                     if any(t.startswith(node.prefix) for t in toks)}
+        if isinstance(node, Fuzzy):
+            # constant-score over docs containing any token within edit
+            # distance (Lucene FuzzyQuery, constant-score rewrite)
+            ok = {t for t in self.tf
+                  if abs(len(t) - len(node.term)) <= node.max_edits
+                  and _lev(t, node.term) <= node.max_edits}
+            return {d: 0.0 for d, toks in self.tokens.items()
+                    if ok & set(toks)}
         if isinstance(node, Boost):
             return {d: s * node.weight
                     for d, s in self._eval(node.child).items()}

@@ -383,3 +383,27 @@ def test_norms_pruned_for_rare_terms(spark, tmp_path):
     wide = Searcher(spark, cat, shard_width=10**9)  # 1 shard — no pruning
     assert got == [(r["doc_id"], round(r["score"], 9))
                    for r in wide.search("rareterm", k=10).collect()]
+
+
+@pytest.mark.parametrize("q", ["sparl~1", "spark~", "sort~2",
+                               "batc~1 AND spark", "qery~1 OR join",
+                               "spark AND NOT slpw~1"])
+def test_fuzzy_queries(searcher, oracle, q):
+    """FuzzyQuery (constant-score Levenshtein expansion): rank + score
+    identity vs the oracle's independent DP edit distance; numFound."""
+    got, n = searcher.search(q, k=10, with_count=True)
+    got = [(r["doc_id"], r["score"]) for r in got.collect()]
+    exp = oracle.search(parse(q), k=10)
+    assert [g[0] for g in got] == [e[0] for e in exp], q
+    for g, e in zip(got, exp):
+        assert abs(g[1] - e[1]) < 1e-9, (q, g, e)
+    assert n == oracle.num_found(parse(q)), q
+
+
+def test_fuzzy_parse_and_no_match(searcher):
+    from zsolr.parse import Fuzzy
+    ast = parse("spark~2")
+    assert isinstance(ast, Fuzzy) and ast.max_edits == 2
+    assert parse("spark~").max_edits == 1
+    df, n = searcher.search("zzzzzzzzzz~1", k=5, with_count=True)
+    assert n == 0 and df.count() == 0

@@ -61,6 +61,16 @@ class Prefix:
 
 
 @dataclass(frozen=True)
+class Fuzzy:
+    """``spark~1`` — Lucene FuzzyQuery.  Rewritten at plan time to the
+    index terms within ``max_edits`` Levenshtein distance (length-banded
+    term-dictionary scan; an FST automaton is the Lucene-internal
+    equivalent) and evaluated CONSTANT-SCORE like Prefix."""
+    term: str
+    max_edits: int = 1
+
+
+@dataclass(frozen=True)
 class Boost:
     """``term^2`` / ``"a b"^1.5`` — multiplies the child clause's score."""
     child: object
@@ -191,6 +201,10 @@ class _Parser:
             m = re.fullmatch(r"([A-Za-z0-9]+)\*", val)
             if m:  # prefix query: spar*
                 return Prefix(m.group(1).lower())
+            m = re.fullmatch(r"([A-Za-z0-9]+)~([12])?", val)
+            if m:  # fuzzy query: spark~ / spark~1 / spark~2
+                return Fuzzy(m.group(1).lower(),
+                             int(m.group(2)) if m.group(2) else 1)
             return self._phrase(_unescape(val), "content")
         raise ValueError(f"unexpected token {kind}:{val}")
 

@@ -39,7 +39,8 @@ from pyspark.sql import functions as F
 from . import BM25_B, BM25_K1, codec
 from .build import NORMS_TERM, term_bucket
 from .catalog import ManifestParquetCatalog
-from .parse import And, Boost, Not, Or, Phrase, Prefix, Range, Term, parse
+from .parse import (And, Boost, Fuzzy, Not, Or, Phrase, Prefix, Range, Term,
+                    parse)
 
 DOC_META_FIELDS = ("repo", "path", "commit", "lang")
 
@@ -144,6 +145,8 @@ def _rewrite_nested(node):
     if isinstance(node, Prefix):
         if node.field != "content":
             raise UnsupportedQuery("prefix queries only on content")
+        return node
+    if isinstance(node, Fuzzy):
         return node
     if isinstance(node, Boost):
         return Boost(_rewrite_nested(node.child), node.weight)
@@ -830,10 +833,37 @@ class Searcher:
             self._df_cache[key] = terms
         return self._df_cache[key]
 
+    def _expand_fuzzy(self, term: str, max_edits: int,
+                      cap: int = 1024) -> list[str]:
+        """term~d → index terms within Levenshtein distance d.  Length-band
+        prefilter narrows the term-dictionary scan; Lucene does this with
+        an FST automaton — the relational equivalent is a columnar scan of
+        the (tiny relative to postings) term_stats table.  Memoized."""
+        key = f"\x01fz:{term}~{max_edits}"
+        if key not in self._df_cache:
+            ln = len(term)
+            rows = (self._term_stats
+                    .filter(~F.col("term").contains("=")
+                            & ~F.col("term").startswith("\x00")
+                            & F.length("term").between(ln - max_edits,
+                                                       ln + max_edits)
+                            & (F.levenshtein(F.col("term"), F.lit(term))
+                               <= max_edits))
+                    .select("term").limit(cap + 1).collect())
+            terms = sorted(r["term"] for r in rows)
+            if len(terms) > cap:
+                raise UnsupportedQuery(
+                    f"fuzzy {term}~{max_edits} expands to >{cap} terms")
+            self._df_cache[key] = terms
+        return self._df_cache[key]
+
     def _expand_ast(self, node):
-        """Replace Prefix nodes with ConstSet term unions."""
+        """Replace Prefix/Fuzzy nodes with ConstSet term unions."""
         if isinstance(node, Prefix):
             return ConstSet(tuple(self._expand_prefix(node.prefix)))
+        if isinstance(node, Fuzzy):
+            return ConstSet(tuple(self._expand_fuzzy(node.term,
+                                                     node.max_edits)))
         if isinstance(node, And):
             return And(tuple(self._expand_ast(c) for c in node.children))
         if isinstance(node, Or):
