@@ -156,6 +156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-2: PrefixQuery (constant-score term expansion) + clause boosts
     q["prefix_search"] = lambda spark, sf: _match_ids(spark, sf, "st*")
     q["fuzzy_search"] = lambda spark, sf: _match_ids(spark, sf, "sparl~1")
+    q["wildcard_search"] = lambda spark, sf: _match_ids(spark, sf, "*or*")
 
     def boosted_or(spark, sf):
         from pyspark.sql import Window
@@ -590,6 +591,9 @@ SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'st%'"""
 
     o["fuzzy_search"] = f"""{_BASE}
 SELECT DISTINCT doc_id FROM tf WHERE levenshtein(term, 'sparl') <= 1"""
+
+    o["wildcard_search"] = f"""{_BASE}
+SELECT DISTINCT doc_id FROM tf WHERE term LIKE '%or%'"""
 
     o["boosted_or"] = f"""{_BASE},
 scored AS (

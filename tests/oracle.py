@@ -11,8 +11,8 @@ import math
 import re
 from collections import Counter
 
-from zsolr.parse import (And, Boost, Fuzzy, Not, Or, Phrase, Prefix, Range,
-                         Term)
+from zsolr.parse import (And, Boost, Contains, Fuzzy, Not, Or, Phrase,
+                         Prefix, Range, Term)
 
 
 def _lev(a: str, b: str) -> int:
@@ -116,6 +116,9 @@ class OracleIndex:
             # any token with the prefix
             return {d: 0.0 for d, toks in self.tokens.items()
                     if any(t.startswith(node.prefix) for t in toks)}
+        if isinstance(node, Contains):
+            return {d: 0.0 for d, toks in self.tokens.items()
+                    if any(node.sub in t for t in toks)}
         if isinstance(node, Fuzzy):
             # constant-score over docs containing any token within edit
             # distance (Lucene FuzzyQuery, constant-score rewrite)

@@ -407,3 +407,16 @@ def test_fuzzy_parse_and_no_match(searcher):
     assert parse("spark~").max_edits == 1
     df, n = searcher.search("zzzzzzzzzz~1", k=5, with_count=True)
     assert n == 0 and df.count() == 0
+
+
+@pytest.mark.parametrize("q", ["*par*", "*or*", "*ort* AND spark",
+                               "*que* OR NOT join"])
+def test_contains_wildcard_queries(searcher, oracle, q):
+    """Infix wildcard *sub* (constant-score dictionary expansion)."""
+    got, n = searcher.search(q, k=10, with_count=True)
+    got = [(r["doc_id"], r["score"]) for r in got.collect()]
+    exp = oracle.search(parse(q), k=10)
+    assert [g[0] for g in got] == [e[0] for e in exp], q
+    for g, e in zip(got, exp):
+        assert abs(g[1] - e[1]) < 1e-9, (q, g, e)
+    assert n == oracle.num_found(parse(q)), q

@@ -61,6 +61,14 @@ class Prefix:
 
 
 @dataclass(frozen=True)
+class Contains:
+    """``*sub*`` — infix wildcard.  Rewritten at plan time to the index
+    terms containing the substring (full term-dictionary scan, like
+    Lucene's leading-wildcard queries) and evaluated CONSTANT-SCORE."""
+    sub: str
+
+
+@dataclass(frozen=True)
 class Fuzzy:
     """``spark~1`` — Lucene FuzzyQuery.  Rewritten at plan time to the
     index terms within ``max_edits`` Levenshtein distance (length-banded
@@ -201,6 +209,9 @@ class _Parser:
             m = re.fullmatch(r"([A-Za-z0-9]+)\*", val)
             if m:  # prefix query: spar*
                 return Prefix(m.group(1).lower())
+            m = re.fullmatch(r"\*([A-Za-z0-9]+)\*", val)
+            if m:  # infix wildcard: *par*
+                return Contains(m.group(1).lower())
             m = re.fullmatch(r"([A-Za-z0-9]+)~([12])?", val)
             if m:  # fuzzy query: spark~ / spark~1 / spark~2
                 return Fuzzy(m.group(1).lower(),

@@ -39,8 +39,8 @@ from pyspark.sql import functions as F
 from . import BM25_B, BM25_K1, codec
 from .build import NORMS_TERM, term_bucket
 from .catalog import ManifestParquetCatalog
-from .parse import (And, Boost, Fuzzy, Not, Or, Phrase, Prefix, Range, Term,
-                    parse)
+from .parse import (And, Boost, Contains, Fuzzy, Not, Or, Phrase, Prefix,
+                    Range, Term, parse)
 
 DOC_META_FIELDS = ("repo", "path", "commit", "lang")
 
@@ -146,7 +146,7 @@ def _rewrite_nested(node):
         if node.field != "content":
             raise UnsupportedQuery("prefix queries only on content")
         return node
-    if isinstance(node, Fuzzy):
+    if isinstance(node, (Fuzzy, Contains)):
         return node
     if isinstance(node, Boost):
         return Boost(_rewrite_nested(node.child), node.weight)
@@ -857,13 +857,31 @@ class Searcher:
             self._df_cache[key] = terms
         return self._df_cache[key]
 
+    def _expand_contains(self, sub: str, cap: int = 1024) -> list[str]:
+        """*sub* → index terms containing the substring (full dictionary
+        scan — the documented cost of leading wildcards, as in Lucene)."""
+        key = f"\x01ct:{sub}"
+        if key not in self._df_cache:
+            rows = (self._term_stats
+                    .filter(F.col("term").contains(sub)
+                            & ~F.col("term").contains("=")
+                            & ~F.col("term").startswith("\x00"))
+                    .select("term").limit(cap + 1).collect())
+            terms = sorted(r["term"] for r in rows)
+            if len(terms) > cap:
+                raise UnsupportedQuery(f"*{sub}* expands to >{cap} terms")
+            self._df_cache[key] = terms
+        return self._df_cache[key]
+
     def _expand_ast(self, node):
-        """Replace Prefix/Fuzzy nodes with ConstSet term unions."""
+        """Replace Prefix/Fuzzy/Contains nodes with ConstSet term unions."""
         if isinstance(node, Prefix):
             return ConstSet(tuple(self._expand_prefix(node.prefix)))
         if isinstance(node, Fuzzy):
             return ConstSet(tuple(self._expand_fuzzy(node.term,
                                                      node.max_edits)))
+        if isinstance(node, Contains):
+            return ConstSet(tuple(self._expand_contains(node.sub)))
         if isinstance(node, And):
             return And(tuple(self._expand_ast(c) for c in node.children))
         if isinstance(node, Or):
