@@ -102,3 +102,26 @@ def test_commit_cas_and_concurrent_append(spark, tmp_path):
         t.join()
     assert not errs
     assert cat.read(spark, "t").count() == 9 + 4 * 3
+
+
+def test_expire_snapshots(spark, tmp_path):
+    """GC parity: superseded snapshots' data dirs are deleted, the kept
+    history still reads, and time travel to expired snapshots is gone."""
+    import os
+
+    from zsolr.catalog import ManifestParquetCatalog
+
+    cat = ManifestParquetCatalog(str(tmp_path / "gc"))
+    ids = []
+    for i in range(4):
+        df = spark.range(i + 1).selectExpr("id AS x")
+        ids.append(cat.write(df, "t", mode="overwrite"))
+    data_root = os.path.join(cat.root, "t", "data")
+    assert len(os.listdir(data_root)) == 4
+    stats = cat.expire_snapshots("t", keep_last=2)
+    assert stats["expired"] == 2 and stats["dirs_deleted"] == 2
+    assert cat.read(spark, "t").count() == 4          # current intact
+    assert cat.read(spark, "t", snapshot_id=ids[2]).count() == 3  # kept
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        cat.read(spark, "t", snapshot_id=ids[0])       # expired

@@ -206,6 +206,43 @@ class ManifestParquetCatalog:
                        os.path.join(data_dir, "part-0.parquet"))
         return self._commit(table, [data_dir], mode, meta)
 
+    def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
+        """Iceberg ``expire_snapshots`` parity: keep the newest
+        ``keep_last`` snapshots (snapshot ids sort by commit time), delete
+        every data dir not referenced by them plus the expired snapshot
+        manifests.  Time travel to expired snapshots is gone; the current
+        pointer (always the newest commit) is never touched.  Runs under
+        the commit lock so concurrent writers can't race the GC."""
+        import shutil
+
+        with self._lock(table):
+            sdir = os.path.join(self._tdir(table), "_snapshots")
+            if not os.path.isdir(sdir):
+                return {"expired": 0, "dirs_deleted": 0}
+            snaps = sorted(f[:-5] for f in os.listdir(sdir)
+                           if f.endswith(".json"))
+            keep = set(snaps[-max(1, keep_last):])
+            kept_dirs: set[str] = set()
+            for sid in keep:
+                with open(self._snap_path(table, sid)) as f:
+                    kept_dirs.update(json.load(f)["data_dirs"])
+            kept_names = {os.path.basename(os.path.normpath(d))
+                          for d in kept_dirs}
+            data_root = os.path.join(self._tdir(table), "data")
+            deleted = 0
+            if os.path.isdir(data_root):
+                for name in os.listdir(data_root):
+                    if name not in kept_names:
+                        shutil.rmtree(os.path.join(data_root, name),
+                                      ignore_errors=True)
+                        deleted += 1
+            expired = 0
+            for sid in snaps:
+                if sid not in keep:
+                    os.unlink(self._snap_path(table, sid))
+                    expired += 1
+            return {"expired": expired, "dirs_deleted": deleted}
+
     def row_count(self, table: str, last_dir_only: bool = False) -> int:
         """Row count from parquet footers — no Spark job."""
         import pyarrow.parquet as pq
