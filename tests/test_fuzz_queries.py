@@ -6,7 +6,8 @@ Boost/Prefix/meta terms that the hand-written suites can't enumerate."""
 import numpy as np
 import pytest
 
-from zsolr.parse import And, Boost, Not, Or, Phrase, Prefix, Term
+from zsolr.parse import (And, Boost, Contains, Fuzzy, Not, Or, Phrase,
+                         Prefix, Term)
 from zsolr.search import Searcher, UnsupportedQuery
 
 from tests.oracle import OracleIndex
@@ -44,9 +45,16 @@ def _gen(rng: np.random.Generator, vocab: list, bigrams: list, depth: int):
         a, b = bigrams[rng.integers(len(bigrams))]
         slop = int(rng.integers(0, 3)) if rng.random() < 0.5 else 0
         return Phrase((a, b), "content", slop)
-    if r < 0.70:
+    if r < 0.66:
         t = vocab[rng.integers(len(vocab))]
         return Prefix(t[: max(1, int(rng.integers(1, 4)))])
+    if r < 0.70:
+        t = vocab[rng.integers(len(vocab))]
+        if rng.random() < 0.5:  # perturb one char → fuzzy still matches
+            i = int(rng.integers(len(t)))
+            t = t[:i] + "z" + t[i + 1:]
+            return Fuzzy(t, 1)
+        return Contains(t[1:-1]) if len(t) > 3 else Fuzzy(t, 1)
     kids = tuple(_gen(rng, vocab, bigrams, depth - 1)
                  for _ in range(int(rng.integers(2, 4))))
     if r < 0.84:
