@@ -275,3 +275,37 @@ def test_positions_false_index_options(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(UnsupportedQuery):
         searchers["without"].search('"alpha beta"', k=5)
+
+
+def test_cross_config_resume_matrix(spark, tmp_path, corpus_df):
+    """Round-2 config combos interact correctly: PFor codec +
+    positions=False + shard alignment + grouped resume, killed mid-build
+    and resumed — identical to a clean build of the same config."""
+    from zsolr import codec as zcodec
+    from zsolr.build import BuildConfig, IndexBuilder
+    from zsolr.catalog import ManifestParquetCatalog
+    from zsolr.search import Searcher
+
+    small = corpus_df.limit(120).cache()
+    kw = dict(n_buckets=8, resume_groups=4, codec=zcodec.CODEC_PFOR,
+              positions=False, shard_width=32)
+    ref = ManifestParquetCatalog(str(tmp_path / "ref"))
+    IndexBuilder(ref, BuildConfig(**kw)).build(
+        spark, "mx", corpus_df=small)
+
+    killed = ManifestParquetCatalog(str(tmp_path / "killed"))
+    with pytest.raises(RuntimeError, match="simulated kill"):
+        IndexBuilder(killed, BuildConfig(fail_after_group=1, **kw)).build(
+            spark, "mx", corpus_df=small)
+    res = IndexBuilder(killed, BuildConfig(**kw)).build(
+        spark, "mx", corpus_df=small)
+    assert ("postings", 0) in res.resumed_stages
+
+    a, b = Searcher(spark, ref), Searcher(spark, killed)
+    for q in ("spark", "hash AND join", "stream OR batch"):
+        ra = [(r["doc_id"], r["score"]) for r in a.search(q, k=10).collect()]
+        rb = [(r["doc_id"], r["score"]) for r in b.search(q, k=10).collect()]
+        assert ra == rb, q
+    st = ref.read(spark, "index_stats").collect()[0]
+    assert (int(st["codec"]), int(st["positions"]),
+            int(st["shard_width"])) == (3, 0, 32)

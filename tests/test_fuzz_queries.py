@@ -69,7 +69,10 @@ def _gen(rng: np.random.Generator, vocab: list, bigrams: list, depth: int):
 
 
 def test_fuzz_rank_identity(searcher, oracle):
-    rng = np.random.default_rng(2026)
+    import os
+
+    seed = int(os.environ.get("ZSOLR_FUZZ_SEED", "2026"))
+    rng = np.random.default_rng(seed)
     vocab = sorted(t for t in oracle.tf if t.isalpha())
     bigrams = []
     for toks in list(oracle.tokens.values())[:50]:
