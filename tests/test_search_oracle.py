@@ -420,3 +420,24 @@ def test_contains_wildcard_queries(searcher, oracle, q):
     for g, e in zip(got, exp):
         assert abs(g[1] - e[1]) < 1e-9, (q, g, e)
     assert n == oracle.num_found(parse(q)), q
+
+
+def test_query_result_cache(spark, built_index):
+    """Opt-in queryResultCache: identical requests return identical rows
+    from the cache; the cache is bounded; default-off searchers never
+    populate one."""
+    cat, _res = built_index
+    s = Searcher(spark, cat, cache_size=2)
+    a = [tuple(r) for r in s.search("spark", k=5).collect()]
+    assert len(s._result_cache) == 1
+    b = [tuple(r) for r in s.search("spark", k=5).collect()]
+    assert a == b
+    df, n = s.search("hash AND join", k=5, with_count=True)
+    df2, n2 = s.search("hash AND join", k=5, with_count=True)
+    assert n == n2 and [tuple(r) for r in df.collect()] == \
+        [tuple(r) for r in df2.collect()]
+    s.search("dup", k=5).collect()
+    assert len(s._result_cache) <= 2  # bounded (FIFO eviction)
+    s0 = Searcher(spark, cat)
+    s0.search("spark", k=5).collect()
+    assert not s0._result_cache

@@ -700,9 +700,15 @@ class Searcher:
     """Warm handle over a built index (zeit.solr SolrConnection analogue)."""
 
     def __init__(self, spark: SparkSession, cat: ManifestParquetCatalog,
-                 shard_width: int | None = None):
+                 shard_width: int | None = None, cache_size: int = 0):
+        """``cache_size`` > 0 enables a bounded query-result cache (Solr
+        queryResultCache): sound because a Searcher pins its snapshot at
+        construction — lifecycle ops require a new Searcher anyway.
+        Default OFF so latency measurements stay honest."""
         self.spark = spark
         self.cat = cat
+        self._result_cache: dict = {}
+        self._cache_size = cache_size
         st = cat.read(spark, "index_stats").collect()[0]
         self.n_docs_total = int(st["n_docs"])
         self.avgdl = float(st["avgdl"]) or 1.0
@@ -913,6 +919,32 @@ class Searcher:
         ``sort``: ``"field"`` or ``"field desc"`` overrides score ordering
         (Solr ``sort=`` param).  ``start``: result offset (Solr ``start=``).
         """
+        ckey = None
+        if self._cache_size and k is not None:
+            ckey = (str(q), k, start, sort, wand, with_count)
+            hit = self._result_cache.get(ckey)
+            if hit is not None:
+                rows, num_found = hit
+                df = self.spark.createDataFrame(rows, self._OUT_SCHEMA) \
+                    if rows else self.spark.createDataFrame(
+                        [], self._OUT_SCHEMA)
+                return (df, num_found) if with_count else df
+        out = self._search_uncached(q, k, start, sort, wand, with_count)
+        if ckey is not None:
+            df, num_found = out if with_count else (out, None)
+            rows = [tuple(r) for r in df.collect()]
+            if len(self._result_cache) >= self._cache_size:
+                self._result_cache.pop(next(iter(self._result_cache)))
+            self._result_cache[ckey] = (rows, num_found)
+            df2 = self.spark.createDataFrame(rows, self._OUT_SCHEMA) \
+                if rows else self.spark.createDataFrame([], self._OUT_SCHEMA)
+            return (df2, num_found) if with_count else df2
+        return out
+
+    _OUT_SCHEMA = ("doc_id long, repo string, path string, commit string,"
+                   " score double")
+
+    def _search_uncached(self, q, k, start, sort, wand, with_count):
         plan = plan_query(q)
         docs_f = self.docs
         if plan.filters:
