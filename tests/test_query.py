@@ -104,3 +104,21 @@ def test_prefix_and_boost_builders():
     assert isinstance(ast.children[1], Boost)
     b = parse(q.boost('"sort merge"', 1.5))
     assert isinstance(b, Boost) and isinstance(b.child, Phrase)
+
+
+def test_fuzzy_contains_builders():
+    import pytest
+
+    from zsolr import query as q
+    from zsolr.parse import Contains, Fuzzy, parse
+
+    assert q.fuzzy("spark") == "spark~1"
+    assert q.fuzzy("spark", 2) == "spark~2"
+    assert q.contains("par") == "*par*"
+    with pytest.raises(ValueError):
+        q.fuzzy("a b")
+    with pytest.raises(ValueError):
+        q.contains("a b")
+    a = parse(q.fuzzy("spark", 2))
+    assert isinstance(a, Fuzzy) and a.max_edits == 2
+    assert isinstance(parse(q.contains("par")), Contains)

@@ -85,6 +85,12 @@ def main(argv: list[str] | None = None) -> int:
     cp.add_argument("--layout-only", action="store_true",
                     help="merge posting data dirs without re-encoding")
 
+    vc = sub.add_parser("vacuum", help="expire old snapshots + GC data dirs")
+    vc.add_argument("--index", required=True)
+    vc.add_argument("--table", default=None,
+                    help="one table (default: all index tables)")
+    vc.add_argument("--keep-last", type=int, default=2)
+
     args = p.parse_args(argv)
 
     from zsolr.build import BuildConfig, IndexBuilder
@@ -153,6 +159,13 @@ def main(argv: list[str] | None = None) -> int:
         from zsolr.lifecycle import incremental_update
         corpus, _loc = load_corpus()
         stats = incremental_update(spark, cat, corpus)
+        print(json.dumps(stats))
+    elif args.cmd == "vacuum":
+        tables = [args.table] if args.table else \
+            ["docs", "tfs", "postings", "term_stats", "index_stats",
+             "manifest", "tombstones"]
+        stats = {t: cat.expire_snapshots(t, keep_last=args.keep_last)
+                 for t in tables if cat.exists(t)}
         print(json.dumps(stats))
     elif args.cmd == "compact":
         from zsolr.lifecycle import compact, compact_layout

@@ -79,3 +79,17 @@ def boost(term_or_phrase: str, weight: float) -> str:
     grammar attaches ``^w`` to term/phrase clauses, like Lucene)."""
     w = int(weight) if float(weight).is_integer() else weight
     return f"{term_or_phrase}^{w}"
+
+
+def fuzzy(term: str, max_edits: int = 1) -> str:
+    """FuzzyQuery fragment: ``term~d`` (single alphanumeric token)."""
+    if not term.isalnum() or max_edits not in (1, 2):
+        raise ValueError("fuzzy() takes an alphanumeric token and d in {1,2}")
+    return f"{term}~{max_edits}"
+
+
+def contains(sub: str) -> str:
+    """Infix-wildcard fragment: ``*sub*`` (single alphanumeric token)."""
+    if not sub.isalnum():
+        raise ValueError("contains() takes a single alphanumeric token")
+    return f"*{sub}*"
