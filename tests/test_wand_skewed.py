@@ -47,6 +47,10 @@ def skewed(tmp_path_factory, spark):
 @pytest.mark.parametrize("q", [
     "w5", "w0", "w1 AND w2", "w5 OR w38", "w0 AND NOT w5",
     "w3 AND w4", "w5 AND w0", "w2 OR w3 OR w17",
+    # round-2 surface on genuinely skewed data: boosts (scaled UBs must
+    # keep pruning safe), prefix/fuzzy constant-score legs, meta-in-OR
+    "w5^2 OR w38", "w0^0.5 AND w1", "w3^3 OR w17^2",
+    "w1* AND w5", "w39~1 OR w2", "lang:en OR w5",
 ])
 def test_wand_rank_identity_under_skew(spark, skewed, q):
     cat, oracle = skewed
