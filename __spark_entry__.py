@@ -157,6 +157,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["prefix_search"] = lambda spark, sf: _match_ids(spark, sf, "st*")
     q["fuzzy_search"] = lambda spark, sf: _match_ids(spark, sf, "sparl~1")
     q["wildcard_search"] = lambda spark, sf: _match_ids(spark, sf, "*or*")
+    # pure filter-leg OR: evaluated without shipping the norms sidecar
+    q["or_pure_meta"] = lambda spark, sf: _match_ids(
+        spark, sf, "lang:en OR repo:src3")
 
     def boosted_or(spark, sf):
         from pyspark.sql import Window
@@ -594,6 +597,10 @@ SELECT DISTINCT doc_id FROM tf WHERE levenshtein(term, 'sparl') <= 1"""
 
     o["wildcard_search"] = f"""{_BASE}
 SELECT DISTINCT doc_id FROM tf WHERE term LIKE '%or%'"""
+
+    o["or_pure_meta"] = f"""{_BASE}
+SELECT doc_id FROM ids WHERE lang = 'en'
+UNION SELECT doc_id FROM ids WHERE repo = 'src3'"""
 
     o["boosted_or"] = f"""{_BASE},
 scored AS (
