@@ -12,7 +12,7 @@ import re
 from collections import Counter
 
 from zsolr.parse import (And, Boost, Contains, Fuzzy, Not, Or, Phrase,
-                         Prefix, Range, Term)
+                         Prefix, Range, Term, Wildcard)
 
 
 def _lev(a: str, b: str) -> int:
@@ -119,6 +119,14 @@ class OracleIndex:
         if isinstance(node, Contains):
             return {d: 0.0 for d, toks in self.tokens.items()
                     if any(node.sub in t for t in toks)}
+        if isinstance(node, Wildcard):
+            # independent glob implementation (regex, not the engine's
+            # SQL-LIKE dictionary scan)
+            pat = re.compile(
+                "".join(".*" if c == "*" else "." if c == "?"
+                        else re.escape(c) for c in node.pattern) + r"\Z")
+            return {d: 0.0 for d, toks in self.tokens.items()
+                    if any(pat.match(t) for t in toks)}
         if isinstance(node, Fuzzy):
             # constant-score over docs containing any token within edit
             # distance (Lucene FuzzyQuery, constant-score rewrite)

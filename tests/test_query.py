@@ -106,6 +106,39 @@ def test_prefix_and_boost_builders():
     assert isinstance(b, Boost) and isinstance(b.child, Phrase)
 
 
+def test_fielded_suffixes_parse_or_raise():
+    """Round-2 advice: 'lang:en^2' must boost the filter term (previously
+    exact Term('en^2') → silently zero hits) and unsupported fuzzy
+    suffixes must RAISE instead of silently tokenizing."""
+    import pytest
+
+    assert P.parse("lang:en^2") == P.Boost(P.Term("en", "lang"), 2.0)
+    with pytest.raises(ValueError):
+        P.parse("lang:en~1")        # fuzzy on metadata: unsupported
+    with pytest.raises(ValueError):
+        P.parse("term~3")           # >2 edits: Lucene caps at 2
+    with pytest.raises(ValueError):
+        P.parse("content:spark~9")
+    # content:-fielded words get the full bare-word treatment
+    assert P.parse("content:spar*") == P.Prefix("spar")
+    assert P.parse("content:spark~2") == P.Fuzzy("spark", 2)
+    assert P.parse("content:spark^2") == P.Boost(P.Term("spark"), 2.0)
+
+
+def test_parse_general_wildcards():
+    """Mid-token wildcards (Lucene WildcardQuery): sp?rk / sp*rk / s*k*.
+    Trailing-star-only stays Prefix; *sub* stays Contains."""
+    assert P.parse("sp?rk") == P.Wildcard("sp?rk")
+    assert P.parse("sp*rk") == P.Wildcard("sp*rk")
+    assert P.parse("s*k*") == P.Wildcard("s*k*")
+    assert P.parse("SP?RK") == P.Wildcard("sp?rk")
+    assert P.parse("spar*") == P.Prefix("spar")
+    assert P.parse("*par*") == P.Contains("par")
+    # boost composes with wildcard forms (suffix strips first)
+    assert P.parse("spar*^2") == P.Boost(P.Prefix("spar"), 2.0)
+    assert P.parse("sp?rk^1.5") == P.Boost(P.Wildcard("sp?rk"), 1.5)
+
+
 def test_fuzzy_contains_builders():
     import pytest
 

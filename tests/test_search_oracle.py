@@ -385,6 +385,45 @@ def test_norms_pruned_for_rare_terms(spark, tmp_path):
                    for r in wide.search("rareterm", k=10).collect()]
 
 
+def test_not_only_term_under_norms_pruning(spark, tmp_path):
+    """'rare AND NOT common' on a many-shard index with the norms
+    semi-join pruning ACTIVE: the negated term is neg-only, so shards
+    holding only its blocks carry no norms rows — scoring it there raised
+    IndexError (round-2 advice).  Neg-only terms are zero-scored (their
+    doc-id sets alone drive exclusion), so the query must both run and
+    stay rank/score-identical to the single-shard evaluation."""
+    import numpy as np
+
+    from zsolr.build import BuildConfig, IndexBuilder
+    from zsolr.catalog import ManifestParquetCatalog
+
+    rng = np.random.default_rng(13)
+    filler = ["beta", "gamma", "delta", "eps"]
+    rows = []
+    for i in range(400):
+        body = " ".join(rng.choice(filler, size=6))
+        if i % 2 == 0:                  # 'alpha' (the negated term) in
+            body += " alpha"            # every even doc — many shards
+        if i in (37, 250):              # rare positive term in 2 docs:
+            body += " rareterm"         # 37 (odd, survives NOT) and
+        rows.append(("r", f"p{i:04d}", "c", "en", body))  # 250 (excluded)
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+              " content string")
+    cat = ManifestParquetCatalog(str(tmp_path / "negnorm-idx"))
+    IndexBuilder(cat, BuildConfig(n_buckets=4, shard_width=16)).build(
+        spark, "nn", corpus_df=corpus)  # 25 shards; df(rareterm)=2 → prune
+    s = Searcher(spark, cat)
+    got = [(r["doc_id"], round(r["score"], 9))
+           for r in s.search("rareterm AND NOT alpha", k=10).collect()]
+    assert [g[0] for g in got] == [37]
+    assert got[0][1] > 0                # positive leg still BM25-scored
+    wide = Searcher(spark, cat, shard_width=10**9)  # 1 shard — no pruning
+    assert got == [(r["doc_id"], round(r["score"], 9))
+                   for r in wide.search("rareterm AND NOT alpha",
+                                        k=10).collect()]
+
+
 @pytest.mark.parametrize("q", ["sparl~1", "spark~", "sort~2",
                                "batc~1 AND spark", "qery~1 OR join",
                                "spark AND NOT slpw~1"])
@@ -420,6 +459,32 @@ def test_contains_wildcard_queries(searcher, oracle, q):
     for g, e in zip(got, exp):
         assert abs(g[1] - e[1]) < 1e-9, (q, g, e)
     assert n == oracle.num_found(parse(q)), q
+
+
+@pytest.mark.parametrize("q", ["sp?rk", "sp*rk", "s?an", "jo?n AND spark",
+                               "b*tch OR stream", "h?sh j*in"])
+def test_general_wildcard_queries(searcher, oracle, q):
+    """Mid-token wildcards (Lucene WildcardQuery, constant-score LIKE
+    dictionary expansion): rank+score identity vs the oracle's independent
+    regex glob; numFound."""
+    got, n = searcher.search(q, k=10, with_count=True)
+    got = [(r["doc_id"], r["score"]) for r in got.collect()]
+    exp = oracle.search(parse(q), k=10)
+    assert [g[0] for g in got] == [e[0] for e in exp], q
+    for g, e in zip(got, exp):
+        assert abs(g[1] - e[1]) < 1e-9, (q, g, e)
+    assert n == oracle.num_found(parse(q)), q
+
+
+def test_boosted_metadata_filter_term(searcher, oracle):
+    """'lang:en^2 AND spark': the boosted filter leg is constant-score
+    (0·2 = 0), so results equal the unboosted filter query — previously
+    the mis-parse matched nothing."""
+    got = [(r["doc_id"], r["score"])
+           for r in searcher.search("lang:en^2 AND spark", k=10).collect()]
+    plain = [(r["doc_id"], r["score"])
+             for r in searcher.search("lang:en AND spark", k=10).collect()]
+    assert got == plain and got
 
 
 def test_query_result_cache(spark, built_index):

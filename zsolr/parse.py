@@ -69,6 +69,17 @@ class Contains:
 
 
 @dataclass(frozen=True)
+class Wildcard:
+    """General Lucene WildcardQuery pattern (``sp?rk``, ``sp*rk``,
+    ``s*k*`` — any mix of ``*`` = any run and ``?`` = one char).  The
+    trailing-star-only form stays :class:`Prefix` (its dictionary scan is
+    a pushed-down StartsWith) and ``*sub*`` stays :class:`Contains`; this
+    node covers the rest via a SQL-LIKE dictionary scan.  Rewritten at
+    plan time to the matching index terms, evaluated CONSTANT-SCORE."""
+    pattern: str
+
+
+@dataclass(frozen=True)
 class Fuzzy:
     """``spark~1`` — Lucene FuzzyQuery.  Rewritten at plan time to the
     index terms within ``max_edits`` Levenshtein distance (length-banded
@@ -202,22 +213,38 @@ class _Parser:
             if self.peek()[0] == "colon":
                 self.pop()
                 return self._fielded(_unescape(val))
-            m = re.fullmatch(r"(.+)\^(\d+(?:\.\d+)?)", val)
-            if m:  # term boost: term^2
-                return Boost(self._phrase(_unescape(m.group(1)), "content"),
-                             float(m.group(2)))
-            m = re.fullmatch(r"([A-Za-z0-9]+)\*", val)
-            if m:  # prefix query: spar*
-                return Prefix(m.group(1).lower())
-            m = re.fullmatch(r"\*([A-Za-z0-9]+)\*", val)
-            if m:  # infix wildcard: *par*
-                return Contains(m.group(1).lower())
-            m = re.fullmatch(r"([A-Za-z0-9]+)~([12])?", val)
-            if m:  # fuzzy query: spark~ / spark~1 / spark~2
-                return Fuzzy(m.group(1).lower(),
-                             int(m.group(2)) if m.group(2) else 1)
-            return self._phrase(_unescape(val), "content")
+            return self._word_clause(val)
         raise ValueError(f"unexpected token {kind}:{val}")
+
+    def _word_clause(self, val: str):
+        """Bare (or ``content:``-fielded) word → Boost / wildcard / fuzzy
+        node or analyzed term(s).  Unsupported suffixes RAISE rather than
+        silently tokenizing into something else (``term~3`` previously
+        became ``And('term','3')`` — round-2 advice)."""
+        m = re.fullmatch(r"(.+)\^(\d+(?:\.\d+)?)", val)
+        if m:  # term boost: term^2 (suffix strips first, so spar*^2 works)
+            return Boost(self._word_clause(m.group(1)), float(m.group(2)))
+        m = re.fullmatch(r"([A-Za-z0-9]+)\*", val)
+        if m:  # prefix query: spar* (StartsWith-pushdown dictionary scan)
+            return Prefix(m.group(1).lower())
+        m = re.fullmatch(r"\*([A-Za-z0-9]+)\*", val)
+        if m:  # infix wildcard: *par*
+            return Contains(m.group(1).lower())
+        m = re.fullmatch(r"([A-Za-z0-9]+)~([12])?", val)
+        if m:  # fuzzy query: spark~ / spark~1 / spark~2
+            return Fuzzy(m.group(1).lower(),
+                         int(m.group(2)) if m.group(2) else 1)
+        m = re.fullmatch(r"(.+)~(\d+)", val)
+        if m:  # anything else with a fuzzy suffix is unsupported syntax
+            raise ValueError(
+                f"fuzzy {val!r}: max_edits must be 1 or 2 on a plain term"
+                f" (Lucene caps FuzzyQuery at 2 edits)")
+        if ("*" in val or "?" in val) \
+                and re.fullmatch(r"[A-Za-z0-9*?]+", val) \
+                and re.search(r"[A-Za-z0-9]", val):
+            # general wildcard: sp?rk / sp*rk / s*k* (Lucene WildcardQuery)
+            return Wildcard(val.lower())
+        return self._phrase(_unescape(val), "content")
 
     def _fielded(self, name: str):
         kind, val = self.peek()
@@ -229,6 +256,20 @@ class _Parser:
             return self._maybe_slop(node)
         if kind == "word":
             self.pop()
+            if name == "content":
+                # content:… gets the full bare-word treatment (wildcards,
+                # fuzzy, boosts) — previously content:spar* silently
+                # dropped the star during tokenization
+                return self._word_clause(val)
+            m = re.fullmatch(r"(.+)\^(\d+(?:\.\d+)?)", val)
+            if m:  # lang:en^2 — boost the (zero-scored) filter term;
+                #    previously mis-parsed as exact Term('en^2') → 0 hits
+                return Boost(Term(_unescape(m.group(1)), name),
+                             float(m.group(2)))
+            if re.fullmatch(r".+~\d*", val):
+                raise ValueError(
+                    f"fuzzy suffix on metadata field {name!r} is not"
+                    f" supported ({val!r})")
             return self._phrase(_unescape(val), name)
         raise ValueError(f"bad fielded value for {name}")
 

@@ -40,7 +40,7 @@ from . import BM25_B, BM25_K1, codec
 from .build import NORMS_TERM, term_bucket
 from .catalog import ManifestParquetCatalog
 from .parse import (And, Boost, Contains, Fuzzy, Not, Or, Phrase, Prefix,
-                    Range, Term, parse)
+                    Range, Term, Wildcard, parse)
 
 DOC_META_FIELDS = ("repo", "path", "commit", "lang")
 
@@ -146,7 +146,7 @@ def _rewrite_nested(node):
         if node.field != "content":
             raise UnsupportedQuery("prefix queries only on content")
         return node
-    if isinstance(node, (Fuzzy, Contains)):
+    if isinstance(node, (Fuzzy, Contains, Wildcard)):
         return node
     if isinstance(node, Boost):
         return Boost(_rewrite_nested(node.child), node.weight)
@@ -863,6 +863,26 @@ class Searcher:
             self._df_cache[key] = terms
         return self._df_cache[key]
 
+    def _expand_wildcard(self, pattern: str, cap: int = 1024) -> list[str]:
+        """``sp?rk`` / ``sp*rk`` → index terms matching the glob, via a SQL
+        LIKE scan of the term dictionary (``*``→``%``, ``?``→``_``; the
+        pattern alphabet is [a-z0-9*?] so no LIKE metacharacter escaping is
+        needed).  Capped like the other multi-term rewrites.  Memoized."""
+        key = f"\x01wc:{pattern}"
+        if key not in self._df_cache:
+            like = pattern.replace("*", "%").replace("?", "_")
+            rows = (self._term_stats
+                    .filter(F.col("term").like(like)
+                            & ~F.col("term").contains("=")
+                            & ~F.col("term").startswith("\x00"))
+                    .select("term").limit(cap + 1).collect())
+            terms = sorted(r["term"] for r in rows)
+            if len(terms) > cap:
+                raise UnsupportedQuery(
+                    f"wildcard {pattern} expands to >{cap} terms")
+            self._df_cache[key] = terms
+        return self._df_cache[key]
+
     def _expand_contains(self, sub: str, cap: int = 1024) -> list[str]:
         """*sub* → index terms containing the substring (full dictionary
         scan — the documented cost of leading wildcards, as in Lucene)."""
@@ -888,6 +908,8 @@ class Searcher:
                                                      node.max_edits)))
         if isinstance(node, Contains):
             return ConstSet(tuple(self._expand_contains(node.sub)))
+        if isinstance(node, Wildcard):
+            return ConstSet(tuple(self._expand_wildcard(node.pattern)))
         if isinstance(node, And):
             return And(tuple(self._expand_ast(c) for c in node.children))
         if isinstance(node, Or):
@@ -1014,6 +1036,13 @@ class Searcher:
         # decode; a term that is also scored elsewhere stays scored (the
         # ConstSet leg zeroes itself at eval time either way)
         zero_terms |= const_terms - pos - neg - phrase_terms
+        # terms appearing ONLY under NOT contribute doc-id sets, never
+        # scores (And-exclusion and Or-complement legs read ids alone), so
+        # they are zero-scored: decode then never touches the norms sidecar
+        # for them, keeping the norms semi-join pruning sound — a shard
+        # whose only blocks belong to a negated term carries no norms rows,
+        # and BM25-scoring there would IndexError (round-2 advice)
+        zero_terms |= neg - pos - phrase_terms
         idf_map = self._idf_map([t for t in all_terms if t not in zero_terms])
         needs_universe = _needs_universe(kernel_ast)
 
