@@ -1,6 +1,8 @@
 """Catalog semantics: atomic commit, snapshot isolation, append, time
 travel (SURVEY.md §1.2 — the Iceberg behaviors the engine relies on)."""
 
+import time
+
 from zsolr.catalog import ManifestParquetCatalog
 
 
@@ -125,3 +127,46 @@ def test_expire_snapshots(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         cat.read(spark, "t", snapshot_id=ids[0])       # expired
+
+
+def test_expire_protects_inflight_staging_and_pointer(spark, tmp_path):
+    """Round-2 advice: (a) a concurrent writer's staged-but-uncommitted
+    data dir (referenced by NO snapshot) survives GC until it ages past
+    the orphan grace; (b) the snapshot the _CURRENT pointer resolves to is
+    always kept, even when snapshot-id sort order would expire it."""
+    import os
+
+    from zsolr.catalog import ManifestParquetCatalog
+
+    cat = ManifestParquetCatalog(str(tmp_path / "gc2"))
+    for i in range(3):
+        cat.write(spark.range(i + 1).selectExpr("id AS x"), "t",
+                  mode="overwrite")
+    data_root = os.path.join(cat.root, "t", "data")
+    # simulate write()'s pre-lock staging step: a fresh dir, no snapshot
+    staged = os.path.join(data_root, "deadbeef0001")
+    os.makedirs(staged)
+    with open(os.path.join(staged, "part-0.parquet"), "wb") as f:
+        f.write(b"stub")
+    stats = cat.expire_snapshots("t", keep_last=1)
+    assert os.path.isdir(staged)            # young orphan: protected
+    assert stats["dirs_deleted"] == 2       # superseded snapshot dirs: gone
+    assert cat.read(spark, "t").count() == 3
+    # aged past the grace → collected
+    old = time.time() - 7200
+    os.utime(staged, (old, old))
+    stats = cat.expire_snapshots("t", keep_last=1)
+    assert not os.path.isdir(staged) and stats["dirs_deleted"] == 1
+
+    # (b) pointer pinning: point _CURRENT at an OLDER snapshot (rollback),
+    # expire keeping only the newest-by-id — the pointed-at snapshot must
+    # survive and still read
+    ids = []
+    for i in range(3):
+        ids.append(cat.write(spark.range(10 + i).selectExpr("id AS x"),
+                             "t", mode="overwrite"))
+    with open(cat._pointer("t"), "w") as f:
+        f.write(ids[0])                      # roll back to the oldest
+    cat.expire_snapshots("t", keep_last=1)
+    assert cat.read(spark, "t").count() == 10           # pointer intact
+    assert cat.read(spark, "t", snapshot_id=ids[0]).count() == 10

@@ -487,6 +487,81 @@ def test_boosted_metadata_filter_term(searcher, oracle):
     assert got == plain and got
 
 
+def test_bulk_broadcast_gated_on_df_bound(spark, built_index, monkeypatch):
+    """k=None bulk path (round-2 verdict #1): the broadcast hint is
+    applied only when the Σdf union bound fits the cap.  Past the cap the
+    join plan must carry NO broadcast hint (AQE decides at runtime) and
+    results must be identical either way."""
+    cat, _res = built_index
+    s = Searcher(spark, cat)
+    hinted = s.search("spark", k=None, wand=False)
+    assert s._last_bulk_broadcast is True
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+    monkeypatch.setattr(Searcher, "BROADCAST_DOC_CAP", 0)
+    s2 = Searcher(spark, cat)
+    plain = s2.search("spark", k=None, wand=False)
+    assert s2._last_bulk_broadcast is False
+    assert "ResolvedHint" not in \
+        plain._jdf.queryExecution().analyzed().toString()
+    assert [tuple(r) for r in hinted.collect()] == \
+        [tuple(r) for r in plain.collect()]
+    # complement legs are unbounded by df — never hinted, any cap
+    s3 = Searcher(spark, cat)
+    comp = s3.search("hash OR NOT join", k=None, wand=False)
+    assert s3._last_bulk_broadcast is False
+    comp.collect()
+
+
+def test_group_top1_single_aggregation_plan(spark, built_index):
+    """Result grouping must be ONE partial-agg hash aggregation — a window
+    partitioned by the (low-cardinality) group field serializes the match
+    set into |groups| tasks (round-2 verdict #2)."""
+    cat, _res = built_index
+    s = Searcher(spark, cat)
+    g = s.group_top1("spark", "lang")
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    # struct-min compiles to SortAggregate — what matters is the two-phase
+    # shape: map-side partial_min/partial_count before the one exchange
+    assert "Aggregate" in plan and "partial_min" in plan
+
+
+def test_sort_override_fetch_bounded(spark, tmp_path, monkeypatch):
+    """Sort-override doc fetch on a many-shard index (round-2 verdict #6):
+    past ISIN_FETCH_CAP the candidate ids ride a broadcast join (plan size
+    O(1), driver collects only start+k rows) and results must equal the
+    isin path's."""
+    import numpy as np
+
+    from zsolr.build import BuildConfig, IndexBuilder
+    from zsolr.catalog import ManifestParquetCatalog
+
+    rng = np.random.default_rng(7)
+    rows = [("r", f"p{rng.integers(10**9):09d}-{i:04d}", "c", "en",
+             "spark " + " ".join(rng.choice(["x", "y", "z"], size=4)))
+            for i in range(400)]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+              " content string")
+    cat = ManifestParquetCatalog(str(tmp_path / "fetch-idx"))
+    IndexBuilder(cat, BuildConfig(n_buckets=4, shard_width=4)).build(
+        spark, "fx", corpus_df=corpus)         # 100 shards
+    s = Searcher(spark, cat)
+    via_isin = [r["doc_id"]
+                for r in s.search("spark", k=10, sort="path").collect()]
+    assert s._last_fetch_strategy == "isin"
+    monkeypatch.setattr(Searcher, "ISIN_FETCH_CAP", 16)
+    s2 = Searcher(spark, cat)
+    via_join = [r["doc_id"]
+                for r in s2.search("spark", k=10, sort="path").collect()]
+    assert s2._last_fetch_strategy == "broadcast_join"
+    assert via_join == via_isin
+    exp = [r["doc_id"] for r in
+           cat.read(spark, "docs").orderBy("path", "doc_id")
+           .limit(10).collect()]
+    assert via_join == exp
+
+
 def test_query_result_cache(spark, built_index):
     """Opt-in queryResultCache: identical requests return identical rows
     from the cache; the cache is bounded; default-off searchers never

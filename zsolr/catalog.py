@@ -206,13 +206,19 @@ class ManifestParquetCatalog:
                        os.path.join(data_dir, "part-0.parquet"))
         return self._commit(table, [data_dir], mode, meta)
 
-    def expire_snapshots(self, table: str, keep_last: int = 1) -> dict:
+    def expire_snapshots(self, table: str, keep_last: int = 1,
+                         orphan_grace_s: float = 3600.0) -> dict:
         """Iceberg ``expire_snapshots`` parity: keep the newest
-        ``keep_last`` snapshots (snapshot ids sort by commit time), delete
-        every data dir not referenced by them plus the expired snapshot
-        manifests.  Time travel to expired snapshots is gone; the current
-        pointer (always the newest commit) is never touched.  Runs under
-        the commit lock so concurrent writers can't race the GC."""
+        ``keep_last`` snapshots (snapshot ids sort by commit time) — plus,
+        ALWAYS, the snapshot the ``_CURRENT`` pointer resolves to UNDER
+        the commit lock (same-millisecond ids tie-break by uuid hex, so
+        "newest by sorted id" alone could unpin the live snapshot) —
+        delete every data dir referenced only by expired snapshots, and
+        the expired snapshot manifests.  A dir referenced by NO snapshot
+        at all is an in-flight writer's staged dir (``write()`` stages
+        before taking the lock): it is deleted only once older than
+        ``orphan_grace_s`` (Iceberg's orphan-file age check — round-2
+        advice).  Time travel to expired snapshots is gone."""
         import shutil
 
         with self._lock(table):
@@ -222,20 +228,38 @@ class ManifestParquetCatalog:
             snaps = sorted(f[:-5] for f in os.listdir(sdir)
                            if f.endswith(".json"))
             keep = set(snaps[-max(1, keep_last):])
+            cur = self.current_snapshot(table)   # resolved under the lock
+            if cur is not None:
+                keep.add(cur["snapshot_id"])
             kept_dirs: set[str] = set()
-            for sid in keep:
+            referenced: set[str] = set()
+            for sid in snaps:
                 with open(self._snap_path(table, sid)) as f:
-                    kept_dirs.update(json.load(f)["data_dirs"])
-            kept_names = {os.path.basename(os.path.normpath(d))
-                          for d in kept_dirs}
+                    dirs = json.load(f)["data_dirs"]
+                names = {os.path.basename(os.path.normpath(d))
+                         for d in dirs}
+                referenced.update(names)
+                if sid in keep:
+                    kept_dirs.update(names)
             data_root = os.path.join(self._tdir(table), "data")
             deleted = 0
+            now = time.time()
             if os.path.isdir(data_root):
                 for name in os.listdir(data_root):
-                    if name not in kept_names:
-                        shutil.rmtree(os.path.join(data_root, name),
-                                      ignore_errors=True)
-                        deleted += 1
+                    if name in kept_dirs:
+                        continue
+                    path = os.path.join(data_root, name)
+                    if name not in referenced:
+                        # unreferenced orphan — an in-flight writer's
+                        # staged dir unless it has aged past the grace
+                        try:
+                            age = now - os.path.getmtime(path)
+                        except OSError:
+                            continue
+                        if age < orphan_grace_s:
+                            continue
+                    shutil.rmtree(path, ignore_errors=True)
+                    deleted += 1
             expired = 0
             for sid in snaps:
                 if sid not in keep:

@@ -49,7 +49,8 @@ def delete_by_query(spark: SparkSession, cat: ManifestParquetCatalog, q: str):
     """Solr delete-by-query: tombstone the full match set."""
     from .search import Searcher
 
-    matches = Searcher(spark, cat).search(q, k=None, wand=False).select("doc_id")
+    # raw match set: no doc-store join, no global sort, broadcast gated
+    matches = Searcher(spark, cat).match_scores(q).select("doc_id")
     _append_tombstones(spark, cat, matches)
     _refresh_stats(spark, cat)
 
