@@ -70,20 +70,24 @@ class OracleIndex:
             n = len(node.terms)
             for did, toks in self.tokens.items():
                 if node.slop:
+                    # order-free sloppy match on ADJUSTED positions
+                    # (pos − query slot): an anchor occurrence of terms[0]
+                    # counts when some brute-force selection of one
+                    # occurrence per other term spans ≤ slop around it
+                    # (independent of the engine's floor/ceil-neighbor
+                    # optimization)
+                    import itertools
+
+                    adj = [[p - i for p, t in enumerate(toks) if t == term]
+                           for i, term in enumerate(node.terms)]
                     pf = 0
-                    for i0, t0 in enumerate(toks):
-                        if t0 != node.terms[0]:
-                            continue
-                        p, ok = i0, True
-                        for t in node.terms[1:]:
-                            q = next((j for j in range(p + 1, len(toks))
-                                      if toks[j] == t), None)
-                            if q is None:
-                                ok = False
-                                break
-                            p = q
-                        if ok and (p - i0) - (n - 1) <= node.slop:
-                            pf += 1
+                    if all(adj):
+                        for a in adj[0]:
+                            for sel in itertools.product(*adj[1:]):
+                                w = (a,) + sel
+                                if max(w) - min(w) <= node.slop:
+                                    pf += 1
+                                    break
                 else:
                     pf = sum(1 for i in range(len(toks) - n + 1)
                              if tuple(toks[i:i + n]) == node.terms)

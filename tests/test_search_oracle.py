@@ -217,10 +217,15 @@ def test_topk_tie_at_k_boundary(spark, tmp_path):
                                '"sort part"~2', '"hash join"~4',
                                '"the fast sort"~2',
                                'spark AND "sort merge"~1',
-                               '"merge sort"~1 OR batch'])
+                               '"merge sort"~1 OR batch',
+                               '"merge sort"~2', '"join hash"~2',
+                               '"join hash"~3 AND spark',
+                               '"sort the fast"~4'])
 def test_phrase_slop_queries(searcher, oracle, q):
-    """Sloppy phrases: rank + score identity vs the oracle's independent
-    linear-scan greedy-chain implementation; numFound exact."""
+    """Sloppy phrases (ORDER-FREE, Lucene adjusted-position semantics —
+    transposed forms like "merge sort"~2 must match "sort merge" docs):
+    rank + score identity vs the oracle's independent brute-force
+    selection search; numFound exact."""
     got, n = searcher.search(q, k=10, with_count=True)
     got = [(r["doc_id"], r["score"]) for r in got.collect()]
     exp = oracle.search(parse(q), k=10)
@@ -241,6 +246,38 @@ def test_slop_widens_match_set(searcher):
         counts.append(n)
     assert counts[0] <= counts[1] <= counts[2]
     assert counts[0] < counts[2]  # slop genuinely widens on this corpus
+
+
+def test_slop_transposition_matches(spark, tmp_path):
+    """Lucene parity ("b a"~2): adjacent transposed terms match at slop 2
+    (adjusted span = 2), not at slop 1; ordered adjacency matches at any
+    slop; a one-gap transposition needs slop 3."""
+    from zsolr.build import BuildConfig, IndexBuilder
+    from zsolr.catalog import ManifestParquetCatalog
+
+    rows = [
+        ("r", "p0", "c", "en", "alpha beta x y z"),      # ordered adjacent
+        ("r", "p1", "c", "en", "beta alpha x y z"),      # transposed
+        ("r", "p2", "c", "en", "beta gap alpha x y"),    # transposed + gap
+        ("r", "p3", "c", "en", "alpha x y z w beta"),    # far apart (gap 4)
+        ("r", "p4", "c", "en", "nothing here at all x"),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+              " content string")
+    cat = ManifestParquetCatalog(str(tmp_path / "slop-idx"))
+    IndexBuilder(cat, BuildConfig(n_buckets=4)).build(
+        spark, "sl", corpus_df=corpus)
+    s = Searcher(spark, cat)
+
+    def match_set(q):
+        return sorted(r["doc_id"]
+                      for r in s.search(q, k=None, wand=False).collect())
+
+    assert match_set('"alpha beta"~1') == [0]        # transposed ≠ slop 1
+    assert match_set('"alpha beta"~2') == [0, 1]     # "b a" at slop 2
+    assert match_set('"alpha beta"~3') == [0, 1, 2]  # gapped transposition
+    assert match_set('"alpha beta"~4') == [0, 1, 2, 3]
 
 
 @pytest.mark.parametrize("q", [

@@ -40,12 +40,14 @@ class Phrase:
     (Lucene PhraseQuery).  Scored with tf := phrase frequency and
     idf := sum of the member terms' idfs.
 
-    ``slop`` (``"a b"~2``): ordered sloppy match — the terms must appear
-    in order with at most ``slop`` extra tokens spread across the gaps
-    (span - (m-1) ≤ slop); phrase frequency counts the first-term
-    positions that start a valid greedy (earliest-next) chain.  A
-    deliberate, documented simplification of Lucene's move-based sloppy
-    freq: order-preserving only, deterministic, O(occurrences·log)."""
+    ``slop`` (``"a b"~2``): ORDER-FREE sloppy match on adjusted positions
+    (token position − query slot, Lucene SloppyPhraseMatcher): a doc
+    matches when some selection of one occurrence per member term has
+    adjusted span ≤ slop — so ``"b a"~2`` matches transposed adjacent
+    terms (span 2), matching Lucene's move-distance semantics.  Phrase
+    frequency counts the first-term occurrences that anchor a valid
+    window.  Simplification vs Lucene: repeated query terms may select
+    the same token (phrases with distinct terms are exact)."""
     terms: tuple
     field: str = "content"
     slop: int = 0

@@ -265,33 +265,50 @@ def _eval_phrase(node, env):
         return empty
     SH = np.int64(1) << np.int64(40)
     if getattr(node, "slop", 0):
-        # ordered sloppy match (see parse.Phrase): greedy earliest-next
-        # chain per first-term occurrence, all chains advanced in one
-        # vectorized searchsorted per member term.  Packed key =
-        # docloc·2^40 + pos is sorted by construction (ids asc, pos asc).
+        # ORDER-FREE sloppy match (Lucene SloppyPhraseMatcher semantics on
+        # adjusted positions, round-2 verdict #7): adjusted position of
+        # query slot i = token position − i; a doc matches when some
+        # selection of one occurrence per member term has adjusted span
+        # max−min ≤ slop ("b a"~2 matches: span 2).  pf counts the
+        # first-term occurrences that anchor such a window.  Fully
+        # vectorized: for each anchor, only the floor/ceil packed
+        # neighbors per other term can be optimal (moving a selected
+        # occurrence toward the anchor never widens the span), so the
+        # exact check is ≤ 2^(m-1) vectorized max/min combos.  Packed key
+        # = docloc·2^40 + adjusted + OFF stays doc-isolated: cross-doc
+        # neighbor distance ≥ 2^40 − maxpos always exceeds slop.
+        OFFS = np.int64(64)  # keep adjusted (≥ −(m−1)) non-negative
         key_arrays = []
-        for tids, _tfs, pflat, poffs in datas:
+        for qi, (tids, _tfs, pflat, poffs) in enumerate(datas):
             counts = np.diff(poffs)
             sel = np.isin(tids, ids, assume_unique=True)
             pos_i = pflat[np.repeat(sel, counts)]
             docloc = np.repeat(np.searchsorted(ids, tids[sel]), counts[sel])
-            key_arrays.append(docloc * SH + pos_i)
-        cur = key_arrays[0]
-        start = cur
-        for ka in key_arrays[1:]:
-            idx = np.searchsorted(ka, cur, side="right")
-            valid = idx < len(ka)
-            cand = ka[np.minimum(idx, len(ka) - 1)]
-            ok = valid & ((cand >> np.int64(40)) == (cur >> np.int64(40)))
-            cur, start = cand[ok], start[ok]
-            if not len(cur):
-                return empty
-        span_gaps = (cur & (SH - 1)) - (start & (SH - 1)) \
-            - np.int64(len(datas) - 1)
-        keep = span_gaps <= node.slop
-        if not keep.any():
+            key_arrays.append(docloc * SH + (pos_i - np.int64(qi)) + OFFS)
+        anchors = key_arrays[0]
+        if not len(anchors):
             return empty
-        locs, pf = np.unique(start[keep] >> np.int64(40),
+        FAR = np.int64(1) << np.int64(62)
+        lo_opts, hi_opts = [], []
+        for ka in key_arrays[1:]:
+            if not len(ka):
+                return empty
+            idx = np.searchsorted(ka, anchors)
+            below = ka[np.clip(idx - 1, 0, len(ka) - 1)]
+            above = ka[np.clip(idx, 0, len(ka) - 1)]
+            lo_opts.append(np.where(idx > 0, below, -FAR))
+            hi_opts.append(np.where(idx < len(ka), above, FAR))
+        ok = np.zeros(len(anchors), dtype=bool)
+        for mask in range(1 << len(lo_opts)):
+            mx, mn = anchors, anchors
+            for i in range(len(lo_opts)):
+                q = hi_opts[i] if (mask >> i) & 1 else lo_opts[i]
+                mx = np.maximum(mx, q)
+                mn = np.minimum(mn, q)
+            ok |= (mx - mn) <= node.slop
+        if not ok.any():
+            return empty
+        locs, pf = np.unique(anchors[ok] >> np.int64(40),
                              return_counts=True)
         m_ids = ids[locs]
         pf = pf.astype(np.float64)

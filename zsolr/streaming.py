@@ -70,17 +70,34 @@ def windowed_event_counts(spark: SparkSession, events_dir: str,
 
 
 def sessionize_stream(spark: SparkSession, events_dir: str,
-                      checkpoint_dir: str, gap_s: int = 1800):
+                      checkpoint_dir: str, gap_s: int = 1800,
+                      watermark_s: int | None = None,
+                      out_dir: str | None = None):
     """Custom STATEFUL streaming operator via ``applyInPandasWithState``
     (SURVEY.md §2.4): per-user sessionization with a ``gap_s`` inactivity
-    gap.  State per user = the open session (session_no, n, start, last);
-    a batch whose first event exceeds the gap CLOSES the open session and
-    emits it.  Emitted rows match ``zsolr.ops.sessionize_events`` exactly
-    for every closed session (tested); each user's final open session
-    stays in state (a real deployment adds a timeout to flush it).
+    gap.  State per user = the open session (session_no, n, start, last).
+
+    Sessions close two ways, both emitting rows identical to
+    ``zsolr.ops.sessionize_events``:
+
+    * data-driven: a new event beyond the gap closes the open session;
+    * **event-time timeout** (round-2 verdict #8): the watermark
+      (``watermark_s``, default ``gap_s``) passing ``last + gap_s`` proves
+      no in-gap event can still arrive, so the open session is flushed and
+      the state keeps ``(session_no, 0 …)`` to preserve session numbering
+      for returning users.  ``flush_open_sessions`` drains the tail after
+      an availableNow run by appending one far-future sentinel event
+      (user_id −1, filtered from output) that advances the watermark past
+      every open session.
+
+    Chunks of a group within a batch carry NO cross-chunk ordering
+    guarantee, so the group's chunks are concatenated and sorted ONCE by
+    (ts, event_id) before gap detection (round-2 advice).
 
     Returns the started StreamingQuery; rows land in the ``sessions``
-    in-memory table."""
+    in-memory table, or — when ``out_dir`` is given — in a parquet file
+    sink (the recoverable sink the ``flush_open_sessions`` restart
+    requires; the memory sink cannot resume from a checkpoint)."""
     import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -108,19 +125,28 @@ def sessionize_stream(spark: SparkSession, events_dir: str,
         StructField("start_s", LongType()),
         StructField("last_s", LongType()),
     ])
+    cols = ["user_id", "session_no", "n_events", "start_s", "end_s"]
 
     def fn(key, pdfs, state: GroupState):
         import numpy as np
 
         user = key[0]
+        if state.hasTimedOut:
+            sess_no, n, start, last = state.get
+            # watermark > last + gap: any future event must start a new
+            # session — flush the open one, keep the numbering
+            state.update((sess_no, 0, 0, 0))
+            if n:
+                yield pd.DataFrame([(user, sess_no, n, start, last)],
+                                   columns=cols)
+            return
         sess_no, n, start, last = state.get if state.exists \
             else (0, 0, None, None)
         closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            ts = (pdf["ts"].astype("int64") // 10**9).to_numpy()
-            if not len(ts):
-                continue
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        ts = (pdf["ts"].astype("int64") // 10**9).to_numpy()
+        if len(ts):
             # vectorized gap detection → per-SESSION segments (no per-row
             # Python; the loop below is O(sessions in batch))
             brk = np.nonzero(np.diff(ts) > gap_s)[0] + 1
@@ -138,21 +164,57 @@ def sessionize_stream(spark: SparkSession, events_dir: str,
                 sess_no += 1
                 n, start, last = c, st_, en_
         state.update((sess_no, n, start, last))
+        if n:
+            # arm the event-time flush; clamp above the current watermark
+            # (setTimeoutTimestamp rejects timestamps at/below it)
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max((last + gap_s) * 1000 + 1,
+                                          wm_ms + 1))
         if closed:
-            yield pd.DataFrame(
-                closed, columns=["user_id", "session_no", "n_events",
-                                 "start_s", "end_s"])
+            yield pd.DataFrame(closed, columns=cols)
 
+    wm = watermark_s if watermark_s is not None else gap_s
     stream = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", 4).parquet(events_dir))
+              .option("maxFilesPerTrigger", 4).parquet(events_dir)
+              .withWatermark("ts", f"{wm} seconds"))
     out = (stream.groupBy(F.col("user_id"))
            .applyInPandasWithState(fn, out_schema, state_schema,
-                                   "append", GroupStateTimeout.NoTimeout))
-    return (out.writeStream.outputMode("append")
-            .format("memory").queryName("sessions")
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start())
+                                   "append", GroupStateTimeout.EventTimeTimeout)
+           .filter(F.col("user_id") >= 0))   # drop the flush sentinel user
+    w = out.writeStream.outputMode("append") \
+        .option("checkpointLocation", checkpoint_dir) \
+        .trigger(availableNow=True)
+    if out_dir is not None:
+        return w.format("parquet").option("path", out_dir).start()
+    return w.format("memory").queryName("sessions").start()
+
+
+def flush_open_sessions(spark: SparkSession, events_dir: str,
+                        checkpoint_dir: str, gap_s: int = 1800,
+                        watermark_s: int | None = None,
+                        out_dir: str | None = None):
+    """Drain every user's final open session after an availableNow run:
+    append ONE sentinel event (user_id −1) far enough in the future that
+    the watermark passes every ``last + gap_s``, then re-run the stream on
+    the same checkpoint — each open session times out and is emitted
+    exactly once.  Returns the started StreamingQuery."""
+    from pyspark.sql import functions as F
+
+    wm = watermark_s if watermark_s is not None else gap_s
+    max_ts = (spark.read.parquet(events_dir)
+              .agg(F.max("ts").alias("m")).collect()[0]["m"])
+    sentinel = spark.createDataFrame(
+        [(int(-1),)], "user_id long").select(
+        F.lit(-10**9).cast("long").alias("event_id"),
+        (F.lit(max_ts) + F.expr(f"INTERVAL {int(2 * gap_s + 2 * wm + 60)}"
+                                " SECONDS")).alias("ts"),
+        "user_id",
+        F.lit("flush").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("").alias("props"))
+    sentinel.coalesce(1).write.mode("append").parquet(events_dir)
+    return sessionize_stream(spark, events_dir, checkpoint_dir, gap_s,
+                             watermark_s, out_dir=out_dir)
 
 
 def stream_index(spark: SparkSession, cat: ManifestParquetCatalog,
