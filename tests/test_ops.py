@@ -217,6 +217,36 @@ def test_dedup_embedding_cosine_planted(spark):
     assert recall >= 0.9, recall
 
 
+def test_dedup_embedding_bucket_cap_bounds_pairs(spark):
+    """Round-2 verdict #4: the max_bucket skew guard.  A planted
+    degenerate bucket (many identical-direction vectors collide in EVERY
+    band) must be dropped when it exceeds the cap — candidate pairs are
+    bounded — while an uncapped run would report the full quadratic pair
+    set.  Auto n_planes scales with input size."""
+    rng = np.random.default_rng(23)
+    dim = 64
+    base = rng.standard_normal(dim)
+    rows = [(i, [float(x) for x in base * (1.0 + 0.5 * i)])
+            for i in range(40)]                  # 40 colinear vectors
+    rows += [(100 + i, [float(x) for x in rng.standard_normal(dim)])
+             for i in range(10)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    full = ops.dedup_embedding_cosine(emb, tau=0.99, n_planes=8,
+                                      max_bucket=None).count()
+    assert full == 40 * 39 // 2                  # quadratic blow-up, uncapped
+    capped = ops.dedup_embedding_cosine(emb, tau=0.99, n_planes=8,
+                                        max_bucket=16).count()
+    assert capped == 0                            # hot bucket dropped
+    # cap above the bucket size: nothing dropped
+    kept = ops.dedup_embedding_cosine(emb, tau=0.99, n_planes=8,
+                                      max_bucket=64).count()
+    assert kept == full
+    # auto planes: ⌈log₂50⌉+2 = 8 here; still recall 1.0 for exact dups
+    auto = ops.dedup_embedding_cosine(emb, tau=0.99, dim=dim,
+                                      max_bucket=64).count()
+    assert auto == full
+
+
 def test_ann_ivf_matches_bruteforce_on_probed_cells(spark, sf_dir):
     """IVF: Spark cell assignment == numpy argmax assignment; top-k inside
     the probed cells == numpy brute force over the same candidate set;

@@ -276,20 +276,39 @@ def ann_ivf_topk(embeddings: DataFrame, query_vec: list[float],
 
 
 def dedup_embedding_cosine(embeddings: DataFrame, tau: float = 0.99,
-                           n_planes: int = 8, bands: int = 2,
+                           n_planes: int | None = None, bands: int = 2,
                            vec_col: str = "embedding",
                            id_col: str = "vec_id",
-                           seed: int = 42) -> DataFrame:
+                           seed: int = 42, dim: int | None = None,
+                           max_bucket: int | None = 4096) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the vector twin of
     minhash_lsh_pairs: ``bands`` independent hyperplane tables bucket each
     vector; candidate pairs collide in ANY band (equi-join on
     (band, bucket) — the shuffle is on bucket keys, never an O(n²) cross
     join); an exact codegen cosine then keeps pairs ≥ tau.
 
-    Identical vectors collide in every band (recall 1.0 for exact dups);
-    near-dups miss only if every band flips a sign — P ≈ (m·θ/π)^bands.
-    → (vec_a, vec_b, cos) with vec_a < vec_b."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    Identical-direction vectors collide in every band (recall 1.0 for
+    exact dups); near-dups miss only if every band flips a sign —
+    P ≈ (m·θ/π)^bands.  → (vec_a, vec_b, cos) with vec_a < vec_b.
+
+    Scale guards (round-2 verdict #4):
+
+    * ``n_planes=None`` scales the table to the input — ⌈log₂N⌉+2 planes
+      keep the EXPECTED bucket ≈ N/2^planes ≲ a constant, so candidate
+      pairs stay ~O(N) instead of O(N²/2^planes);
+    * ``max_bucket`` (default 4096) drops degenerate buckets before the
+      self-join — one hot bucket of size s is s(s-1)/2 pairs; recall for
+      its members is recovered by the other bands;
+    * ``dim`` avoids the driver ``.first()`` probe — pass it when known
+      (the probe falls back to one LIMIT-1 job, fine but avoidable)."""
+    if dim is None:
+        dim = int(embeddings.select(
+            F.size(F.col(vec_col)).alias("d")).limit(1).collect()[0]["d"])
+    if n_planes is None:
+        import math as _math
+
+        n = embeddings.count()
+        n_planes = max(8, int(_math.ceil(_math.log2(max(n, 2)))) + 2)
     band_cols = []
     for bnd in range(bands):
         planes = lsh_planes(n_planes, dim, seed + 101 * bnd)
@@ -304,6 +323,14 @@ def dedup_embedding_cosine(embeddings: DataFrame, tau: float = 0.99,
     bucketed = embeddings.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"),
         F.explode(F.array(*band_cols)).alias("bucket"))
+    if max_bucket is not None:
+        # skew guard, mirroring minhash_lsh_pairs: cap the per-bucket size
+        # so no degenerate bucket can turn the equi-join quadratic
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("bucket")
+        bucketed = (bucketed.withColumn("_bsz", F.count(F.lit(1)).over(w))
+                    .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
