@@ -82,6 +82,25 @@ def main():
         total = round(build_s + sum(v for k, v in queries.items()
                                     if k != "build"), 3)
 
+        # batched mode: the whole reference set in ONE kernel wave + ONE
+        # doc fetch (search_batch); results are bit-identical to the
+        # serial path (asserted here on every run)
+        serial_rows = [
+            [tuple(r) for r in searcher.search(q, k=10).collect()]
+            for q in reference_queries()]
+        batch_best = None
+        for _ in range(reps):
+            tb = time.time()
+            batch_dfs = searcher.search_batch(list(reference_queries()),
+                                              k=10)
+            batch_rows = [[tuple(r) for r in df.collect()]
+                          for df in batch_dfs]
+            dtb = time.time() - tb
+            batch_best = dtb if batch_best is None else min(batch_best, dtb)
+        assert batch_rows == serial_rows, "batch != serial results"
+        serial_suite = sum(v for k, v in queries.items() if k != "build")
+        queries["batch_suite"] = round(batch_best, 4)
+
         # training-data ops at the same sf (separate section — NOT part of
         # `value`, which stays comparable to BENCH/BASELINE.md)
         ops_s: dict[str, float] = {}
@@ -122,6 +141,9 @@ def main():
             "files_per_sec": round(n_files / build_s, 1),
             "p50_query_ms": round(p50, 1),
             "p95_query_ms": round(p95, 1),
+            "batch_suite_s": round(batch_best, 4),
+            "batch_speedup": round(serial_suite / batch_best, 2)
+            if batch_best else None,
             "cpus": cpus,
             "replicate": replicate,
             "ops": ops_s,

@@ -599,6 +599,35 @@ def test_sort_override_fetch_bounded(spark, tmp_path, monkeypatch):
     assert via_join == exp
 
 
+def test_search_batch_bit_identical(searcher):
+    """Batch execution (one kernel wave + one doc fetch for the whole
+    reference set) must return rows bit-identical to per-query search(),
+    with exact numFound; fast-path-ineligible queries (match-all, range
+    filters) fall back transparently inside the same call."""
+    qs = list(reference_queries()) + [
+        "[* TO *] AND NOT spark",                   # match-all fallback
+        "commit:[a TO f] AND spark",                # range-filter fallback
+        '"sort merge"~2 OR batch',                  # phrase in batch
+        "lang:en OR spark",                         # filter leg in OR
+    ]
+    batch = searcher.search_batch(qs, k=10, with_count=True)
+    assert len(batch) == len(qs)
+    for q, (bdf, bn) in zip(qs, batch):
+        sdf, sn = searcher.search(q, k=10, with_count=True)
+        brows = [tuple(r) for r in bdf.collect()]
+        srows = [tuple(r) for r in sdf.collect()]
+        assert brows == srows, q
+        assert bn == sn, q
+
+
+def test_search_batch_pagination(searcher):
+    for q in ("spark", "hash AND join"):
+        b = searcher.search_batch([q], k=5, start=3)[0]
+        s = searcher.search(q, k=5, start=3)
+        assert [tuple(r) for r in b.collect()] == \
+            [tuple(r) for r in s.collect()], q
+
+
 def test_query_result_cache(spark, built_index):
     """Opt-in queryResultCache: identical requests return identical rows
     from the cache; the cache is bounded; default-off searchers never

@@ -411,6 +411,124 @@ def _term_ub(idf_t: float, bmax: np.ndarray, k1: float, b: float,
     return idf_t * bmax * (k1 + 1.0) / (bmax + k1 * (1 - b + b * dl_min / avgdl))
 
 
+def _decode_blocks_raw(rows: pd.DataFrame, keep: np.ndarray, mask: bool,
+                       base: int, width: int,
+                       allowed: np.ndarray | None,
+                       deleted_sorted: np.ndarray | None):
+    """Decode kept posting blocks → (sorted ids, tf values) within
+    ``[base, base+width)``; ``mask`` applies the allowed/tombstone filters.
+    Shared by the single-query and batch kernels."""
+    ids_l, tfs_l = [], []
+    gb = rows["doc_gaps"].to_numpy()
+    tb = rows["tfs"].to_numpy()
+    fd = rows["first_doc"].to_numpy()
+    for i in np.nonzero(keep)[0]:
+        bids, btfs = codec.decode_block(int(fd[i]), gb[i], tb[i])
+        m = (bids >= base) & (bids < base + width)
+        if m.any():
+            bids, btfs = bids[m], btfs[m]
+            if mask:
+                if allowed is not None:
+                    am = allowed[bids - base]
+                elif deleted_sorted is not None:
+                    am = ~np.isin(bids, deleted_sorted)
+                else:
+                    am = None
+                if am is not None:
+                    bids, btfs = bids[am], btfs[am]
+            if len(bids):
+                ids_l.append(bids)
+                tfs_l.append(btfs)
+    if not ids_l:
+        return (np.empty(0, dtype=np.int64), np.empty(0))
+    ids = np.concatenate(ids_l)
+    tfs = np.concatenate(tfs_l).astype(np.float64)
+    # blocks are sorted by first_doc with disjoint ranges → already
+    # globally sorted; cheap guard for salted sub-lists
+    if len(ids_l) > 1 and not (ids[:-1] < ids[1:]).all():
+        order = np.argsort(ids, kind="stable")
+        ids, tfs = ids[order], tfs[order]
+    return ids, tfs
+
+
+def _decode_blocks_positions(rows: pd.DataFrame, base: int, width: int,
+                             allowed: np.ndarray | None,
+                             deleted_sorted: np.ndarray | None):
+    """Full decode incl. token positions → (ids, tfs, pflat, poffs);
+    shard-range and deletion masks applied consistently to the per-doc
+    position slices.  Shared by the single-query and batch kernels."""
+    ids_l, tfs_l, pos_l = [], [], []
+    gb = rows["doc_gaps"].to_numpy()
+    tb = rows["tfs"].to_numpy()
+    pb = rows["positions"].to_numpy()
+    fd = rows["first_doc"].to_numpy()
+    for i in range(len(rows)):
+        bids, btfs = codec.decode_block(int(fd[i]), gb[i], tb[i])
+        deltas = codec.decode_u64(pb[i]).astype(np.int64)
+        cts = btfs.astype(np.int64)
+        rstarts = np.zeros(len(cts), dtype=np.int64)
+        rstarts[1:] = np.cumsum(cts)[:-1]
+        total = np.cumsum(deltas)
+        rbase = np.zeros(len(cts), dtype=np.int64)
+        nzr = rstarts > 0
+        rbase[nzr] = total[rstarts[nzr] - 1]
+        pabs = total - np.repeat(rbase, cts)
+        m = (bids >= base) & (bids < base + width)
+        if not m.any():
+            continue
+        bids2, btfs2 = bids[m], btfs[m]
+        pabs2 = pabs[np.repeat(m, cts)]
+        if allowed is not None:
+            am = allowed[bids2 - base]
+        elif deleted_sorted is not None:
+            am = ~np.isin(bids2, deleted_sorted)
+        else:
+            am = None
+        if am is not None:
+            pabs2 = pabs2[np.repeat(am, btfs2.astype(np.int64))]
+            bids2, btfs2 = bids2[am], btfs2[am]
+        if not len(bids2):
+            continue
+        ids_l.append(bids2)
+        tfs_l.append(btfs2)
+        pos_l.append(pabs2)
+    if not ids_l:
+        return (np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+                np.zeros(1, dtype=np.int64))
+    ids = np.concatenate(ids_l)
+    tfs = np.concatenate(tfs_l).astype(np.int64)
+    pflat = np.concatenate(pos_l)
+    if len(ids_l) > 1 and not (ids[:-1] < ids[1:]).all():
+        order = np.argsort(ids, kind="stable")
+        # reorder flat positions to match the doc order
+        pre_counts = np.concatenate([t.astype(np.int64) for t in tfs_l])
+        pre_starts = np.zeros(len(pre_counts), dtype=np.int64)
+        pre_starts[1:] = np.cumsum(pre_counts)[:-1]
+        chunks = [pflat[pre_starts[j]:pre_starts[j] + pre_counts[j]]
+                  for j in order]
+        pflat = np.concatenate(chunks) if chunks else pflat[:0]
+        ids, tfs = ids[order], tfs[order]
+    poffs = np.zeros(len(ids) + 1, dtype=np.int64)
+    poffs[1:] = np.cumsum(tfs)
+    return ids, tfs, pflat, poffs
+
+
+def _topk_cut(ids: np.ndarray, sc: np.ndarray, k: int):
+    """Bounded top-k under the normative total order (-score, doc_id):
+    O(n) partition, widen across boundary-score ties, exact lexsort cut —
+    never a full sort of n (round-1 tie-break fix)."""
+    part = np.argpartition(-sc, k - 1)
+    kth = sc[part[k - 1]]
+    cand = part[:k] if k < len(sc) else part
+    extra = part[k:][sc[part[k:]] == kth]
+    cand = np.concatenate([cand, extra])
+    order = np.lexsort((ids[cand], -sc[cand]))
+    top = cand[order[:k]]
+    return ids[top], sc[top]
+
+
 def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                        neg_terms: set, zero_terms: set, k: int | None,
                        shard_width: int, avgdl: float, wand: bool,
@@ -464,37 +582,8 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
 
         def decode_raw(rows: pd.DataFrame, keep: np.ndarray, mask: bool):
             """Decode kept blocks → (sorted ids, tf values) within shard."""
-            ids_l, tfs_l = [], []
-            gb = rows["doc_gaps"].to_numpy()
-            tb = rows["tfs"].to_numpy()
-            fd = rows["first_doc"].to_numpy()
-            for i in np.nonzero(keep)[0]:
-                bids, btfs = codec.decode_block(int(fd[i]), gb[i], tb[i])
-                m = (bids >= base) & (bids < base + shard_width)
-                if m.any():
-                    bids, btfs = bids[m], btfs[m]
-                    if mask:
-                        if allowed is not None:
-                            am = allowed[bids - base]
-                        elif deleted_sorted is not None:
-                            am = ~np.isin(bids, deleted_sorted)
-                        else:
-                            am = None
-                        if am is not None:
-                            bids, btfs = bids[am], btfs[am]
-                    if len(bids):
-                        ids_l.append(bids)
-                        tfs_l.append(btfs)
-            if not ids_l:
-                return (np.empty(0, dtype=np.int64), np.empty(0))
-            ids = np.concatenate(ids_l)
-            tfs = np.concatenate(tfs_l).astype(np.float64)
-            # blocks are sorted by first_doc with disjoint ranges → already
-            # globally sorted; cheap guard for salted sub-lists
-            if len(ids_l) > 1 and not (ids[:-1] < ids[1:]).all():
-                order = np.argsort(ids, kind="stable")
-                ids, tfs = ids[order], tfs[order]
-            return ids, tfs
+            return _decode_blocks_raw(rows, keep, mask, base, shard_width,
+                                      allowed, deleted_sorted)
 
         by_term_all = {t: g.sort_values("first_doc")
                        for t, g in blocks.groupby("term")} if len(blocks) else {}
@@ -521,68 +610,9 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
             return ids, sc
 
         def decode_positions(rows: pd.DataFrame):
-            """Full decode incl. token positions → (ids, tfs, pflat, poffs);
-            shard-range and deletion masks applied consistently to the
-            per-doc position slices."""
-            ids_l, tfs_l, pos_l = [], [], []
-            gb = rows["doc_gaps"].to_numpy()
-            tb = rows["tfs"].to_numpy()
-            pb = rows["positions"].to_numpy()
-            fd = rows["first_doc"].to_numpy()
-            for i in range(len(rows)):
-                bids, btfs = codec.decode_block(int(fd[i]), gb[i], tb[i])
-                deltas = codec.decode_u64(pb[i]).astype(np.int64)
-                cts = btfs.astype(np.int64)
-                rstarts = np.zeros(len(cts), dtype=np.int64)
-                rstarts[1:] = np.cumsum(cts)[:-1]
-                total = np.cumsum(deltas)
-                rbase = np.zeros(len(cts), dtype=np.int64)
-                nzr = rstarts > 0
-                rbase[nzr] = total[rstarts[nzr] - 1]
-                pabs = total - np.repeat(rbase, cts)
-                m = (bids >= base) & (bids < base + shard_width)
-                if not m.any():
-                    continue
-                bids2, btfs2 = bids[m], btfs[m]
-                pabs2 = pabs[np.repeat(m, cts)]
-                if allowed is not None:
-                    am = allowed[bids2 - base]
-                elif deleted_sorted is not None:
-                    am = ~np.isin(bids2, deleted_sorted)
-                else:
-                    am = None
-                if am is not None:
-                    pabs2 = pabs2[np.repeat(am, btfs2.astype(np.int64))]
-                    bids2, btfs2 = bids2[am], btfs2[am]
-                if not len(bids2):
-                    continue
-                ids_l.append(bids2)
-                tfs_l.append(btfs2)
-                pos_l.append(pabs2)
-            if not ids_l:
-                return (np.empty(0, dtype=np.int64),
-                        np.empty(0, dtype=np.int64),
-                        np.empty(0, dtype=np.int64),
-                        np.zeros(1, dtype=np.int64))
-            ids = np.concatenate(ids_l)
-            tfs = np.concatenate(tfs_l).astype(np.int64)
-            pflat = np.concatenate(pos_l)
-            if len(ids_l) > 1 and not (ids[:-1] < ids[1:]).all():
-                order = np.argsort(ids, kind="stable")
-                ids, tfs = ids[order], tfs[order]
-                # reorder flat positions to match the doc order
-                starts = np.zeros(len(tfs), dtype=np.int64)
-                # recompute from pre-order counts then gather slices
-                pre_counts = np.concatenate(
-                    [t.astype(np.int64) for t in tfs_l])
-                pre_starts = np.zeros(len(pre_counts), dtype=np.int64)
-                pre_starts[1:] = np.cumsum(pre_counts)[:-1]
-                chunks = [pflat[pre_starts[j]:pre_starts[j] + pre_counts[j]]
-                          for j in order]
-                pflat = np.concatenate(chunks) if chunks else pflat[:0]
-            poffs = np.zeros(len(ids) + 1, dtype=np.int64)
-            poffs[1:] = np.cumsum(tfs)
-            return ids, tfs, pflat, poffs
+            """Full decode incl. token positions → (ids, tfs, pflat, poffs)."""
+            return _decode_blocks_positions(rows, base, shard_width,
+                                            allowed, deleted_sorted)
 
         # positional data for phrase member terms (full decode; these are
         # never WAND-prunable — pruning is disabled on phrase queries)
@@ -675,22 +705,7 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
         n_matches = len(ids)
         if k is not None and n_matches > k:
             if sort_field is None:
-                # bounded top-k under the normative total order
-                # (-score, doc_id): argpartition alone keeps an ARBITRARY
-                # subset of score-ties straddling the k boundary, which the
-                # driver-side merge cannot repair (it only sees k rows per
-                # shard).  Partition first (O(n)), then widen the selection
-                # to include every doc tied with the boundary score before
-                # the exact lexsort cut — still O(n + t log t) where t =
-                # k + |boundary ties|, never a full sort of n.
-                part = np.argpartition(-sc, k - 1)
-                kth = sc[part[k - 1]]
-                cand = part[:k] if k < len(sc) else part
-                extra = part[k:][sc[part[k:]] == kth]
-                cand = np.concatenate([cand, extra])
-                order = np.lexsort((ids[cand], -sc[cand]))
-                top = cand[order[:k]]
-                ids, sc = ids[top], sc[top]
+                ids, sc = _topk_cut(ids, sc, k)
             else:  # sort override: cogroup mode only (needs the docs side)
                 vals = docs.set_index("doc_id")[sort_field].loc[ids].to_numpy()
                 sel = (pd.DataFrame({"doc_id": ids, "score": sc, "v": vals})
@@ -708,6 +723,96 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
     if cogroup:
         return kernel
     return lambda key, blocks: kernel(key, blocks, None)
+
+
+def make_batch_kernel(specs: list, shard_width: int, avgdl: float,
+                      fetch: int, deleted: np.ndarray | None = None,
+                      k1: float = BM25_K1, b: float = BM25_B):
+    """Per-shard kernel evaluating MANY queries in one wave (fast path
+    only).  Each term's postings (and each phrase term's positions)
+    decode ONCE per shard; per query only the BM25 scoring (a vector
+    expression over the shared (ids, tfs)) and the AST evaluation re-run.
+    Emits ``(qid, doc_id, score)`` candidate rows (≤ ``fetch`` per query
+    per shard) plus one sentinel row ``(qid, -1, n_matches)`` per query.
+
+    Per-query p95 at small corpora is ~95% fixed Spark job overhead
+    (BENCH/BASELINE.md) — batching amortizes one job over the whole query
+    set, the single biggest headline-latency lever (round-2 verdict #3).
+    WAND pruning is off in batch mode (the shared decode IS the saving);
+    results are bit-identical to ``search()`` since WAND == exhaustive.
+    """
+    union_terms = sorted(set().union(*[set(s["all_terms"]) for s in specs]))
+    phrase_union = sorted(set().union(*[s["phrase_terms"] for s in specs]))
+    any_universe = any(s["needs_universe"] for s in specs)
+    deleted_sorted = np.sort(deleted) \
+        if deleted is not None and len(deleted) else None
+    empty = (np.empty(0, dtype=np.int64), np.empty(0))
+
+    def kernel(key, blocks: pd.DataFrame):
+        base = int(key[0]) * shard_width
+        by_term_all = {t: g.sort_values("first_doc")
+                       for t, g in blocks.groupby("term")} if len(blocks) \
+            else {}
+        by_term = {t: g for t, g in by_term_all.items() if t != NORMS_TERM}
+        nrows = by_term_all.get(NORMS_TERM)
+        if nrows is not None:
+            norm_ids, norm_vals = _decode_blocks_raw(
+                nrows, np.ones(len(nrows), bool), False, base, shard_width,
+                None, None)
+        else:
+            norm_ids = np.empty(0, dtype=np.int64)
+            norm_vals = np.empty(0)
+        raw_cache: dict[str, tuple] = {}
+
+        def raw(t: str):
+            if t not in raw_cache:
+                rows = by_term.get(t)
+                raw_cache[t] = empty if rows is None else _decode_blocks_raw(
+                    rows, np.ones(len(rows), bool), True, base, shard_width,
+                    None, deleted_sorted)
+            return raw_cache[t]
+
+        pos_cache: dict[str, tuple] = {}
+        for t in phrase_union:
+            rows = by_term.get(t)
+            if rows is not None:
+                pos_cache[t] = _decode_blocks_positions(
+                    rows, base, shard_width, None, deleted_sorted)
+        if any_universe:
+            universe = norm_ids.astype(np.int64) if deleted_sorted is None \
+                else norm_ids[~np.isin(norm_ids,
+                                       deleted_sorted)].astype(np.int64)
+        else:
+            universe = np.empty(0, dtype=np.int64)
+
+        frames = []
+        no_ids = np.empty(0, dtype=np.int64)
+        for qi, s in enumerate(specs):
+            per_term: dict[str, tuple] = {}
+            for t in s["all_terms"]:
+                ids, tfs = raw(t)
+                if t in s["zero_terms"] or not len(ids):
+                    per_term[t] = (ids, np.zeros(len(ids)))
+                else:
+                    dls = norm_vals[np.searchsorted(norm_ids, ids)]
+                    idf_t = s["idf_map"][t]
+                    per_term[t] = (ids, idf_t * tfs * (k1 + 1.0)
+                                   / (tfs + k1 * (1 - b + b * dls / avgdl)))
+            env = {"per_term_pos": pos_cache, "idf_map": s["idf_map"],
+                   "norm_ids": norm_ids, "norm_vals": norm_vals,
+                   "universe": universe, "k1": k1, "b": b, "avgdl": avgdl}
+            ids, sc = _eval_ast(s["ast"], per_term, no_ids, env)
+            n_matches = len(ids)
+            if n_matches > fetch:
+                ids, sc = _topk_cut(ids, sc, fetch)
+            frames.append(pd.DataFrame({
+                "qid": np.full(len(ids) + 1, qi, dtype=np.int64),
+                "doc_id": np.concatenate(
+                    [ids.astype(np.int64), np.int64([-1])]),
+                "score": np.concatenate([sc, [float(n_matches)]])}))
+        return pd.concat(frames, ignore_index=True)
+
+    return kernel
 
 
 # --------------------------------------------------------------- searcher --
@@ -958,6 +1063,60 @@ class Searcher:
         elif isinstance(node, (Not, Boost)):
             Searcher._const_terms(node.child, acc)
 
+    def _postings_scan(self, all_terms, norm_terms,
+                       needs_universe: bool) -> DataFrame:
+        """Query-term posting blocks (bucket dir pruning + parquet term
+        predicate) unioned with the norms sidecar, shard-routed.
+
+        The norms sidecar spans EVERY doc, so naively shipping it costs
+        O(N/block) rows per query regardless of the terms' selectivity —
+        for rare terms that dominates the kernel stage at 10^12 docs
+        (125k shards × one norms stream each).  Norms are only READ when
+        scoring (BM25 of scored terms, phrase scoring) — zero-scored
+        filter legs and NOT-exclusions never touch them — so a broadcast
+        semi-join prunes norms blocks to the shards holding at least one
+        scoring-term block.  Gated adaptively: the df stats the planner
+        already fetched bound the shards touched (≤ Σdf), so the extra
+        broadcast job is paid ONLY when it removes ≥ half the norms
+        volume; universe queries (complements) always ship all norms."""
+        W = self.shard_width
+        q_buckets = sorted({term_bucket(t, self.n_buckets)
+                            for t in all_terms})
+        shard_col = F.explode(F.expr(
+            f"sequence(first_doc DIV {W}, last_doc DIV {W})")).alias("shard")
+        qblocks = (
+            self._postings
+            .filter(F.col("bucket").isin(q_buckets)
+                    & F.col("term").isin(list(all_terms)))
+            .withColumn("shard", shard_col)
+        )
+        nblocks = (
+            self._postings
+            .filter((F.col("bucket") == term_bucket(NORMS_TERM,
+                                                    self.n_buckets))
+                    & (F.col("term") == NORMS_TERM))
+            .withColumn("shard", shard_col)
+        )
+        n_shards = -(-self.n_docs_total // W)
+        est_docs = sum(self._df_cache.get(t, 0) for t in norm_terms)
+        if not needs_universe and not norm_terms:
+            # nothing scores (pure filter/const legs) → norms never read
+            nblocks = nblocks.filter(F.lit(False))
+        elif (not needs_universe and norm_terms
+                and all(t in self._df_cache for t in norm_terms)
+                and est_docs * 2 < n_shards):
+            scoring_blocks = (
+                self._postings
+                .filter(F.col("bucket").isin(
+                    sorted({term_bucket(t, self.n_buckets)
+                            for t in norm_terms}))
+                    & F.col("term").isin(list(norm_terms)))
+                .withColumn("shard", shard_col))
+            nblocks = nblocks.join(
+                F.broadcast(scoring_blocks.select("shard").distinct()),
+                "shard", "left_semi")
+        return qblocks.unionByName(nblocks)
+
     # -- main entry ----------------------------------------------------------
     def search(self, q, k: int | None = 10, start: int = 0,
                sort: str | None = None, wand: bool = True,
@@ -1088,55 +1247,8 @@ class Searcher:
         needs_universe = _needs_universe(kernel_ast)
 
         W = self.shard_width
-        # query-term blocks: bucket dir pruning + parquet term predicate.
-        # The norms sidecar spans EVERY doc, so naively shipping it costs
-        # O(N/block) rows per query regardless of the terms' selectivity —
-        # for rare terms that dominates the kernel stage at 10^12 docs
-        # (125k shards × one norms stream each).  Norms are only READ when
-        # scoring (BM25 of scored terms, phrase scoring) — zero-scored
-        # filter legs and NOT-exclusions never touch them — so a broadcast
-        # semi-join prunes norms blocks to the shards holding at least one
-        # scoring-term block.  Gated adaptively: the df stats the planner
-        # already fetched bound the shards touched (≤ Σdf), so the extra
-        # broadcast job is paid ONLY when it removes ≥ half the norms
-        # volume; universe queries (complements) always ship all norms.
-        q_buckets = sorted({term_bucket(t, self.n_buckets)
-                            for t in all_terms})
-        shard_col = F.explode(F.expr(
-            f"sequence(first_doc DIV {W}, last_doc DIV {W})")).alias("shard")
-        qblocks = (
-            self._postings
-            .filter(F.col("bucket").isin(q_buckets)
-                    & F.col("term").isin(all_terms))
-            .withColumn("shard", shard_col)
-        )
-        nblocks = (
-            self._postings
-            .filter((F.col("bucket") == term_bucket(NORMS_TERM,
-                                                    self.n_buckets))
-                    & (F.col("term") == NORMS_TERM))
-            .withColumn("shard", shard_col)
-        )
         norm_terms = sorted((pos | phrase_terms) - zero_terms)
-        n_shards = -(-self.n_docs_total // W)
-        est_docs = sum(self._df_cache.get(t, 0) for t in norm_terms)
-        if not needs_universe and not norm_terms:
-            # nothing scores (pure filter/const legs) → norms never read
-            nblocks = nblocks.filter(F.lit(False))
-        elif (not needs_universe and norm_terms
-                and all(t in self._df_cache for t in norm_terms)
-                and est_docs * 2 < n_shards):
-            scoring_blocks = (
-                self._postings
-                .filter(F.col("bucket").isin(
-                    sorted({term_bucket(t, self.n_buckets)
-                            for t in norm_terms}))
-                    & F.col("term").isin(norm_terms))
-                .withColumn("shard", shard_col))
-            nblocks = nblocks.join(
-                F.broadcast(scoring_blocks.select("shard").distinct()),
-                "shard", "left_semi")
-        postings = qblocks.unionByName(nblocks)
+        postings = self._postings_scan(all_terms, norm_terms, needs_universe)
         # exact numFound requires evaluating every block — WAND's whole
         # point is to skip blocks, so counting disables it (Lucene likewise
         # only reports exact totals when pruning is off).  A sort override
@@ -1251,6 +1363,130 @@ class Searcher:
                 else self.spark.createDataFrame([], joined.schema)
             return df, num_found
         return joined
+
+    # -- batch execution ------------------------------------------------------
+    def _plan_fast_spec(self, q) -> dict | None:
+        """Plan one query into a batch-kernel spec, or None when the query
+        needs the cogroup / match-all machinery (range filters, pure
+        filter queries, oversized tombstone sets) and must run serially."""
+        plan = plan_query(q)
+        if plan.match_all:
+            return None
+        filters_as_terms = self._filters_as_field_terms(plan.filters)
+        if filters_as_terms is None or self._deleted_np is None:
+            return None
+        zero_terms: set[str] = set()
+        kernel_ast = plan.scored_ast
+        if filters_as_terms:
+            conjuncts = list(kernel_ast.children) \
+                if isinstance(kernel_ast, And) else [kernel_ast]
+            for kind, ft in filters_as_terms:
+                node = Term(ft)
+                conjuncts.append(Not(node) if kind == "neg" else node)
+                zero_terms.add(ft)
+            kernel_ast = And(tuple(conjuncts))
+        kernel_ast = self._expand_ast(kernel_ast)
+        neg: set[str] = set()
+        self._neg_terms(kernel_ast, neg)
+        pos: set[str] = set()
+        self._pos_terms(kernel_ast, pos)
+        phrase_terms: set[str] = set()
+        _collect_phrase_terms(kernel_ast, phrase_terms)
+        if phrase_terms and not self.positions:
+            raise UnsupportedQuery(
+                "phrase query against an index built with positions=False")
+        const_terms: set[str] = set()
+        self._const_terms(kernel_ast, const_terms)
+        all_terms = sorted(pos | neg | phrase_terms | const_terms)
+        from .build import FIELD_TERMS
+        zero_terms |= {t for t in all_terms
+                       if "=" in t and t.split("=", 1)[0] in FIELD_TERMS}
+        zero_terms |= const_terms - pos - neg - phrase_terms
+        zero_terms |= neg - pos - phrase_terms
+        idf_map = self._idf_map(all_terms)
+        return {"ast": kernel_ast, "all_terms": all_terms,
+                "zero_terms": zero_terms, "phrase_terms": phrase_terms,
+                "idf_map": idf_map,
+                "norm_terms": sorted((pos | phrase_terms) - zero_terms),
+                "needs_universe": _needs_universe(kernel_ast)}
+
+    def search_batch(self, queries: list, k: int = 10, start: int = 0,
+                     with_count: bool = False) -> list:
+        """Evaluate a SET of queries in one kernel wave + one doc fetch
+        (round-2 verdict #3): the union of the queries' posting blocks
+        ships once, each term decodes once per shard, and every query's
+        AST evaluates against the shared decode.  Two Spark jobs total for
+        N queries instead of 2N — per-query latency at real corpus sizes
+        is ~95% fixed job overhead, so the suite wall collapses.
+
+        Results are bit-identical to per-query ``search()`` (verified in
+        tests).  Queries outside the fast path (match-all, range filters)
+        transparently fall back to serial execution.  Returns a list
+        aligned with ``queries``: DataFrames, or (DataFrame, num_found)
+        tuples when ``with_count`` (counts are exact — the batch kernel
+        decodes fully, WAND is off by design)."""
+        from collections import defaultdict
+
+        specs, order = [], []
+        results: dict[int, object] = {}
+        for i, q in enumerate(queries):
+            spec = self._plan_fast_spec(q)
+            if spec is None:
+                results[i] = self.search(q, k=k, start=start,
+                                         with_count=with_count)
+            else:
+                order.append(i)
+                specs.append(spec)
+        if specs:
+            union_terms = sorted(set().union(
+                *[set(s["all_terms"]) for s in specs]))
+            union_norm = sorted(set().union(
+                *[set(s["norm_terms"]) for s in specs]))
+            any_universe = any(s["needs_universe"] for s in specs)
+            postings = self._postings_scan(union_terms, union_norm,
+                                           any_universe)
+            fetch = start + k
+            kernel = make_batch_kernel(specs, self.shard_width, self.avgdl,
+                                       fetch, deleted=self._deleted_np)
+            cand = postings.groupBy("shard").applyInPandas(
+                kernel, "qid long, doc_id long, score double")
+            rows = cand.collect()
+            per_hits: dict[int, list] = defaultdict(list)
+            per_n: dict[int, float] = defaultdict(float)
+            for r in rows:
+                if r["doc_id"] == -1:
+                    per_n[r["qid"]] += r["score"]
+                else:
+                    per_hits[r["qid"]].append((r["doc_id"], r["score"]))
+            finals: dict[int, list] = {}
+            need_ids: set[int] = set()
+            for j in range(len(specs)):
+                hits = per_hits.get(j, [])
+                hits.sort(key=lambda t: (-t[1], t[0]))
+                hits = hits[start:start + k]
+                finals[j] = hits
+                need_ids.update(h[0] for h in hits)
+            meta: dict[int, dict] = {}
+            if need_ids:
+                ids = sorted(need_ids)
+                if len(ids) <= self.ISIN_FETCH_CAP:
+                    src = self.docs.filter(F.col("doc_id").isin(ids))
+                else:
+                    ids_df = self.spark.createDataFrame(
+                        [(int(x),) for x in ids], "doc_id long")
+                    src = self.docs.join(F.broadcast(ids_df), "doc_id")
+                meta = {r["doc_id"]: r for r in
+                        src.select("doc_id", "repo", "path",
+                                   "commit").collect()}
+            for j, i in enumerate(order):
+                out = [(d, meta[d]["repo"], meta[d]["path"],
+                        meta[d]["commit"], s) for d, s in finals[j]]
+                df = self.spark.createDataFrame(out, self._OUT_SCHEMA) \
+                    if out else self.spark.createDataFrame(
+                        [], self._OUT_SCHEMA)
+                results[i] = (df, int(per_n.get(j, 0))) if with_count \
+                    else df
+        return [results[i] for i in range(len(queries))]
 
     def _match_all(self, docs_f: DataFrame, k, start, sort_field, sort_desc,
                    with_count: bool):
