@@ -160,6 +160,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # pure filter-leg OR: evaluated without shipping the norms sidecar
     q["or_pure_meta"] = lambda spark, sf: _match_ids(
         spark, sf, "lang:en OR repo:src3")
+    # round-3: general mid-token wildcard (Lucene WildcardQuery, SQL-LIKE
+    # dictionary expansion)
+    q["wildcard_mid"] = lambda spark, sf: _match_ids(spark, sf, "s?a*")
 
     def boosted_or(spark, sf):
         from pyspark.sql import Window
@@ -224,6 +227,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.group_top1("spark", "lang")
     q["group_top1_lang"] = group_top1_lang
 
+    # round-3: batched execution — 3 queries in ONE kernel wave + ONE doc
+    # fetch (search_batch), bit-identical to serial search()
+    def batch_search(spark, sf):
+        from pyspark.sql import Window
+
+        _cat, s = _index(spark, sf)
+        qs = ["spark", "hash AND join", "stream OR batch"]
+        dfs = s.search_batch(qs, k=10)
+        parts = []
+        for i, df in enumerate(dfs):
+            w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+            parts.append(df.select(
+                F.lit(i).cast("long").alias("qid"),
+                F.row_number().over(w).cast("long").alias("rank"),
+                "doc_id"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    q["batch_search"] = batch_search
+
     # ---- lifecycle demos (I9, I10) ----
     q["delete_antijoin"] = lambda spark, sf: _docs(spark, sf).join(
         _docs(spark, sf).filter(F.col("doc_id") % 17 == 0).select("doc_id"),
@@ -255,7 +279,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf))
     q["simhash"] = lambda spark, sf: ops.simhash32(
         _docs(spark, sf).filter(F.col("doc_id") % 20 == 0))
-    q["lang_id"] = lambda spark, sf: ops.lang_id_heuristic(_docs(spark, sf))
+    # (lang_id_heuristic stays pytest-covered; its driver row is retired
+    # for the 50-row cap — lang_id_ngram is the §2 D2 operator)
     q["lang_id_ngram"] = lambda spark, sf: ops.lang_id_ngram(
         _docs(spark, sf).filter(F.col("doc_id") % 5 == 0))
     q["quality_score"] = lambda spark, sf: ops.quality_score(_docs(spark, sf))
@@ -302,62 +327,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ops.ann_ivf_topk(emb, qv, k=5, n_cells=8, nprobe=2)
     q["ann_ivf_topk"] = ann_ivf
 
-    # ---- harness breadth: TPC-H-ish + events (SURVEY §2.4, non-parity) ----
-    def tpch_q1(spark, sf):
-        li = spark.read.parquet(f"{sf}/lineitem.parquet")
-        return (li.groupBy("l_returnflag", "l_linestatus").agg(
-            F.sum(F.floor(F.col("l_quantity"))).alias("sum_qty"),
-            F.sum(F.floor(F.col("l_extendedprice") * 100)).alias("sum_base_cents"),
-            F.count(F.lit(1)).alias("count_order")))
-    q["tpch_q1"] = tpch_q1
-
-    def topk_per_group(spark, sf):
-        from pyspark.sql import Window
-
-        o = spark.read.parquet(f"{sf}/orders.parquet")
-        w = Window.partitionBy("o_custkey").orderBy(
-            F.desc("o_totalprice"), F.asc("o_orderkey"))
-        return (o.withColumn("rn", F.row_number().over(w).cast("long"))
-                .filter(F.col("rn") <= 3)
-                .select("o_custkey", "o_orderkey", "rn"))
-    q["topk_per_group"] = topk_per_group
-
-    def broadcast_join_agg(spark, sf):
-        o = spark.read.parquet(f"{sf}/orders.parquet")
-        c = spark.read.parquet(f"{sf}/customer.parquet")
-        return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-                .groupBy("c_mktsegment").agg(
-                    F.count(F.lit(1)).alias("n_orders"),
-                    F.sum(F.floor(F.col("o_totalprice") * 100))
-                    .alias("sum_price_cents")))
-    q["broadcast_join_agg"] = broadcast_join_agg
-
-    def cube_lang_source(spark, sf):
-        return (_docs(spark, sf).cube("lang", "source")
-                .agg(F.count(F.lit(1)).alias("cnt")))
-    q["cube_lang_source"] = cube_lang_source
-
-    def rollup_orders(spark, sf):
-        o = spark.read.parquet(f"{sf}/orders.parquet")
-        return (o.rollup("o_orderpriority", "o_orderstatus")
-                .agg(F.count(F.lit(1)).alias("n_orders"),
-                     F.sum(F.floor(F.col("o_totalprice") * 100))
-                     .alias("sum_cents")))
-    q["rollup_orders"] = rollup_orders
-
-    def semi_join_customers(spark, sf):
+    # ---- harness breadth (SURVEY §2.4, non-parity).  Round-3: the five
+    # TPC-H-style generic-Spark entries (tpch_q1, topk_per_group,
+    # broadcast_join_agg, cube/rollup) are retired from the driver list —
+    # the driver caps CORRECTNESS at 50 rows and every §2-relevant entry
+    # must get one (round-2 verdict #5); semi+anti merge into one entry
+    # exercising both join types.
+    def semi_anti_join(spark, sf):
         c = spark.read.parquet(f"{sf}/customer.parquet")
         o = spark.read.parquet(f"{sf}/orders.parquet")
-        return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-            "c_custkey", "c_mktsegment")
-    q["semi_join_customers"] = semi_join_customers
-
-    def anti_join_customers(spark, sf):
-        c = spark.read.parquet(f"{sf}/customer.parquet")
-        o = spark.read.parquet(f"{sf}/orders.parquet")
-        return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-            "c_custkey", "c_name")
-    q["anti_join_customers"] = anti_join_customers
+        semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+            "c_custkey", F.lit("semi").alias("tag"))
+        anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+            "c_custkey", F.lit("anti").alias("tag"))
+        return semi.unionByName(anti)
+    q["semi_anti_join"] = semi_anti_join
 
     def asof_join_events(spark, sf):
         """As-of join (Spark has no native one — SURVEY §2.4): for every
@@ -598,6 +582,9 @@ SELECT DISTINCT doc_id FROM tf WHERE levenshtein(term, 'sparl') <= 1"""
     o["wildcard_search"] = f"""{_BASE}
 SELECT DISTINCT doc_id FROM tf WHERE term LIKE '%or%'"""
 
+    o["wildcard_mid"] = f"""{_BASE}
+SELECT DISTINCT doc_id FROM tf WHERE term LIKE 's_a%'"""
+
     o["or_pure_meta"] = f"""{_BASE}
 SELECT doc_id FROM ids WHERE lang = 'en'
 UNION SELECT doc_id FROM ids WHERE repo = 'src3'"""
@@ -663,6 +650,38 @@ SELECT (floor(doc_len / 25) * 25)::BIGINT AS bucket_start,
 FROM matches JOIN dl USING (doc_id)
 WHERE doc_len >= 0 AND doc_len < 200
 GROUP BY 1"""
+
+    o["batch_search"] = f"""{_BASE},
+s0 AS (
+  SELECT tf.doc_id, {_SCORE} AS score
+  FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats st
+  WHERE tf.term = 'spark'),
+t0 AS (
+  SELECT 0::BIGINT AS qid,
+         row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+         doc_id
+  FROM s0 ORDER BY score DESC, doc_id LIMIT 10),
+s1 AS (
+  SELECT tf.doc_id, sum({_SCORE}) AS score
+  FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats st
+  WHERE tf.term IN ('hash', 'join')
+  GROUP BY tf.doc_id HAVING count(*) = 2),
+t1 AS (
+  SELECT 1::BIGINT AS qid,
+         row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+         doc_id
+  FROM s1 ORDER BY score DESC, doc_id LIMIT 10),
+s2 AS (
+  SELECT tf.doc_id, sum({_SCORE}) AS score
+  FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats st
+  WHERE tf.term IN ('stream', 'batch')
+  GROUP BY tf.doc_id),
+t2 AS (
+  SELECT 2::BIGINT AS qid,
+         row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+         doc_id
+  FROM s2 ORDER BY score DESC, doc_id LIMIT 10)
+SELECT * FROM t0 UNION ALL SELECT * FROM t1 UNION ALL SELECT * FROM t2"""
 
     o["group_top1_lang"] = f"""{_BASE},
 scored AS (
@@ -746,13 +765,6 @@ SELECT doc_id,
        sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
 FROM bits GROUP BY doc_id"""
 
-    o["lang_id"] = f"""
-WITH t AS (SELECT doc_id, {_DOC_TOKS} AS ts FROM documents)
-SELECT doc_id,
-       round(len(list_filter(ts, x -> x IN ('the', 'a')))::DOUBLE
-             / greatest(len(ts), 1), 6) AS en_ratio
-FROM t"""
-
     def _tri_hits(lang: str) -> str:
         lits = ", ".join(
             "'" + g.replace("'", "''") + "'" for g in ops.LANG_TRIGRAMS[lang])
@@ -830,42 +842,11 @@ FROM sims ORDER BY cos DESC, vec_id LIMIT 10"""
 
     o["ann_ivf_topk"] = _ann_ivf_oracle(k=5, n_cells=8, nprobe=2)
 
-    o["tpch_q1"] = """
-SELECT l_returnflag, l_linestatus,
-       sum(floor(l_quantity))::BIGINT AS sum_qty,
-       sum(floor(l_extendedprice * 100))::BIGINT AS sum_base_cents,
-       count(*)::BIGINT AS count_order
-FROM lineitem GROUP BY l_returnflag, l_linestatus"""
-
-    o["topk_per_group"] = """
-WITH r AS (
-  SELECT o_custkey, o_orderkey,
-         row_number() OVER (PARTITION BY o_custkey
-                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
-  FROM orders)
-SELECT o_custkey, o_orderkey, rn::BIGINT AS rn FROM r WHERE rn <= 3"""
-
-    o["broadcast_join_agg"] = """
-SELECT c_mktsegment, count(*)::BIGINT AS n_orders,
-       sum(floor(o_totalprice * 100))::BIGINT AS sum_price_cents
-FROM orders JOIN customer ON o_custkey = c_custkey
-GROUP BY c_mktsegment"""
-
-    o["cube_lang_source"] = """
-SELECT lang, source, count(*)::BIGINT AS cnt
-FROM documents GROUP BY CUBE (lang, source)"""
-
-    o["rollup_orders"] = """
-SELECT o_orderpriority, o_orderstatus, count(*)::BIGINT AS n_orders,
-       sum(floor(o_totalprice * 100))::BIGINT AS sum_cents
-FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)"""
-
-    o["semi_join_customers"] = """
-SELECT c_custkey, c_mktsegment FROM customer
-WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
-
-    o["anti_join_customers"] = """
-SELECT c_custkey, c_name FROM customer
+    o["semi_anti_join"] = """
+SELECT c_custkey, 'semi' AS tag FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, 'anti' AS tag FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
 
     o["asof_join_events"] = """
