@@ -122,3 +122,34 @@ def test_codec_hypothesis_roundtrip():
         assert np.array_equal(codec.decode_u64(codec.encode_u64(arr, c)), arr)
 
     prop()
+
+
+def test_pfor_blocked_encode_byte_identical():
+    """encode_u64_blocked(CODEC_PFOR) — the vectorized multi-block
+    encoder — must be byte-identical to per-block _pfor_encode across
+    distributions (uniform-wide, outlier-patched, all-zero, tiny) and
+    roundtrip exactly."""
+    import numpy as np
+
+    from zsolr import codec
+
+    rng = np.random.default_rng(9)
+    cases = []
+    cases.append(rng.integers(0, 2**45, size=1111, dtype=np.uint64))
+    small = rng.integers(0, 8, size=997, dtype=np.uint64)
+    small[rng.integers(0, 997, size=40)] = 2**50
+    cases.append(small)
+    cases.append(np.zeros(300, dtype=np.uint64))
+    cases.append(rng.integers(0, 3, size=5, dtype=np.uint64))
+    for vals in cases:
+        n = len(vals)
+        for bs in (1, 7, 128, 1000):
+            starts = np.arange(0, n, bs, dtype=np.int64)
+            blocked = codec.encode_u64_blocked(vals, starts,
+                                               codec.CODEC_PFOR)
+            bounds = list(starts) + [n]
+            for i in range(len(starts)):
+                seg = vals[bounds[i]:bounds[i + 1]]
+                assert blocked[i] == codec.encode_u64(seg,
+                                                      codec.CODEC_PFOR)
+                assert (codec.decode_u64(blocked[i]) == seg).all()

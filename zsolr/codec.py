@@ -148,7 +148,13 @@ def _pfor_encode(vals: np.ndarray) -> bytes:
     if n == 0:
         return bytes([0]) + np.uint32(0).tobytes() * 3
     bl = _bitlens(vals)
-    width = max(1, int(np.percentile(bl, 90)))
+    # 90th-percentile width via explicit linear interpolation between the
+    # floor/ceil order statistics — the exact formula _pfor_encode_blocked
+    # replicates from histograms, so blocked == per-block byte-identically
+    s = np.sort(bl)
+    p = 0.9 * (n - 1)
+    lo_s, hi_s = int(s[int(np.floor(p))]), int(s[int(np.ceil(p))])
+    width = max(1, int(lo_s + (p - np.floor(p)) * (hi_s - lo_s)))
     exc = np.nonzero(bl > width)[0]
     if len(exc) > n // 2:  # degenerate distribution — no patching wins
         width = int(bl.max())
@@ -211,6 +217,113 @@ def decode_u64(buf: bytes) -> np.ndarray:
     raise ValueError(f"unknown codec byte {codec}")
 
 
+def _pfor_encode_blocked(vals: np.ndarray, starts: np.ndarray) -> list[bytes]:
+    """Vectorized multi-block patched-PFor encode (round-2 verdict #9):
+    byte-identical to per-block :func:`_pfor_encode`, but every numpy pass
+    runs over the WHOLE array — per-block work is only slicing/joining.
+
+    Per-block widths replicate ``int(np.percentile(bl, 90))`` (linear
+    interpolation between the floor/ceil order statistics) from a
+    (blocks × 64) bitlen histogram; low bits scatter into one bit array
+    (block regions byte-aligned, so one global little-endian packbits
+    yields every block's packed stream); exception positions/highs ride
+    two whole-array varint passes split at block boundaries."""
+    vals = np.ascontiguousarray(vals, dtype=np.uint64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    nb = len(starts)
+    n = len(vals)
+    if n == 0:
+        return [bytes([CODEC_PFOR, 0]) + np.uint32(0).tobytes() * 3] * nb
+    ends = np.concatenate([starts[1:], np.int64([n])])
+    lens = ends - starts
+    bl = _bitlens(vals)                     # 1..64 per value
+    block_id = np.repeat(np.arange(nb, dtype=np.int64), lens)
+
+    # per-block bitlen histogram → the two order statistics percentile
+    # interpolates between (rank p = 0.9·(n_b−1))
+    hist = np.zeros((nb, 65), dtype=np.int64)
+    np.add.at(hist, (block_id, bl), 1)
+    cum = np.cumsum(hist, axis=1)
+    p = 0.9 * (lens - 1)
+    lo_rank = np.floor(p).astype(np.int64)
+    hi_rank = np.ceil(p).astype(np.int64)
+    lo_stat = np.argmax(cum > lo_rank[:, None], axis=1)
+    hi_stat = np.argmax(cum > hi_rank[:, None], axis=1)
+    frac = p - lo_rank
+    width = np.maximum(
+        1, (lo_stat + frac * (hi_stat - lo_stat)).astype(np.int64))
+
+    # degenerate blocks (> n/2 exceptions): full width, no patching
+    exc_mask = bl > width[block_id]
+    n_exc = np.zeros(nb, dtype=np.int64)
+    np.add.at(n_exc, block_id[exc_mask], 1)
+    degen = n_exc > lens // 2
+    if degen.any():
+        maxbl = np.maximum.reduceat(bl, starts)
+        width = np.where(degen, maxbl, width)
+        exc_mask = bl > width[block_id]
+        n_exc = np.zeros(nb, dtype=np.int64)
+        np.add.at(n_exc, block_id[exc_mask], 1)
+
+    # pack every block's low bits into one byte-aligned bit arena
+    w_per_val = width[block_id]
+    block_bits = lens * width
+    block_bytes = (block_bits + 7) // 8
+    byte_base = np.zeros(nb, dtype=np.int64)
+    byte_base[1:] = np.cumsum(block_bytes)[:-1]
+    local_idx = np.arange(n, dtype=np.int64) - starts[block_id]
+    val_bit_base = byte_base[block_id] * 8 + local_idx * w_per_val
+    wmax = int(width.max())
+    shifts = np.arange(wmax, dtype=np.uint64)
+    bitvals = ((vals[:, None] >> shifts[None, :]) & np.uint64(1)) \
+        .astype(np.uint8)
+    bitpos = val_bit_base[:, None] + np.arange(wmax, dtype=np.int64)[None, :]
+    in_width = np.arange(wmax, dtype=np.int64)[None, :] < w_per_val[:, None]
+    arena = np.zeros(int(np.sum(block_bytes)) * 8, dtype=np.uint8)
+    arena[bitpos[in_width]] = bitvals[in_width]
+    packed_all = np.packbits(arena, bitorder="little").tobytes()
+
+    # exception streams: whole-array varint passes, split per block
+    exc_idx = np.nonzero(exc_mask)[0]
+    exc_block = block_id[exc_idx]
+    exc_local = local_idx[exc_idx]
+    first_of_block = np.ones(len(exc_idx), dtype=bool)
+    first_of_block[1:] = exc_block[1:] != exc_block[:-1]
+    prev_local = np.zeros(len(exc_idx), dtype=np.int64)
+    prev_local[1:] = exc_local[:-1]
+    pos_deltas = np.where(first_of_block, exc_local,
+                          exc_local - prev_local).astype(np.uint64)
+    pos_stream, pos_sizes = _varint_encode_sized(pos_deltas)
+    highs = vals[exc_idx] >> w_per_val[exc_idx].astype(np.uint64)
+    high_stream, high_sizes = _varint_encode_sized(highs)
+    exc_base = np.zeros(nb, dtype=np.int64)
+    exc_base[1:] = np.cumsum(n_exc)[:-1]
+
+    def _split(stream: bytes, sizes: np.ndarray):
+        if len(sizes) == 0:
+            return [b""] * nb
+        csum = np.cumsum(sizes)
+        s0 = np.zeros(nb, dtype=np.int64)
+        nz = exc_base > 0
+        s0[nz] = csum[exc_base[nz] - 1]
+        e0 = np.empty(nb, dtype=np.int64)
+        e0[:-1] = s0[1:]
+        e0[-1] = len(stream)
+        return [stream[s0[i]:e0[i]] for i in range(nb)]
+
+    pos_blobs = _split(pos_stream, pos_sizes)
+    high_blobs = _split(high_stream, high_sizes)
+    out = []
+    for i in range(nb):
+        out.append(bytes([CODEC_PFOR, int(width[i])])
+                   + np.uint32(lens[i]).tobytes()
+                   + np.uint32(n_exc[i]).tobytes()
+                   + np.uint32(len(pos_blobs[i])).tobytes()
+                   + packed_all[byte_base[i]:byte_base[i] + block_bytes[i]]
+                   + pos_blobs[i] + high_blobs[i])
+    return out
+
+
 def encode_u64_blocked(vals: np.ndarray, starts: np.ndarray,
                        codec: int = CODEC_VARINT) -> list[bytes]:
     """Encode ``vals`` split at ``starts`` (block start offsets) → one blob
@@ -233,6 +346,8 @@ def encode_u64_blocked(vals: np.ndarray, starts: np.ndarray,
         ends[-1] = len(stream)
         return [prefix + stream[byte_starts[i]:ends[i]]
                 for i in range(len(starts))]
+    if codec == CODEC_PFOR:
+        return _pfor_encode_blocked(vals, starts)
     # bitpack width is per-block → per-block encode (non-default path)
     bounds = list(starts) + [len(vals)]
     return [encode_u64(vals[bounds[i]:bounds[i + 1]], codec)
