@@ -317,3 +317,30 @@ def test_minhash_max_bucket_guard(spark, docs_df):
               for r in ops.minhash_lsh_pairs(sub, max_bucket=5).collect()}
     assert capped <= full
     assert len(capped) < len(full)
+
+
+def test_trained_ivf_improves_recall(spark, sf_dir):
+    """k-means-trained IVF codebook (round-2 verdict #10): training is
+    deterministic, drops into the unchanged assignment/probe machinery,
+    and recall@10 vs brute force on the fixture is at least the seeded-
+    random codebook's (strictly better on average cell balance)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(x) for x in
+          emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    c1 = ops.train_ivf_centroids(emb, n_cells=8, iters=5, seed=7)
+    c2 = ops.train_ivf_centroids(emb, n_cells=8, iters=5, seed=7)
+    assert np.array_equal(c1, c2)                 # deterministic
+
+    exact = [r["vec_id"]
+             for r in ops.cosine_topk(emb, qv, k=10).collect()]
+
+    def recall(cents):
+        got = [r["vec_id"] for r in
+               ops.ann_ivf_topk(emb, qv, k=10, nprobe=2,
+                                centroids=cents).collect()]
+        return len(set(got) & set(exact)) / len(exact)
+
+    seeded = recall(ops.ivf_centroids(8, len(qv), 7))
+    trained = recall(c1)
+    assert trained >= seeded, (trained, seeded)
+    assert trained >= 0.5                          # sane absolute floor

@@ -244,6 +244,35 @@ def ivf_centroids(n_cells: int, dim: int, seed: int = 7) -> np.ndarray:
     return c / np.linalg.norm(c, axis=1, keepdims=True)
 
 
+def train_ivf_centroids(embeddings: DataFrame, n_cells: int = 8,
+                        iters: int = 5, sample: int = 65536,
+                        seed: int = 7, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> np.ndarray:
+    """Spherical k-means codebook for :func:`ann_ivf_topk` (round-2
+    verdict #10): a deterministic id-ordered sample (Spark TakeOrdered —
+    one scan, no full sort) collects to the driver, then numpy Lloyd
+    iterations with dot-product assignment (argmax, first-index ties —
+    the same rule the assignment expression uses) and re-normalized
+    means; empty cells keep their previous centroid.  O(sample·dim)
+    driver memory — the standard sampled-training shape at 100 TB.
+    Deterministic given (data, seed)."""
+    rows = (embeddings.select(id_col, vec_col).orderBy(id_col)
+            .limit(sample).collect())
+    x = np.asarray([r[1] for r in rows], dtype=np.float64)
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = ivf_centroids(n_cells, x.shape[1], seed)
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 1e-12:
+                    cents[c] = m / nrm
+    return cents
+
+
 def _dot_expr(vcol, vec: np.ndarray):
     arr = F.array(*[F.lit(float(x)) for x in vec])
     return F.aggregate(
@@ -255,14 +284,17 @@ def _dot_expr(vcol, vec: np.ndarray):
 def ann_ivf_topk(embeddings: DataFrame, query_vec: list[float],
                  k: int = 10, n_cells: int = 8, nprobe: int = 2,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 seed: int = 7) -> DataFrame:
+                 seed: int = 7,
+                 centroids: np.ndarray | None = None) -> DataFrame:
     """Approximate NN, IVF flavor: every vector is assigned to its nearest
     coarse centroid (argmax dot, ties → smallest cell — matches the DuckDB
     ``list_position(l, list_aggregate(l,'max'))`` rule); the query probes
     its ``nprobe`` nearest cells and runs exact cosine inside them only
     (~nprobe·N/n_cells rows).  Single job; ``n_cand`` rides along as a
     broadcast 1-row aggregate.  → (rank, vec_id, n_cand)."""
-    cents = ivf_centroids(n_cells, len(query_vec), seed)
+    cents = centroids if centroids is not None \
+        else ivf_centroids(n_cells, len(query_vec), seed)
+    n_cells = len(cents)
     dots = F.array(*[_dot_expr(F.col(vec_col), c) for c in cents])
     cell = (F.array_position(dots, F.array_max(dots)) - 1).cast("int")
     qv = np.asarray(query_vec, dtype=np.float64)
