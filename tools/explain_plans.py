@@ -116,6 +116,47 @@ def main():
         s.docs.join(F.broadcast(cand), "doc_id"),
         [("broadcast hash join", "BroadcastHashJoin")])
 
+    # 6. round-3: k=None bulk path is broadcast-GATED on the Σdf bound —
+    # past the cap the analyzed plan carries no hint (AQE decides)
+    hinted = s.search("spark", k=None, wand=False)
+    hint_ok = "ResolvedHint" in \
+        hinted._jdf.queryExecution().analyzed().toString()
+    s._df_cache_backup = Searcher.BROADCAST_DOC_CAP
+    Searcher.BROADCAST_DOC_CAP = 0
+    s2 = Searcher(spark, cat)
+    plain = s2.search("spark", k=None, wand=False)
+    nohint_ok = "ResolvedHint" not in \
+        plain._jdf.queryExecution().analyzed().toString()
+    Searcher.BROADCAST_DOC_CAP = s._df_cache_backup
+    sections.append((
+        "Bulk k=None path (round-3): broadcast hint gated on df bound",
+        [f"{'✅' if hint_ok else '❌'} small match set → hinted broadcast",
+         f"{'✅' if nohint_ok else '❌'} past the cap → no hint "
+         "(AQE shuffle-or-broadcast at runtime)"],
+        "Checked on the analyzed plans of search(k=None) with the default\n"
+        "cap vs BROADCAST_DOC_CAP=0.\n"))
+
+    # 7. round-3: group_top1 is a two-phase aggregate, never a Window
+    g = s.group_top1("spark", "lang")
+    gplan = g._jdf.queryExecution().executedPlan().toString()
+    sections.append((
+        "Result grouping (Q19, round-3): partial-agg groupBy, no Window",
+        [f"{'✅' if 'Window' not in gplan else '❌'} no Window operator",
+         f"{'✅' if 'partial_min' in gplan else '❌'} map-side partial_min "
+         "before the single exchange"],
+        gplan[:4000] + "\n"))
+
+    # 8. round-3: batch execution — whole query set in one kernel wave
+    batch = s.search_batch(["spark", "hash AND join"], k=5)
+    n_ok = len(batch) == 2 and all(df.count() > 0 for df in batch)
+    sections.append((
+        "Batch execution (round-3): one kernel wave for N queries",
+        [f"{'✅' if n_ok else '❌'} 2 queries through one "
+         "postings scan + one doc fetch (2 Spark jobs total)"],
+        "search_batch unions the queries' term sets, decodes each term\n"
+        "once per shard, and evaluates every AST against the shared\n"
+        "decode; see BENCH batch_suite_s/batch_speedup.\n"))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# Physical plans — pushdown/pruning/codegen audit\n\n"
