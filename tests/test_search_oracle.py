@@ -628,6 +628,51 @@ def test_search_batch_pagination(searcher):
             [tuple(r) for r in s.collect()], q
 
 
+def test_more_like_this(searcher, oracle, spark, built_index):
+    """Solr MoreLikeThis: top tf·idf terms of the source doc → OR query,
+    source excluded — rank-identical to the oracle evaluating the same
+    interesting-term query."""
+    cat, _res = built_index
+    tfs = cat.read(spark, "tfs").filter(
+        "doc_id = 7 AND term NOT LIKE '%=%' AND term NOT LIKE '\x00%'")
+    rows = [(r["term"], r["tf"]) for r in tfs.collect()]
+    ranked = sorted(rows, key=lambda r: (-r[1] * oracle.idf(r[0]), r[0]))
+    terms = [t for t, _ in ranked[:8]]
+    from zsolr.parse import Or, Term
+    exp = [d for d, _s in
+           oracle.search(Or(tuple(Term(t) for t in terms)), k=11)
+           if d != 7][:10]
+    got = [r["doc_id"]
+           for r in searcher.more_like_this(7, k=10, max_terms=8).collect()]
+    assert got == exp
+    assert 7 not in got
+
+
+def test_spellcheck_component(searcher, spark, built_index):
+    """SpellCheckComponent: df-ranked in-edit-distance corrections, the
+    word itself excluded; a real misspelling surfaces the intended term
+    first when it dominates df."""
+    cat, _res = built_index
+    out = [(r["term"], r["df"]) for r in searcher.spellcheck("sparl").collect()]
+    assert out, "corpus has terms within distance 2 of 'sparl'"
+    assert "sparl" not in [t for t, _ in out]
+    stats = {r["term"]: r["df"] for r in
+             cat.read(spark, "term_stats")
+             .filter("term NOT LIKE '%=%' AND term NOT LIKE '\x00%'")
+             .collect()}
+    from tests.oracle import _lev
+    exp = sorted(((t, d) for t, d in stats.items()
+                  if t != "sparl" and abs(len(t) - 5) <= 2
+                  and _lev(t, "sparl") <= 2),
+                 key=lambda cd: (-cd[1], cd[0]))[:5]
+    assert out == exp
+    assert "spark" in [t for t, _ in out]   # the intended term surfaces
+    # distance-1 restriction: only the closest corrections remain
+    near = [(r["term"], r["df"])
+            for r in searcher.spellcheck("sparl", max_edits=1).collect()]
+    assert near and all(_lev(t, "sparl") <= 1 for t, _ in near)
+
+
 def test_query_result_cache(spark, built_index):
     """Opt-in queryResultCache: identical requests return identical rows
     from the cache; the cache is bounded; default-off searchers never

@@ -108,6 +108,22 @@ past ~8-16 cores.
         lines.append(f"| local[{cpus}] | {r['p50_query_ms']:.0f} "
                      f"| {r['p95_query_ms']:.0f} |")
     lines.append("""
+## Batched query execution (round 3)
+
+The whole 20-query reference suite through ``search_batch`` — one kernel
+wave + one doc fetch (2 Spark jobs) instead of 2 jobs per query; results
+asserted bit-identical to serial ``search()`` on every bench run.
+
+| parallelism | serial suite (s) | batch suite (s) | speedup |
+| --- | --- | --- | --- |""")
+    for cpus in levels:
+        r = best[cpus]
+        serial = sum(v for k, v in r["queries"].items()
+                     if k not in ("build", "batch_suite"))
+        lines.append(f"| local[{cpus}] | {serial:.1f} "
+                     f"| {r.get('batch_suite_s', float('nan')):.1f} "
+                     f"| {r.get('batch_speedup', 0):.2f}× |")
+    lines.append("""
 Query cost = fixed Spark job overhead (~2 jobs/query) + the query terms'
 posting volume only (bucket directory pruning + parquet term predicates —
 never the corpus size).  Note the synthetic 31-word vocabulary makes every

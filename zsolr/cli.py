@@ -67,6 +67,23 @@ def main(argv: list[str] | None = None) -> int:
     gp.add_argument("--index", required=True)
     gp.add_argument("--field", required=True)
 
+    ml = sub.add_parser("mlt", help="MoreLikeThis: docs similar to one doc")
+    ml.add_argument("doc_id", type=int)
+    ml.add_argument("--index", required=True)
+    ml.add_argument("-k", type=int, default=10)
+    ml.add_argument("--max-terms", type=int, default=8)
+
+    sp = sub.add_parser("spellcheck", help="correction candidates for a word")
+    sp.add_argument("word")
+    sp.add_argument("--index", required=True)
+    sp.add_argument("-n", type=int, default=5)
+    sp.add_argument("--max-edits", type=int, default=2)
+
+    bq = sub.add_parser("batch", help="many queries in one kernel wave")
+    bq.add_argument("queries", nargs="+")
+    bq.add_argument("--index", required=True)
+    bq.add_argument("-k", type=int, default=10)
+
     d = sub.add_parser("delete", help="delete by query or ids")
     d.add_argument("--index", required=True)
     d.add_argument("--query")
@@ -132,7 +149,8 @@ def main(argv: list[str] | None = None) -> int:
                                    wand=not args.no_wand).collect()
         for r in rows:
             print(json.dumps(r.asDict()))
-    elif args.cmd in ("facet", "suggest", "stats", "group"):
+    elif args.cmd in ("facet", "suggest", "stats", "group", "mlt",
+                      "spellcheck"):
         from zsolr.search import Searcher
         searcher = Searcher(spark, cat)
         if args.cmd == "facet" and args.frange:
@@ -144,10 +162,23 @@ def main(argv: list[str] | None = None) -> int:
             df = searcher.suggest(args.prefix, args.n)
         elif args.cmd == "stats":
             df = searcher.stats(args.query, args.field)
+        elif args.cmd == "mlt":
+            df = searcher.more_like_this(args.doc_id, k=args.k,
+                                         max_terms=args.max_terms)
+        elif args.cmd == "spellcheck":
+            df = searcher.spellcheck(args.word, n=args.n,
+                                     max_edits=args.max_edits)
         else:
             df = searcher.group_top1(args.query, args.field)
         for r in df.collect():
             print(json.dumps(r.asDict()))
+    elif args.cmd == "batch":
+        from zsolr.search import Searcher
+        searcher = Searcher(spark, cat)
+        for q, df in zip(args.queries,
+                         searcher.search_batch(list(args.queries), k=args.k)):
+            for r in df.collect():
+                print(json.dumps({"query": q, **r.asDict()}))
     elif args.cmd == "delete":
         from zsolr.lifecycle import delete_by_ids, delete_by_query
         if args.query:

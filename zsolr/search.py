@@ -1548,6 +1548,53 @@ class Searcher:
                 .orderBy(F.desc("df"), "term")
                 .select("term", "df").limit(n))
 
+    # -- Solr MoreLikeThis component -------------------------------------------
+    def more_like_this(self, doc_id: int, k: int = 10,
+                       max_terms: int = 8) -> DataFrame:
+        """Solr MoreLikeThis: the source doc's top tf·idf content terms
+        ("interesting terms") form an OR query; the source doc itself is
+        excluded from the results.  Term selection reads the tfs table
+        with a doc_id parquet predicate — at 10^12 docs the deployment
+        answer is a doc-keyed forward index (the same tfs rows re-sorted
+        by doc_id → one row-group per doc); ranking and execution are
+        unchanged.  Ties rank lexicographically for determinism."""
+        rows = (self.cat.read(self.spark, "tfs")
+                .filter((F.col("doc_id") == doc_id)
+                        & ~F.col("term").contains("=")
+                        & ~F.col("term").startswith("\x00"))
+                .select("term", "tf").collect())
+        if not rows:
+            raise ValueError(f"doc {doc_id} not in index (or has no terms)")
+        idf_map = self._idf_map([r["term"] for r in rows])
+        ranked = sorted(rows, key=lambda r: (-r["tf"] * idf_map[r["term"]],
+                                             r["term"]))
+        terms = [r["term"] for r in ranked[:max_terms]]
+        ast = Or(tuple(Term(t) for t in terms)) if len(terms) > 1 \
+            else Term(terms[0])
+        out = self.search(ast, k=k + 1)   # +1: the source doc ranks high
+        return out.filter(F.col("doc_id") != doc_id).limit(k)
+
+    # -- Solr spellcheck component ---------------------------------------------
+    def spellcheck(self, word: str, n: int = 5,
+                   max_edits: int = 2) -> DataFrame:
+        """Solr SpellCheckComponent: correction candidates for a (possibly
+        zero-hit) word — index terms within ``max_edits`` Levenshtein
+        distance, the word itself excluded, ranked df-descending (more
+        frequent ≈ more likely intended) then lexicographic.
+        → (term, df) rows, driver-tiny."""
+        from .analyze import tokenize_py
+
+        toks = tokenize_py(word)
+        if len(toks) != 1:
+            raise ValueError(f"spellcheck takes one word, got {word!r}")
+        t = toks[0]
+        cands = [c for c in self._expand_fuzzy(t, max_edits, cap=4096)
+                 if c != t]
+        self._idf_map(cands)          # populates df for every candidate
+        ranked = sorted(((c, self._df_cache[c]) for c in cands),
+                        key=lambda cd: (-cd[1], cd[0]))[:n]
+        return self.spark.createDataFrame(ranked or [], "term string, df long")
+
     # -- Solr stats component --------------------------------------------------
     def stats(self, q, field: str = "doc_len") -> DataFrame:
         """Numeric field statistics over the full match set (Solr
