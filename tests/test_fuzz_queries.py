@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from zsolr.parse import (And, Boost, Contains, Fuzzy, Not, Or, Phrase,
-                         Prefix, Term)
+                         Prefix, Term, Wildcard)
 from zsolr.search import Searcher, UnsupportedQuery
 
 from tests.oracle import OracleIndex
@@ -44,6 +44,8 @@ def _gen(rng: np.random.Generator, vocab: list, bigrams: list, depth: int):
     if r < 0.62:
         a, b = bigrams[rng.integers(len(bigrams))]
         slop = int(rng.integers(0, 3)) if rng.random() < 0.5 else 0
+        if slop and rng.random() < 0.5:
+            a, b = b, a        # transposed sloppy phrase (order-free match)
         return Phrase((a, b), "content", slop)
     if r < 0.66:
         t = vocab[rng.integers(len(vocab))]
@@ -55,6 +57,13 @@ def _gen(rng: np.random.Generator, vocab: list, bigrams: list, depth: int):
             t = t[:i] + "z" + t[i + 1:]
             return Fuzzy(t, 1)
         return Contains(t[1:-1]) if len(t) > 3 else Fuzzy(t, 1)
+    if r < 0.74:
+        t = vocab[rng.integers(len(vocab))]
+        if len(t) >= 3:        # general wildcard: punch a hole in the term
+            i = 1 + int(rng.integers(len(t) - 2))
+            hole = "?" if rng.random() < 0.5 else "*"
+            return Wildcard(t[:i] + hole + t[i + 1:])
+        return Term(t)
     kids = tuple(_gen(rng, vocab, bigrams, depth - 1)
                  for _ in range(int(rng.integers(2, 4))))
     if r < 0.84:
@@ -79,6 +88,7 @@ def test_fuzz_rank_identity(searcher, oracle):
         bigrams += [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
     bigrams = sorted(set(bigrams))[:200]
     ran = skipped = 0
+    supported, serial_rows = [], []
     for _ in range(40):
         ast = _gen(rng, vocab, bigrams, depth=2)
         try:
@@ -95,5 +105,12 @@ def test_fuzz_rank_identity(searcher, oracle):
         w_off = [(r["doc_id"], r["score"]) for r in
                  searcher.search(ast, k=10, wand=False).collect()]
         assert got == w_off, ast
+        supported.append(ast)
+        serial_rows.append(got)
         ran += 1
     assert ran >= 30, (ran, skipped)  # fuzz must mostly exercise real paths
+    # the batched path faces the same fuzz set: bit-identical to serial
+    batch = searcher.search_batch(supported, k=10)
+    for ast, sdf_rows, bdf in zip(supported, serial_rows, batch):
+        brows = [(r["doc_id"], r["score"]) for r in bdf.collect()]
+        assert brows == sdf_rows, ast
