@@ -628,6 +628,19 @@ def test_search_batch_pagination(searcher):
             [tuple(r) for r in s.collect()], q
 
 
+def test_facet_pivot(searcher, oracle):
+    """Pivot facet: (lang, repo) hit counts over the full match set equal
+    the oracle's."""
+    got = {(r["pivot_a"], r["pivot_b"]): r["hits"]
+           for r in searcher.facet_pivot("spark", "lang", "repo").collect()}
+    matched = set(oracle._eval(parse("spark")))
+    exp: dict = {}
+    for d in matched:
+        key = (oracle.meta[d]["lang"], oracle.meta[d]["repo"])
+        exp[key] = exp.get(key, 0) + 1
+    assert got == exp and len(got) > 3
+
+
 def test_more_like_this(searcher, oracle, spark, built_index):
     """Solr MoreLikeThis: top tf·idf terms of the source doc → OR query,
     source excluded — rank-identical to the oracle evaluating the same

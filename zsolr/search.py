@@ -1640,6 +1640,19 @@ class Searcher:
                 .select(F.col(field).alias("group_val"), "hits",
                         F.col("b.d").alias("top_doc_id")))
 
+    # -- Solr pivot facets ------------------------------------------------------
+    def facet_pivot(self, q, field_a: str, field_b: str) -> DataFrame:
+        """Solr pivot facet (``facet.pivot=a,b``): hit counts for every
+        (a, b) value pair over the full match set — ONE two-key hash
+        aggregation with map-side partials (never a per-value sub-query
+        like Solr's recursive pivot evaluation).
+        → (pivot_a, pivot_b, hits)."""
+        matched = self._matched_docs(q)
+        return (matched.groupBy(field_a, field_b)
+                .agg(F.count(F.lit(1)).alias("hits"))
+                .select(F.col(field_a).alias("pivot_a"),
+                        F.col(field_b).alias("pivot_b"), "hits"))
+
     def _matched_docs(self, q) -> DataFrame:
         """Full match set joined to the doc store (shared by facet/stats)."""
         plan = plan_query(q)
