@@ -628,6 +628,33 @@ def test_search_batch_pagination(searcher):
             [tuple(r) for r in s.collect()], q
 
 
+def test_compound_sort_override(searcher, spark, built_index):
+    """Solr compound sort 'lang asc, path desc': results equal the full
+    match set ordered by both keys (doc_id tie-break), offset applied
+    after the executor-side cut; mixing score with fields raises."""
+    cat, _res = built_index
+    docs = cat.read(spark, "docs")
+    matches = searcher.match_scores("spark").select("doc_id")
+    exp = [r["doc_id"] for r in
+           docs.join(matches, "doc_id")
+           .orderBy(__import__("pyspark.sql.functions",
+                               fromlist=["col"]).col("lang").asc(),
+                    __import__("pyspark.sql.functions",
+                               fromlist=["col"]).col("path").desc(),
+                    "doc_id")
+           .limit(12).collect()]
+    got = [r["doc_id"] for r in
+           searcher.search("spark", k=10, sort="lang asc, path desc")
+           .collect()]
+    assert got == exp[:10]
+    paged = [r["doc_id"] for r in
+             searcher.search("spark", k=10, start=2,
+                             sort="lang, path desc").collect()]
+    assert paged == exp[2:12]
+    with pytest.raises(UnsupportedQuery):
+        searcher.search("spark", k=5, sort="score desc, path")
+
+
 def test_facet_pivot(searcher, oracle):
     """Pivot facet: (lang, repo) hit counts over the full match set equal
     the oracle's."""

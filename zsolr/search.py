@@ -232,6 +232,26 @@ def plan_query(q) -> Plan:
                 match_all=scored_ast is None)
 
 
+def _parse_sort(sort: str | None) -> list[tuple[str, bool]]:
+    """Solr ``sort=`` parser: comma-separated ``field [asc|desc]`` specs
+    (``"path"``, ``"path desc"``, ``"lang asc, path desc"``).  ``score``
+    is only supported as the sole spec (the default ranking order);
+    compound specs mixing score with fields raise."""
+    if not sort:
+        return []
+    spec: list[tuple[str, bool]] = []
+    for part in sort.split(","):
+        toks = part.split()
+        if not toks:
+            continue
+        spec.append((toks[0],
+                     len(toks) > 1 and toks[1].lower() == "desc"))
+    if any(f == "score" for f, _ in spec) and len(spec) > 1:
+        raise UnsupportedQuery(
+            "compound sort mixing 'score' with fields is not supported")
+    return spec
+
+
 def _filter_expr(filters: list[tuple]):
     expr = F.lit(True)
     for kind, node in filters:
@@ -532,7 +552,7 @@ def _topk_cut(ids: np.ndarray, sc: np.ndarray, k: int):
 def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                        neg_terms: set, zero_terms: set, k: int | None,
                        shard_width: int, avgdl: float, wand: bool,
-                       sort_field: str | None, sort_desc: bool,
+                       sort_spec: list | None,
                        deleted: np.ndarray | None = None,
                        cogroup: bool = True,
                        phrase_terms: set | None = None,
@@ -704,13 +724,19 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
 
         n_matches = len(ids)
         if k is not None and n_matches > k:
-            if sort_field is None:
+            if not sort_spec:
                 ids, sc = _topk_cut(ids, sc, k)
             else:  # sort override: cogroup mode only (needs the docs side)
-                vals = docs.set_index("doc_id")[sort_field].loc[ids].to_numpy()
-                sel = (pd.DataFrame({"doc_id": ids, "score": sc, "v": vals})
-                       .sort_values(["v", "doc_id"],
-                                    ascending=[not sort_desc, True],
+                dind = docs.set_index("doc_id")
+                data = {"doc_id": ids, "score": sc}
+                by, asc = [], []
+                for i, (f, dsc) in enumerate(sort_spec):
+                    data[f"v{i}"] = dind[f].loc[ids].to_numpy()
+                    by.append(f"v{i}")
+                    asc.append(not dsc)
+                sel = (pd.DataFrame(data)
+                       .sort_values(by + ["doc_id"],
+                                    ascending=asc + [True],
                                     kind="mergesort")
                        .head(k))
                 ids = sel["doc_id"].to_numpy()
@@ -1168,11 +1194,9 @@ class Searcher:
         if plan.filters:
             docs_f = docs_f.filter(_filter_expr(plan.filters))
 
-        sort_field, sort_desc = None, False
-        if sort:
-            parts = sort.split()
-            sort_field = parts[0]
-            sort_desc = len(parts) > 1 and parts[1].lower() == "desc"
+        sort_spec = _parse_sort(sort)
+        sort_field = sort_spec[0][0] if sort_spec else None
+        sort_desc = sort_spec[0][1] if sort_spec else False
 
         if plan.match_all:
             if plan.exclude_ast is not None:
@@ -1181,11 +1205,12 @@ class Searcher:
                 docs_f = docs_f.join(inner, "doc_id", "left_anti")
             if raw:
                 return docs_f.select("doc_id", F.lit(0.0).alias("score"))
-            return self._match_all(docs_f, k, start, sort_field, sort_desc,
-                                   with_count)
+            return self._match_all(docs_f, k, start, sort_spec, with_count)
 
         fetch = None if k is None else start + k
-        eff_sort = None if sort_field in (None, "score") else sort_field
+        eff_spec = [] if (not sort_spec
+                          or sort_spec[0][0] == "score") else sort_spec
+        eff_sort = eff_spec[0][0] if eff_spec else None
 
         # ---- path selection ------------------------------------------------
         # fast path: only the query terms' postings move (norms decode from
@@ -1260,8 +1285,8 @@ class Searcher:
         kernel = make_search_kernel(
             kernel_ast, idf_map, pos, neg, zero_terms, fetch, W, self.avgdl,
             (wand and not with_count and eff_sort is None
-             and not phrase_terms and not needs_universe), eff_sort,
-            sort_desc, deleted=self._deleted_np if fast else None,
+             and not phrase_terms and not needs_universe),
+            eff_spec or None, deleted=self._deleted_np if fast else None,
             cogroup=not fast, phrase_terms=phrase_terms,
             needs_universe=needs_universe, boost_mult=boost_mult)
         if fast:
@@ -1269,8 +1294,9 @@ class Searcher:
                     .applyInPandas(kernel, "doc_id long, score double"))
         else:
             doc_cols = ["doc_id"]
-            if eff_sort and eff_sort not in doc_cols:
-                doc_cols.append(eff_sort)
+            for f, _d in eff_spec:
+                if f not in doc_cols:
+                    doc_cols.append(f)
             docs_side = (docs_f.select(*doc_cols)
                          .withColumn("shard", F.expr(f"doc_id DIV {W}")))
             cand = (
@@ -1278,8 +1304,8 @@ class Searcher:
                 .cogroup(docs_side.groupBy("shard"))
                 .applyInPandas(kernel, "doc_id long, score double")
             )
-        extra = [eff_sort] if eff_sort and eff_sort not in (
-            "repo", "path", "commit", "doc_id") else []
+        extra = [f for f, _d in eff_spec
+                 if f not in ("repo", "path", "commit", "doc_id")]
         out_schema = ("doc_id long, repo string, path string, commit string,"
                       " score double")
 
@@ -1320,9 +1346,9 @@ class Searcher:
                 # cut to start+k INSIDE the job (executor-side sort of the
                 # ≤ fetch·shards candidates) — the driver only ever
                 # collects O(start + k) rows
-                key = (F.col(eff_sort).desc() if sort_desc
-                       else F.col(eff_sort).asc())
-                sel = sel.orderBy(key, F.asc("doc_id")).limit(start + k)
+                keys = [F.col(f).desc() if dsc else F.col(f).asc()
+                        for f, dsc in eff_spec]
+                sel = sel.orderBy(*keys, F.asc("doc_id")).limit(start + k)
             fetched = [r.asDict() for r in sel.collect()]
             if eff_sort:
                 fetched = fetched[start:start + k]
@@ -1488,15 +1514,15 @@ class Searcher:
                     else df
         return [results[i] for i in range(len(queries))]
 
-    def _match_all(self, docs_f: DataFrame, k, start, sort_field, sort_desc,
+    def _match_all(self, docs_f: DataFrame, k, start, sort_spec,
                    with_count: bool):
         """Filter-only / existence queries: pure Catalyst (Q2) — predicate
         pushdown to the parquet scan, no posting access at all."""
         out = docs_f.select("doc_id", "repo", "path", "commit",
                             F.lit(0.0).alias("score"))
-        key = F.col(sort_field) if sort_field and sort_field != "score" \
-            else F.col("doc_id")
-        out = out.orderBy(key.desc() if sort_desc else key.asc(), "doc_id")
+        keys = [F.col(f).desc() if dsc else F.col(f).asc()
+                for f, dsc in (sort_spec or []) if f != "score"]
+        out = out.orderBy(*keys, F.asc("doc_id"))
         if k is not None:
             out = out.limit(start + k)
             if start:
