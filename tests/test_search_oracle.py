@@ -628,6 +628,37 @@ def test_search_batch_pagination(searcher):
             [tuple(r) for r in s.collect()], q
 
 
+def test_distributed_candidate_cut(spark, built_index, monkeypatch):
+    """Past COLLECT_CAP the candidate merge runs executor-side
+    (TakeOrdered / in-cluster join+sort / per-qid window) and the driver
+    collects only O(k) rows — results must be bit-identical to the
+    driver-merge path for score order, field sort, pagination, counts,
+    and batch execution."""
+    cat, _res = built_index
+    base = Searcher(spark, cat)
+    ref_score = [tuple(r) for r in base.search("spark", k=10).collect()]
+    ref_sorted = [tuple(r) for r in
+                  base.search("spark", k=10, start=3, sort="path").collect()]
+    _refc, ref_n = base.search("hash AND join", k=5, with_count=True)
+    ref_batch = [[tuple(r) for r in df.collect()] for df in
+                 base.search_batch(["spark", "hash AND join"], k=10)]
+    assert base._last_collect_strategy == "driver_merge"
+
+    monkeypatch.setattr(Searcher, "COLLECT_CAP", 0)
+    s = Searcher(spark, cat)
+    assert [tuple(r) for r in s.search("spark", k=10).collect()] == ref_score
+    assert s._last_collect_strategy == "distributed_cut"
+    assert [tuple(r) for r in
+            s.search("spark", k=10, start=3, sort="path").collect()] \
+        == ref_sorted
+    _df, n = s.search("hash AND join", k=5, with_count=True)
+    assert n == ref_n
+    got_batch = [[tuple(r) for r in df.collect()] for df in
+                 s.search_batch(["spark", "hash AND join"], k=10)]
+    assert s._last_collect_strategy == "distributed_cut"
+    assert got_batch == ref_batch
+
+
 def test_compound_sort_override(searcher, spark, built_index):
     """Solr compound sort 'lang asc, path desc': results equal the full
     match set ordered by both keys (doc_id tie-break), offset applied

@@ -857,6 +857,12 @@ class Searcher:
     # pruning but grows the plan linearly — past the cap, broadcast-join
     # the id set instead (plan stays O(1) regardless of shard count).
     ISIN_FETCH_CAP = 8192
+    # candidate collect: per-shard tops are ≤ (start+k)·shards rows per
+    # query — bounded, but at 125k shards (×N queries in batch mode) the
+    # driver materializes millions of Rows.  Past this bound an
+    # executor-side merge (TakeOrdered / per-qid window cut) runs first,
+    # so the driver only ever collects O(start+k) rows per query.
+    COLLECT_CAP = 2_000_000
 
     def __init__(self, spark: SparkSession, cat: ManifestParquetCatalog,
                  shard_width: int | None = None, cache_size: int = 0):
@@ -1310,20 +1316,58 @@ class Searcher:
                       " score double")
 
         if k is not None:
-            # Q9, bounded: candidates are ≤ (start+k)·shards rows — collect
-            # them (one job), then fetch ONLY those docs from the store.
-            # docs files are doc_id-ordered (docID = rank of the write sort),
-            # so the isin predicate pushes down to row-group min/max pruning:
-            # per-query doc-store I/O is O(k·shards), never O(N).
-            rows = cand.collect()
-            num_found = int(sum(r["score"] for r in rows if r["doc_id"] == -1))
-            hits = [(r["doc_id"], r["score"]) for r in rows if r["doc_id"] >= 0]
+            # Q9, bounded: per-shard candidates are ≤ fetch rows each —
+            # below COLLECT_CAP the driver merges them directly (one job)
+            # and fetches ONLY those docs from the store (isin row-group
+            # pruning on doc_id-ordered files).  Past the cap (huge shard
+            # counts) an executor-side merge — TakeOrdered for score
+            # order, an in-cluster join+sort for field sorts — keeps the
+            # driver at O(start+k) rows regardless of shard count.
+            n_shards = -(-self.n_docs_total // W)
+            big = n_shards * (fetch + 1) > self.COLLECT_CAP
+            num_found = None
+            if big:
+                self._last_collect_strategy = "distributed_cut"
+                if with_count:
+                    cand = cand.persist()
+                    num_found = int(
+                        cand.filter(F.col("doc_id") == -1)
+                        .agg(F.sum("score")).collect()[0][0] or 0)
+                hits_df = cand.filter(F.col("doc_id") >= 0)
+                if eff_sort is not None:
+                    keys = [F.col(f).desc() if dsc else F.col(f).asc()
+                            for f, dsc in eff_spec]
+                    sel = (self.docs.join(hits_df, "doc_id")
+                           .select("doc_id", "repo", "path", "commit",
+                                   "score", *extra)
+                           .orderBy(*keys, F.asc("doc_id")).limit(fetch))
+                    fetched = [r.asDict() for r in sel.collect()][start:]
+                    if with_count:
+                        cand.unpersist()
+                    out = [(r["doc_id"], r["repo"], r["path"], r["commit"],
+                            r["score"]) for r in fetched]
+                    df = self.spark.createDataFrame(out, out_schema) if out \
+                        else self.spark.createDataFrame([], out_schema)
+                    return (df, num_found) if with_count else df
+                hits = [(r["doc_id"], r["score"]) for r in
+                        hits_df.orderBy(F.desc("score"), F.asc("doc_id"))
+                        .limit(fetch).collect()]
+                hits = hits[start:start + k]
+                if with_count:
+                    cand.unpersist()
+            else:
+                self._last_collect_strategy = "driver_merge"
+                rows = cand.collect()
+                num_found = int(sum(r["score"] for r in rows
+                                    if r["doc_id"] == -1))
+                hits = [(r["doc_id"], r["score"]) for r in rows
+                        if r["doc_id"] >= 0]
+                if eff_sort is None:
+                    hits.sort(key=lambda t: (-t[1], t[0]))
+                    hits = hits[start:start + k]
             if not hits:
                 empty = self.spark.createDataFrame([], out_schema)
                 return (empty, num_found) if with_count else empty
-            if eff_sort is None:
-                hits.sort(key=lambda t: (-t[1], t[0]))
-                hits = hits[start:start + k]
             ids = [h[0] for h in hits]
             score_by_id = dict(hits)
             # doc fetch: an In-list keeps parquet row-group pruning but the
@@ -1476,7 +1520,25 @@ class Searcher:
                                        fetch, deleted=self._deleted_np)
             cand = postings.groupBy("shard").applyInPandas(
                 kernel, "qid long, doc_id long, score double")
-            rows = cand.collect()
+            n_shards = -(-self.n_docs_total // self.shard_width)
+            if n_shards * len(specs) * (fetch + 1) > self.COLLECT_CAP:
+                # executor-side per-query cut: the driver collects only
+                # O(fetch) rows per query however many shards exist
+                from pyspark.sql import Window as _W
+
+                self._last_collect_strategy = "distributed_cut"
+                cand = cand.persist()
+                w = _W.partitionBy("qid").orderBy(F.desc("score"),
+                                                  F.asc("doc_id"))
+                hits_part = (cand.filter(F.col("doc_id") >= 0)
+                             .withColumn("rn", F.row_number().over(w))
+                             .filter(F.col("rn") <= fetch).drop("rn"))
+                rows = hits_part.unionByName(
+                    cand.filter(F.col("doc_id") == -1)).collect()
+                cand.unpersist()
+            else:
+                self._last_collect_strategy = "driver_merge"
+                rows = cand.collect()
             per_hits: dict[int, list] = defaultdict(list)
             per_n: dict[int, float] = defaultdict(float)
             for r in rows:
