@@ -628,6 +628,22 @@ def test_search_batch_pagination(searcher):
             [tuple(r) for r in s.collect()], q
 
 
+@pytest.mark.parametrize("q", ["spark", "hash AND join", "spark^2 OR join",
+                               "lang:en AND spark",
+                               "the^2 OR spark AND NOT slow"])
+def test_explain_sums_to_search_score(searcher, q):
+    """debugQuery parity: for each of the top-3 matching docs, the sum of
+    explain()'s per-term contributions equals the engine score to 1e-12
+    (same float expression tree)."""
+    top = searcher.search(q, k=3).collect()
+    assert top, q
+    for r in top:
+        br = searcher.explain(q, r["doc_id"]).collect()
+        total = sum(x["contribution"] for x in br)
+        assert abs(total - r["score"]) < 1e-12, (q, r["doc_id"])
+        assert all(x["tf"] >= 0 and x["df"] >= 0 for x in br)
+
+
 def test_distributed_candidate_cut(spark, built_index, monkeypatch):
     """Past COLLECT_CAP the candidate merge runs executor-side
     (TakeOrdered / in-cluster join+sort / per-qid window) and the driver

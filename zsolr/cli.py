@@ -79,6 +79,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("-n", type=int, default=5)
     sp.add_argument("--max-edits", type=int, default=2)
 
+    ex = sub.add_parser("explain", help="per-term score breakdown for a doc")
+    ex.add_argument("query")
+    ex.add_argument("doc_id", type=int)
+    ex.add_argument("--index", required=True)
+
     bq = sub.add_parser("batch", help="many queries in one kernel wave")
     bq.add_argument("queries", nargs="+")
     bq.add_argument("--index", required=True)
@@ -150,7 +155,7 @@ def main(argv: list[str] | None = None) -> int:
         for r in rows:
             print(json.dumps(r.asDict()))
     elif args.cmd in ("facet", "suggest", "stats", "group", "mlt",
-                      "spellcheck"):
+                      "spellcheck", "explain"):
         from zsolr.search import Searcher
         searcher = Searcher(spark, cat)
         if args.cmd == "facet" and args.frange:
@@ -168,6 +173,8 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "spellcheck":
             df = searcher.spellcheck(args.word, n=args.n,
                                      max_edits=args.max_edits)
+        elif args.cmd == "explain":
+            df = searcher.explain(args.query, args.doc_id)
         else:
             df = searcher.group_top1(args.query, args.field)
         for r in df.collect():

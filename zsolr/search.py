@@ -1636,6 +1636,74 @@ class Searcher:
                 .orderBy(F.desc("df"), "term")
                 .select("term", "df").limit(n))
 
+    # -- Solr debugQuery / Lucene Explanation ----------------------------------
+    @staticmethod
+    def _weighted_terms(node, acc: list, w: float = 1.0):
+        """Flatten a scored AST into (term, weight) contributions — our
+        OR sums child scores and AND sums its children's, so the doc
+        score is exactly Σ weight·BM25(term).  NOT legs contribute 0 and
+        ConstSet (prefix/fuzzy/wildcard) legs are constant-score 0."""
+        if isinstance(node, Term):
+            acc.append((node.term, w))
+        elif isinstance(node, (And, Or)):
+            for c in node.children:
+                Searcher._weighted_terms(c, acc, w)
+        elif isinstance(node, Boost):
+            Searcher._weighted_terms(node.child, acc, w * node.weight)
+        elif isinstance(node, (Not, ConstSet)):
+            pass          # exclusion / constant-score: no score mass
+        elif isinstance(node, Phrase):
+            raise UnsupportedQuery(
+                "explain does not cover phrase clauses (positional tf)")
+        elif isinstance(node, Range):
+            pass
+        else:
+            raise UnsupportedQuery(f"explain cannot flatten {node}")
+
+    def explain(self, q, doc_id: int) -> DataFrame:
+        """Solr ``debugQuery`` analogue (Lucene Explanation): the per-term
+        BM25 breakdown of one document's score —
+        ``contribution = weight · idf · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))``
+        — computed driver-side from the doc's tfs rows, its doc_len, and
+        term_stats.  For a matching doc, Σ contribution equals the engine
+        score bit-for-bit (tested).  → (term, weight, tf, df, idf,
+        tf_norm, contribution)."""
+        plan = plan_query(q)
+        ast = plan.scored_ast
+        if ast is None:
+            return self.spark.createDataFrame(
+                [], "term string, weight double, tf long, df long,"
+                    " idf double, tf_norm double, contribution double")
+        pairs: list = []
+        self._weighted_terms(self._expand_ast(ast), pairs)
+        terms = sorted({t for t, _ in pairs})
+        tf_map = {r["term"]: int(r["tf"]) for r in
+                  (self.cat.read(self.spark, "tfs")
+                   .filter((F.col("doc_id") == doc_id)
+                           & F.col("term").isin(terms))
+                   .select("term", "tf").collect())}
+        dl_rows = (self.docs.filter(F.col("doc_id") == doc_id)
+                   .select("doc_len").collect())
+        if not dl_rows:
+            raise ValueError(f"doc {doc_id} not in index")
+        dl = float(dl_rows[0]["doc_len"])
+        idf_map = self._idf_map(terms)
+        k1, b = BM25_K1, BM25_B
+        out = []
+        for t, w in pairs:
+            tf = tf_map.get(t, 0)
+            zero = "=" in t          # field terms are constant-score
+            idf_t = 0.0 if zero else idf_map[t]
+            tf_norm = (tf * (k1 + 1.0)
+                       / (tf + k1 * (1 - b + b * dl / self.avgdl))) \
+                if tf else 0.0
+            out.append((t, float(w), tf, self._df_cache.get(t, 0),
+                        idf_t, tf_norm,
+                        0.0 if zero else w * idf_t * tf_norm))
+        return self.spark.createDataFrame(
+            out, "term string, weight double, tf long, df long,"
+                 " idf double, tf_norm double, contribution double")
+
     # -- Solr MoreLikeThis component -------------------------------------------
     def more_like_this(self, doc_id: int, k: int = 10,
                        max_terms: int = 8) -> DataFrame:
