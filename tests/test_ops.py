@@ -344,3 +344,16 @@ def test_trained_ivf_improves_recall(spark, sf_dir):
     trained = recall(c1)
     assert trained >= seeded, (trained, seeded)
     assert trained >= 0.5                          # sane absolute floor
+
+
+def test_sessionize_native_equals_numbered(spark, sf_dir):
+    """The built-in F.session_window twin produces the same session SET
+    (user, start, end, n) as the numbered lag/running-sum implementation
+    on the events fixture (which has no exact-gap boundary pairs — the
+    one documented semantic difference)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    num = {(r["user_id"], r["start_s"], r["end_s"], r["n_events"])
+           for r in ops.sessionize_events(e, gap_s=1800).collect()}
+    nat = {(r["user_id"], r["start_s"], r["end_s"], r["n_events"])
+           for r in ops.sessionize_native(e, gap_s=1800).collect()}
+    assert num == nat and len(num) > 50

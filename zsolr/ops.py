@@ -521,6 +521,28 @@ def sessionize_events(events: DataFrame, gap_s: int = 1800) -> DataFrame:
                  F.max(F.unix_timestamp("ts")).alias("end_s")))
 
 
+def sessionize_native(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Built-in ``F.session_window`` twin of :func:`sessionize_events` —
+    prefer the native operator where its semantics fit: Spark's session
+    window merges events closer than the gap (a partial hash agg with
+    in-partition window merging, and watermark-backed state eviction in
+    streaming), but carries no session numbering.  Boundary semantics:
+    Spark closes at ``diff >= gap`` (end-exclusive window) while the
+    numbered implementation closes at ``diff > gap`` — identical whenever
+    no consecutive pair lands exactly ``gap`` apart (asserted in tests).
+    ``end_s`` = window end − gap = last event time.
+    → (user_id, start_s, end_s, n_events)."""
+    return (events
+            .groupBy(F.session_window(F.col("ts"), f"{gap_s} seconds"),
+                     "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id",
+                    F.unix_timestamp("session_window.start").alias("start_s"),
+                    (F.unix_timestamp("session_window.end") - gap_s)
+                    .alias("end_s"),
+                    "n_events"))
+
+
 # -------------------------------------------------------------- multimodal ---
 
 def media_features(docs: DataFrame, text_col: str = "text",
