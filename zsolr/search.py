@@ -1201,8 +1201,6 @@ class Searcher:
             docs_f = docs_f.filter(_filter_expr(plan.filters))
 
         sort_spec = _parse_sort(sort)
-        sort_field = sort_spec[0][0] if sort_spec else None
-        sort_desc = sort_spec[0][1] if sort_spec else False
 
         if plan.match_all:
             if plan.exclude_ast is not None:
