@@ -155,3 +155,24 @@ def test_fuzzy_contains_builders():
     a = parse(q.fuzzy("spark", 2))
     assert isinstance(a, Fuzzy) and a.max_edits == 2
     assert isinstance(parse(q.contains("par")), Contains)
+
+
+def test_highlighter_snippets():
+    """Solr highlighting (client-side over fetched content): matches wrap
+    in <em>, snippets are windowed, nearby matches coalesce, and the
+    analyzer agrees with the index tokenizer (case-insensitive)."""
+    from zsolr.search import Searcher
+
+    content = ("The Spark engine shuffles data across the cluster. "
+               "A hash JOIN broadcasts the small side; the sort merge "
+               "join shuffles both. Spark plans joins adaptively.")
+    snips = Searcher.highlight(content, "spark AND join", window=3)
+    assert snips and len(snips) <= 3
+    joined = " … ".join(snips)
+    assert "<em>Spark</em>" in joined
+    assert "<em>JOIN</em>" in joined or "<em>join</em>" in joined
+    # no-match content → no snippets
+    assert Searcher.highlight("nothing relevant here", "spark") == []
+    # every snippet contains at least one highlighted term
+    for s in snips:
+        assert "<em>" in s and "</em>" in s

@@ -1702,6 +1702,57 @@ class Searcher:
             out, "term string, weight double, tf long, df long,"
                  " idf double, tf_norm double, contribution double")
 
+    # -- Solr highlighter ------------------------------------------------------
+    @staticmethod
+    def highlight(content: str, q, max_snippets: int = 3,
+                  window: int = 6, pre: str = "<em>",
+                  post: str = "</em>") -> list[str]:
+        """Solr highlighting component: snippet extraction around query-term
+        matches.  The engine deliberately does NOT store content (the doc
+        store keeps sha256 + metadata; content stays in the corpus table),
+        so highlighting is a pure driver/client-side function over a
+        fetched document — the Solr deployment shape where stored fields
+        live in the source of truth.  Tokenization matches the index
+        analyzer, so highlighted terms are exactly the matching tokens
+        (incl. prefix/fuzzy/wildcard expansion is NOT applied here —
+        literal query terms only, like Solr's default highlighter on
+        unexpanded terms).  Returns ≤ ``max_snippets`` snippet strings,
+        each ± ``window`` tokens of context with matches wrapped in
+        ``pre``/``post``."""
+        import re as _re
+
+        ast = parse(q) if isinstance(q, str) else q
+        terms: list[str] = []
+        _collect_terms(ast, terms)
+        want = set(terms)
+        toks = [(m.group(0), m.start(), m.end())
+                for m in _re.finditer(r"[A-Za-z0-9]+", content)]
+        hit_idx = [i for i, (t, _s, _e) in enumerate(toks)
+                   if t.lower() in want]
+        snippets: list[str] = []
+        used_until = -1
+        for i in hit_idx:
+            if len(snippets) >= max_snippets:
+                break
+            if i <= used_until:
+                continue
+            lo = max(0, i - window)
+            hi = min(len(toks) - 1, i + window)
+            used_until = hi
+            s_char = toks[lo][1]
+            e_char = toks[hi][2]
+            frag = content[s_char:e_char]
+            # wrap every matching token inside the fragment
+            out, last = [], 0
+            for t, s, e in toks[lo:hi + 1]:
+                if t.lower() in want:
+                    out.append(frag[last:s - s_char])
+                    out.append(pre + frag[s - s_char:e - s_char] + post)
+                    last = e - s_char
+            out.append(frag[last:])
+            snippets.append("".join(out))
+        return snippets
+
     # -- Solr MoreLikeThis component -------------------------------------------
     def more_like_this(self, doc_id: int, k: int = 10,
                        max_terms: int = 8) -> DataFrame:
