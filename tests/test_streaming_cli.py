@@ -86,6 +86,19 @@ def test_spark_submit_pyfiles(tmp_path):
     fr = run("facet", "spark", "--index", idx, "--field", "doc_len",
              "--range", "0:200:25")
     assert sum(r["hits"] for r in fr) > 0
+    # round-3 subcommands through the same spark-submit packaging
+    sc = run("spellcheck", "sparl", "--index", idx, "-n", "3")
+    assert sc and all("term" in r and r["df"] > 0 for r in sc)
+    mlt = run("mlt", str(hits[0]["doc_id"]), "--index", idx, "-k", "3")
+    assert len(mlt) == 3 and all(r["doc_id"] != hits[0]["doc_id"]
+                                 for r in mlt)
+    ex = run("explain", "hash AND join", str(hits[0]["doc_id"]),
+             "--index", idx)
+    assert abs(sum(r["contribution"] for r in ex)
+               - hits[0]["score"]) < 1e-9
+    bt = run("batch", "spark", "hash AND join", "--index", idx, "-k", "2")
+    assert len(bt) == 4 and {r["query"] for r in bt} == \
+        {"spark", "hash AND join"}
 
 
 def test_streaming_windowed_agg(tmp_path, spark, sf_dir):
