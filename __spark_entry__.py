@@ -869,7 +869,7 @@ sess AS (
          sum(CASE WHEN pt IS NULL OR t - pt > 1800 THEN 1 ELSE 0 END)
            OVER (PARTITION BY user_id ORDER BY t, event_id) AS session_no
   FROM lagged)
-SELECT user_id, session_no, count(*)::BIGINT AS n_events,
+SELECT user_id, session_no::BIGINT AS session_no, count(*)::BIGINT AS n_events,
        min(t) AS start_s, max(t) AS end_s
 FROM sess GROUP BY user_id, session_no"""
 

@@ -42,11 +42,14 @@ def _gen(rng: np.random.Generator, vocab: list, bigrams: list, depth: int):
         return Term(["en", "de", "fr", "es", "zh"][int(rng.integers(5))],
                     "lang")
     if r < 0.62:
-        a, b = bigrams[rng.integers(len(bigrams))]
-        slop = int(rng.integers(0, 3)) if rng.random() < 0.5 else 0
-        if slop and rng.random() < 0.5:
-            a, b = b, a        # transposed sloppy phrase (order-free match)
-        return Phrase((a, b), "content", slop)
+        # 2- to 4-term phrases: m >= 3 exercises the sentinel-combination
+        # enumeration in _eval_phrase (round-4 ADVICE — the int64 overflow
+        # could only bite at m >= 3, which 2-term-only fuzz never reached)
+        terms = list(bigrams[rng.integers(len(bigrams))])
+        slop = int(rng.integers(0, 4)) if rng.random() < 0.5 else 0
+        if slop and rng.random() < 0.5:   # order-free: permute the terms
+            terms = [terms[i] for i in rng.permutation(len(terms))]
+        return Phrase(tuple(terms), "content", slop)
     if r < 0.66:
         t = vocab[rng.integers(len(vocab))]
         return Prefix(t[: max(1, int(rng.integers(1, 4)))])
@@ -85,8 +88,10 @@ def test_fuzz_rank_identity(searcher, oracle):
     vocab = sorted(t for t in oracle.tf if t.isalpha())
     bigrams = []
     for toks in list(oracle.tokens.values())[:50]:
-        bigrams += [(toks[i], toks[i + 1]) for i in range(len(toks) - 1)]
-    bigrams = sorted(set(bigrams))[:200]
+        for n in (2, 3, 4):   # n-grams up to 4 → multi-term sloppy fuzz
+            bigrams += [tuple(toks[i:i + n])
+                        for i in range(len(toks) - n + 1)]
+    bigrams = sorted(set(bigrams))[:400]
     ran = skipped = 0
     supported, serial_rows = [], []
     for _ in range(40):

@@ -280,6 +280,38 @@ def test_slop_transposition_matches(spark, tmp_path):
     assert match_set('"alpha beta"~4') == [0, 1, 2, 3]
 
 
+def test_slop_three_term_sentinel_no_false_positive(spark, tmp_path):
+    """int64 sentinel regression (round-4 ADVICE): with bee@5, aye@10,
+    cee@20 the adjusted positions of "aye bee cee" are 10, 4, 18 — true
+    span 14 — so "aye bee cee"~1 must NOT match.  The old FAR = 1<<62
+    sentinel let the (+FAR, -FAR) combo compute mx-mn = 2^63, which wraps
+    negative and passed the <= slop check (false positive at m >= 3)."""
+    from zsolr.build import BuildConfig, IndexBuilder
+    from zsolr.catalog import ManifestParquetCatalog
+
+    toks = ["f%d" % i for i in range(21)]
+    toks[5], toks[10], toks[20] = "bee", "aye", "cee"
+    rows = [
+        ("r", "p0", "c", "en", " ".join(toks)),       # span-14 doc
+        ("r", "p1", "c", "en", "aye bee cee x y z"),  # true adjacent match
+    ]
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+              " content string")
+    cat = ManifestParquetCatalog(str(tmp_path / "sent-idx"))
+    IndexBuilder(cat, BuildConfig(n_buckets=4)).build(
+        spark, "st", corpus_df=corpus)
+    s = Searcher(spark, cat)
+
+    def match_set(q):
+        return sorted(r["doc_id"]
+                      for r in s.search(q, k=None, wand=False).collect())
+
+    assert match_set('"aye bee cee"~1') == [1]       # p0 must NOT match
+    assert match_set('"aye bee cee"~13') == [1]      # just under true span
+    assert match_set('"aye bee cee"~14') == [0, 1]   # exact true span
+
+
 @pytest.mark.parametrize("q", [
     "st*",                       # prefix, constant-score
     "sor* AND spark",            # prefix AND scored term
@@ -700,6 +732,15 @@ def test_compound_sort_override(searcher, spark, built_index):
     assert paged == exp[2:12]
     with pytest.raises(UnsupportedQuery):
         searcher.search("spark", k=5, sort="score desc, path")
+    # round-4 advice: explicit 'score asc' must raise, not silently
+    # return the default descending ranking
+    with pytest.raises(UnsupportedQuery):
+        searcher.search("spark", k=5, sort="score asc")
+    # bare 'score' / 'score desc' stay the default ranking
+    base = [r["doc_id"] for r in searcher.search("spark", k=5).collect()]
+    for s in ("score", "score desc"):
+        assert [r["doc_id"] for r in
+                searcher.search("spark", k=5, sort=s).collect()] == base
 
 
 def test_facet_pivot(searcher, oracle):

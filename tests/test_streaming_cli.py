@@ -175,3 +175,16 @@ def test_stateful_sessionization(tmp_path, spark, sf_dir):
     assert len(rows2) == len(combined)          # each session exactly once
     assert combined == exp_all
     assert len(exp_closed) > 20  # the fixture actually exercises sessions
+
+    # round-4 advice: the flush sentinel must NOT pollute the caller's
+    # events dir — batch consumers over src see exactly the input events
+    after = spark.read.parquet(src)
+    assert after.count() == batch.count()
+    assert after.agg(F.min("user_id")).collect()[0][0] >= 0
+    # and a SECOND flush re-derives the same sentinel ts (no stacking)
+    # and emits nothing new
+    q3 = flush_open_sessions(spark, src, str(tmp_path / "sess_ck"),
+                             gap_s=1800, out_dir=out)
+    q3.awaitTermination(180)
+    rows3 = spark.read.parquet(out).collect()
+    assert len(rows3) == len(rows2)

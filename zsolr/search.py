@@ -244,6 +244,13 @@ def _parse_sort(sort: str | None) -> list[tuple[str, bool]]:
         toks = part.split()
         if not toks:
             continue
+        if (toks[0] == "score" and len(toks) > 1
+                and toks[1].lower() == "asc"):
+            # bare "score" / "score desc" = the default ranking; silently
+            # returning descending for an explicit "score asc" would be
+            # wrong (round-4 advice) — refuse loudly instead
+            raise UnsupportedQuery("sort='score asc' is not supported"
+                                   " (score sorts descending)")
         spec.append((toks[0],
                      len(toks) > 1 and toks[1].lower() == "desc"))
     if any(f == "score" for f, _ in spec) and len(spec) > 1:
@@ -308,24 +315,36 @@ def _eval_phrase(node, env):
         anchors = key_arrays[0]
         if not len(anchors):
             return empty
-        FAR = np.int64(1) << np.int64(62)
-        lo_opts, hi_opts = [], []
+        # Sentinel = "no occurrence on this side of the anchor".  Keep it
+        # 2^61 (not 2^62: mixing +FAR and -FAR in one combo would make
+        # mx-mn = 2^63 wrap negative and pass the slop check) AND mask
+        # combo validity explicitly so a combo that picked any sentinel
+        # can never match, independent of key magnitude.
+        FAR = np.int64(1) << np.int64(61)
+        lo_opts, hi_opts, lo_ok, hi_ok = [], [], [], []
         for ka in key_arrays[1:]:
             if not len(ka):
                 return empty
             idx = np.searchsorted(ka, anchors)
             below = ka[np.clip(idx - 1, 0, len(ka) - 1)]
             above = ka[np.clip(idx, 0, len(ka) - 1)]
-            lo_opts.append(np.where(idx > 0, below, -FAR))
-            hi_opts.append(np.where(idx < len(ka), above, FAR))
+            lo_ok.append(idx > 0)
+            hi_ok.append(idx < len(ka))
+            lo_opts.append(np.where(lo_ok[-1], below, -FAR))
+            hi_opts.append(np.where(hi_ok[-1], above, FAR))
         ok = np.zeros(len(anchors), dtype=bool)
         for mask in range(1 << len(lo_opts)):
             mx, mn = anchors, anchors
+            valid = np.ones(len(anchors), dtype=bool)
             for i in range(len(lo_opts)):
-                q = hi_opts[i] if (mask >> i) & 1 else lo_opts[i]
+                if (mask >> i) & 1:
+                    q, v = hi_opts[i], hi_ok[i]
+                else:
+                    q, v = lo_opts[i], lo_ok[i]
                 mx = np.maximum(mx, q)
                 mn = np.minimum(mn, q)
-            ok |= (mx - mn) <= node.slop
+                valid &= v
+            ok |= valid & ((mx - mn) <= node.slop)
         if not ok.any():
             return empty
         locs, pf = np.unique(anchors[ok] >> np.int64(40),

@@ -15,6 +15,8 @@ At scale the drop dir is a Kafka topic or an Iceberg CDC stream; swapping
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import SparkSession
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -86,9 +88,13 @@ def sessionize_stream(spark: SparkSession, events_dir: str,
       no in-gap event can still arrive, so the open session is flushed and
       the state keeps ``(session_no, 0 …)`` to preserve session numbering
       for returning users.  ``flush_open_sessions`` drains the tail after
-      an availableNow run by appending one far-future sentinel event
+      an availableNow run by writing one far-future sentinel event
       (user_id −1, filtered from output) that advances the watermark past
-      every open session.
+      every open session.  The sentinel lives in a SIDE directory
+      (``<checkpoint_dir>_flush``) — never in the caller's ``events_dir``
+      — so batch consumers of the same directory are untouched (round-4
+      advice); the source reads the ``{events,flush}`` glob as ONE file
+      source, keeping the checkpoint valid across the flush restart.
 
     Chunks of a group within a batch carry NO cross-chunk ordering
     guarantee, so the group's chunks are concatenated and sorted ONCE by
@@ -174,9 +180,15 @@ def sessionize_stream(spark: SparkSession, events_dir: str,
             yield pd.DataFrame(closed, columns=cols)
 
     wm = watermark_s if watermark_s is not None else gap_s
-    stream = (spark.readStream.schema(schema)
-              .option("maxFilesPerTrigger", 4).parquet(events_dir)
-              .withWatermark("ts", f"{wm} seconds"))
+    flush_dir = _flush_dir(checkpoint_dir)
+    os.makedirs(flush_dir, exist_ok=True)
+    # Two file sources unioned — ALWAYS both, so the checkpoint's source
+    # topology is identical between the main run and the flush restart.
+    # The flush side-dir keeps sentinels out of the caller's events_dir.
+    ev = (spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 4).parquet(events_dir))
+    fl = spark.readStream.schema(schema).parquet(flush_dir)
+    stream = ev.unionByName(fl).withWatermark("ts", f"{wm} seconds")
     out = (stream.groupBy(F.col("user_id"))
            .applyInPandasWithState(fn, out_schema, state_schema,
                                    "append", GroupStateTimeout.EventTimeTimeout)
@@ -189,15 +201,27 @@ def sessionize_stream(spark: SparkSession, events_dir: str,
     return w.format("memory").queryName("sessions").start()
 
 
+def _flush_dir(checkpoint_dir: str) -> str:
+    """Side directory for flush sentinels — NEVER the caller's events_dir
+    (round-4 advice: appending sentinels there permanently polluted the
+    input for batch consumers, and repeated flushes stacked ever-further-
+    future sentinels because max(ts) included the previous one)."""
+    return checkpoint_dir.rstrip("/") + "_flush"
+
+
 def flush_open_sessions(spark: SparkSession, events_dir: str,
                         checkpoint_dir: str, gap_s: int = 1800,
                         watermark_s: int | None = None,
                         out_dir: str | None = None):
     """Drain every user's final open session after an availableNow run:
-    append ONE sentinel event (user_id −1) far enough in the future that
+    write ONE sentinel event (user_id −1) far enough in the future that
     the watermark passes every ``last + gap_s``, then re-run the stream on
     the same checkpoint — each open session times out and is emitted
-    exactly once.  Returns the started StreamingQuery."""
+    exactly once.  The sentinel goes to the ``_flush_dir`` side directory,
+    leaving ``events_dir`` byte-identical for batch consumers; ``max(ts)``
+    is computed over the REAL events only, so repeated flushes re-derive
+    the same sentinel timestamp instead of stacking further into the
+    future.  Returns the started StreamingQuery."""
     from pyspark.sql import functions as F
 
     wm = watermark_s if watermark_s is not None else gap_s
@@ -212,7 +236,8 @@ def flush_open_sessions(spark: SparkSession, events_dir: str,
         F.lit("flush").alias("event_type"),
         F.lit(0.0).alias("value"),
         F.lit("").alias("props"))
-    sentinel.coalesce(1).write.mode("append").parquet(events_dir)
+    sentinel.coalesce(1).write.mode("append").parquet(
+        _flush_dir(checkpoint_dir))
     return sessionize_stream(spark, events_dir, checkpoint_dir, gap_s,
                              watermark_s, out_dir=out_dir)
 
