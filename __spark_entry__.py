@@ -156,12 +156,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # round-2: PrefixQuery (constant-score term expansion) + clause boosts
     q["prefix_search"] = lambda spark, sf: _match_ids(spark, sf, "st*")
     q["fuzzy_search"] = lambda spark, sf: _match_ids(spark, sf, "sparl~1")
-    q["wildcard_search"] = lambda spark, sf: _match_ids(spark, sf, "*or*")
-    # pure filter-leg OR: evaluated without shipping the norms sidecar
-    q["or_pure_meta"] = lambda spark, sf: _match_ids(
-        spark, sf, "lang:en OR repo:src3")
-    # round-3: general mid-token wildcard (Lucene WildcardQuery, SQL-LIKE
-    # dictionary expansion)
+    # round-3/4: general mid-token wildcard (Lucene WildcardQuery, SQL-LIKE
+    # dictionary expansion).  `wildcard_search` (*or*) and `or_pure_meta`
+    # retired to the pytest ring for the driver's 50-row cap — wildcard_mid
+    # subsumes infix patterns; or_meta_term keeps the meta-inside-OR row.
     q["wildcard_mid"] = lambda spark, sf: _match_ids(spark, sf, "s?a*")
 
     def boosted_or(spark, sf):
@@ -200,10 +198,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "path")
     q["page_sort"] = page_sort
 
+    # round-4: Solr compound sort (Q28) — two keys + doc_id tiebreak,
+    # offset applied after the executor-side cut; rank re-derived over the
+    # returned page so the driver hash verifies ORDER, not just the set
+    def sort_compound(spark, sf):
+        from pyspark.sql import Window
+
+        _cat, s = _index(spark, sf)
+        out = s.search("spark", k=10, start=2, sort="repo desc, path")
+        w = Window.orderBy(F.desc("repo"), F.asc("path"), F.asc("doc_id"))
+        return out.select(F.row_number().over(w).cast("long").alias("rank"),
+                          "doc_id", "repo", "path")
+    q["sort_compound"] = sort_compound
+
     def facet_lang(spark, sf):
         _cat, s = _index(spark, sf)
         return s.facet("spark", "lang")
     q["facet_lang"] = facet_lang
+
+    # round-4: Solr pivot facet (Q27) — one two-key hash agg, map-side
+    # partials (never Solr's recursive per-value sub-queries)
+    def facet_pivot(spark, sf):
+        _cat, s = _index(spark, sf)
+        return s.facet_pivot("spark", "lang", "repo")
+    q["facet_pivot"] = facet_pivot
 
     # round-2 Solr components: suggester, stats.field, range facets,
     # result grouping
@@ -288,8 +306,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _docs(spark, sf))
     q["doc_fingerprint"] = lambda spark, sf: ops.doc_fingerprint(
         _docs(spark, sf).filter(F.col("doc_id") % 20 == 0))
-    q["media_features"] = lambda spark, sf: ops.media_features(
-        _docs(spark, sf))
+    # (media_features stays pytest-covered — its driver row is retired for
+    # the 50-row cap in favor of the round-3/4 query components)
 
     def dedup_emb_cosine(spark, sf):
         """Embedding near-dup pairs over the fixture augmented with scaled
@@ -326,6 +344,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
               emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
         return ops.ann_ivf_topk(emb, qv, k=5, n_cells=8, nprobe=2)
     q["ann_ivf_topk"] = ann_ivf
+
+    # round-4: k-means-TRAINED IVF codebook (D4) — training is a
+    # deterministic function of (data, seed), so the oracle reproduces the
+    # identical codebook offline (same numpy Lloyd core via pyarrow) and
+    # inlines it as literals
+    def ann_ivf_trained(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qv = [float(x) for x in
+              emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]]
+        cents = ops.train_ivf_centroids(emb, n_cells=8, iters=5, seed=7)
+        return ops.ann_ivf_topk(emb, qv, k=5, n_cells=8, nprobe=2,
+                                centroids=cents)
+    q["ann_ivf_trained"] = ann_ivf_trained
 
     # ---- harness breadth (SURVEY §2.4, non-parity).  Round-3: the five
     # TPC-H-style generic-Spark entries (tpch_q1, topk_per_group,
@@ -466,16 +497,38 @@ SELECT row_number() OVER (ORDER BY cos DESC, vec_id)::BIGINT AS rank, vec_id,
 FROM sims ORDER BY cos DESC, vec_id LIMIT {k}"""
 
 
+def _trained_cents(n_cells: int = 8, iters: int = 5, seed: int = 7,
+                   sample: int = 65536):
+    """Offline twin of ops.train_ivf_centroids: the identical id-ordered
+    sample read via pyarrow (no Spark) through the SAME numpy Lloyd core
+    (ops.lloyd_spherical), so the codebook literals inlined into the
+    DuckDB oracle are bit-identical to what the engine trains.  The sf
+    dir comes from ZSOLR_ORACLE_SF_DIR, defaulting to the driver's
+    correctness scale (sf0.01)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    sf = os.environ.get("ZSOLR_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    vid = t.column("vec_id").to_numpy()
+    embs = t.column("embedding").to_pylist()
+    order = np.argsort(vid, kind="stable")[:sample]
+    x = np.asarray([embs[i] for i in order], dtype=np.float64)
+    return ops.lloyd_spherical(x, n_cells, iters, seed)
+
+
 def _ann_ivf_oracle(k: int = 5, n_cells: int = 8, nprobe: int = 2,
-                    dim: int = 64) -> str:
+                    dim: int = 64, cents=None) -> str:
     """DuckDB twin of ops.ann_ivf_topk: centroids inlined as literals;
     cell = 0-based first-index-of-max over the same left-associative dot
     sums (list_position + list_aggregate max ↔ Spark array_position +
     array_max — identical tie rule); probes computed in numpy here since
-    the centroids are seeded constants."""
+    the centroids are seeded (or deterministically trained) constants."""
     import numpy as np
 
-    cents = ops.ivf_centroids(n_cells, dim)
+    if cents is None:
+        cents = ops.ivf_centroids(n_cells, dim)
 
     def dot(col: str, c) -> str:
         return "0.0 + " + " + ".join(
@@ -579,15 +632,8 @@ SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'st%'"""
     o["fuzzy_search"] = f"""{_BASE}
 SELECT DISTINCT doc_id FROM tf WHERE levenshtein(term, 'sparl') <= 1"""
 
-    o["wildcard_search"] = f"""{_BASE}
-SELECT DISTINCT doc_id FROM tf WHERE term LIKE '%or%'"""
-
     o["wildcard_mid"] = f"""{_BASE}
 SELECT DISTINCT doc_id FROM tf WHERE term LIKE 's_a%'"""
-
-    o["or_pure_meta"] = f"""{_BASE}
-SELECT doc_id FROM ids WHERE lang = 'en'
-UNION SELECT doc_id FROM ids WHERE repo = 'src3'"""
 
     o["boosted_or"] = f"""{_BASE},
 scored AS (
@@ -627,10 +673,26 @@ SELECT i.doc_id, i.path
 FROM matches JOIN ids i USING (doc_id)
 ORDER BY i.path, i.doc_id LIMIT 10 OFFSET 5"""
 
+    o["sort_compound"] = f"""{_BASE},
+matches AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark'),
+page AS (
+  SELECT i.doc_id, i.repo, i.path
+  FROM matches JOIN ids i USING (doc_id)
+  ORDER BY i.repo DESC, i.path ASC, i.doc_id LIMIT 10 OFFSET 2)
+SELECT row_number() OVER (ORDER BY repo DESC, path ASC, doc_id)::BIGINT
+         AS rank,
+       doc_id, repo, path
+FROM page"""
+
     o["facet_lang"] = f"""{_BASE},
 matches AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark')
 SELECT i.lang, count(*)::BIGINT AS hits
 FROM matches JOIN ids i USING (doc_id) GROUP BY i.lang"""
+
+    o["facet_pivot"] = f"""{_BASE},
+matches AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark')
+SELECT i.lang AS pivot_a, i.repo AS pivot_b, count(*)::BIGINT AS hits
+FROM matches JOIN ids i USING (doc_id) GROUP BY 1, 2"""
 
     o["suggest_terms"] = f"""{_BASE}
 SELECT term, df FROM tdf WHERE term LIKE 's%'
@@ -811,12 +873,6 @@ SELECT doc_id,
         END)::BIGINT AS fingerprint
 FROM t"""
 
-    o["media_features"] = """
-SELECT doc_id, length(text)::BIGINT AS n_bytes,
-       (length(text) % 512)::BIGINT AS width,
-       ((length(text) // 7) % 512)::BIGINT AS height
-FROM documents"""
-
     o["dedup_embedding_cosine"] = """
 WITH aug AS (
   SELECT vec_id, embedding FROM embeddings
@@ -841,6 +897,8 @@ FROM sims ORDER BY cos DESC, vec_id LIMIT 10"""
     o["ann_lsh_bucketed"] = _ann_lsh_oracle(k=5)
 
     o["ann_ivf_topk"] = _ann_ivf_oracle(k=5, n_cells=8, nprobe=2)
+    o["ann_ivf_trained"] = _ann_ivf_oracle(k=5, n_cells=8, nprobe=2,
+                                           cents=_trained_cents())
 
     o["semi_anti_join"] = """
 SELECT c_custkey, 'semi' AS tag FROM customer

@@ -339,6 +339,20 @@ def test_minhash_guard_default_on(spark):
     assert pairs == {(10000, 10001)}
 
 
+def test_trained_cents_oracle_twin_identical(spark, sf_dir, monkeypatch):
+    """The driver oracle's pyarrow-based offline trainer must reproduce
+    ops.train_ivf_centroids BIT-identically (same id-ordered sample, same
+    shared numpy Lloyd core) — the inlined codebook literals in the
+    ann_ivf_trained DuckDB twin depend on it."""
+    monkeypatch.setenv("ZSOLR_ORACLE_SF_DIR", sf_dir)
+    import __spark_entry__ as entrymod
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = ops.train_ivf_centroids(emb, n_cells=8, iters=5, seed=7)
+    b = entrymod._trained_cents(n_cells=8, iters=5, seed=7)
+    assert np.array_equal(a, b)
+
+
 def test_trained_ivf_improves_recall(spark, sf_dir):
     """k-means-trained IVF codebook (round-2 verdict #10): training is
     deterministic, drops into the unchanged assignment/probe machinery,

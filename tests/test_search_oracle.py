@@ -662,11 +662,15 @@ def test_search_batch_pagination(searcher):
 
 @pytest.mark.parametrize("q", ["spark", "hash AND join", "spark^2 OR join",
                                "lang:en AND spark",
-                               "the^2 OR spark AND NOT slow"])
+                               "the^2 OR spark AND NOT slow",
+                               '"sort merge"',            # phrase leg
+                               '"merge sort"~2',          # sloppy, order-free
+                               '"sort merge"^2 OR spark'])
 def test_explain_sums_to_search_score(searcher, q):
     """debugQuery parity: for each of the top-3 matching docs, the sum of
     explain()'s per-term contributions equals the engine score to 1e-12
-    (same float expression tree)."""
+    (same float expression tree); phrase legs report positional pf
+    (round-3 verdict #6)."""
     top = searcher.search(q, k=3).collect()
     assert top, q
     for r in top:
@@ -674,6 +678,10 @@ def test_explain_sums_to_search_score(searcher, q):
         total = sum(x["contribution"] for x in br)
         assert abs(total - r["score"]) < 1e-12, (q, r["doc_id"])
         assert all(x["tf"] >= 0 and x["df"] >= 0 for x in br)
+        for x in br:
+            if x["term"].startswith('"'):   # phrase row: pf drives score
+                assert x["idf"] > 0
+                assert (x["tf"] > 0) == (x["contribution"] > 0)
 
 
 def test_distributed_candidate_cut(spark, built_index, monkeypatch):
@@ -705,6 +713,49 @@ def test_distributed_candidate_cut(spark, built_index, monkeypatch):
                  s.search_batch(["spark", "hash AND join"], k=10)]
     assert s._last_collect_strategy == "distributed_cut"
     assert got_batch == ref_batch
+
+
+def test_batch_cut_two_level_many_shards(spark, tmp_path, monkeypatch):
+    """Round-3 verdict #5: the batch big-path cut must NOT funnel one
+    query's candidates into a single task.  On a 128-shard index with a
+    forced COLLECT_CAP=0, the two-level salted cut is bit-identical to
+    the driver-merge path and its level-1 groups each hold a small
+    fraction of a query's candidate rows."""
+    import numpy as np
+
+    from zsolr.build import BuildConfig, IndexBuilder
+    from zsolr.catalog import ManifestParquetCatalog
+
+    rng = np.random.default_rng(11)
+    vocab = ["spark", "join", "hash", "scan", "sort", "merge", "window",
+             "stream", "batch", "query"]
+    rows = []
+    for i in range(512):
+        body = " ".join(vocab[j] for j in rng.integers(0, len(vocab), 30))
+        rows.append(("r", f"p{i:04d}", "c", "en", body))
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+              " content string")
+    cat = ManifestParquetCatalog(str(tmp_path / "cut-idx"))
+    IndexBuilder(cat, BuildConfig(n_buckets=4, shard_width=4)).build(
+        spark, "cut", corpus_df=corpus)                    # 128 shards
+    qs = ["spark", "hash AND join", "scan OR sort"]
+    base = Searcher(spark, cat)
+    ref = [[tuple(r) for r in df.collect()]
+           for df in base.search_batch(qs, k=10)]
+    assert base._last_collect_strategy == "driver_merge"
+
+    monkeypatch.setattr(Searcher, "COLLECT_CAP", 0)
+    s = Searcher(spark, cat)
+    s._cut_debug = True
+    got = [[tuple(r) for r in df.collect()] for df in s.search_batch(qs, k=10)]
+    assert got == ref
+    assert s._last_collect_strategy == "distributed_cut"
+    lvl1_max, per_q_max = s._last_cut_stats
+    assert per_q_max > Searcher.CUT_FANIN     # the fixture is non-trivial
+    # no level-1 task holds more than a small slice of one query's rows
+    assert lvl1_max <= -(-per_q_max // Searcher.CUT_FANIN) + 8
+    assert lvl1_max < per_q_max
 
 
 def test_compound_sort_override(searcher, spark, built_index):
@@ -741,6 +792,17 @@ def test_compound_sort_override(searcher, spark, built_index):
     for s in ("score", "score desc"):
         assert [r["doc_id"] for r in
                 searcher.search("spark", k=5, sort=s).collect()] == base
+
+
+def test_highlight_expands_multiterm(searcher):
+    """Round-3 verdict #7: with a searcher supplied, the highlighter
+    rewrites multi-term nodes through the memoized _expand_* lookups —
+    `spar*` wraps `spark` in the fragment; unexpanded it wraps nothing."""
+    content = "we use spark for sorting big tables and joins here"
+    for q in ("spar*", "spork~1", "sp?rk"):
+        snips = Searcher.highlight(content, q, window=3, searcher=searcher)
+        assert any("<em>spark</em>" in s for s in snips), q
+        assert Searcher.highlight(content, q, window=3) == [], q
 
 
 def test_facet_pivot(searcher, oracle):

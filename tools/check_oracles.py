@@ -32,6 +32,9 @@ def norm(v):
 
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # data-dependent oracle literals (ann_ivf_trained's codebook) must be
+    # derived from the SAME sf dir the comparison runs at
+    os.environ["ZSOLR_ORACLE_SF_DIR"] = sf
     only = set(sys.argv[2:])
     spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=16)
     con = duckdb.connect()

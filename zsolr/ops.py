@@ -264,6 +264,15 @@ def train_ivf_centroids(embeddings: DataFrame, n_cells: int = 8,
     rows = (embeddings.select(id_col, vec_col).orderBy(id_col)
             .limit(sample).collect())
     x = np.asarray([r[1] for r in rows], dtype=np.float64)
+    return lloyd_spherical(x, n_cells, iters, seed)
+
+
+def lloyd_spherical(x: np.ndarray, n_cells: int, iters: int,
+                    seed: int) -> np.ndarray:
+    """The numpy Lloyd core shared by :func:`train_ivf_centroids` and the
+    driver oracle's offline twin (which reproduces the identical codebook
+    from the same id-ordered sample read via pyarrow) — one function, so
+    engine and oracle literals cannot drift."""
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     cents = ivf_centroids(n_cells, x.shape[1], seed)
     for _ in range(iters):
