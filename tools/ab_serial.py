@@ -36,17 +36,24 @@ def main():
     r2_dir = sys.argv[1]
     cur_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    log = os.environ.get("AB_LOG", "/tmp/ab_runs.jsonl")
     arms: dict[str, list[dict]] = {"r2": [], "cur": []}
-    for i in range(rounds):
-        for name, d in (("r2", r2_dir), ("cur", cur_dir)):
-            r = run_bench(d)
-            arms[name].append(r)
-            qs = {k: v for k, v in r["queries"].items()
-                  if k.startswith("q")}
-            serial = sum(qs.values())
-            print(f"round {i} {name:3s}: build={r['queries']['build']:.2f}s "
-                  f"serial20={serial:.2f}s p50={r['p50_query_ms']:.0f}ms "
-                  f"p95={r['p95_query_ms']:.0f}ms", flush=True)
+    if rounds:
+        for i in range(rounds):
+            for name, d in (("r2", r2_dir), ("cur", cur_dir)):
+                r = run_bench(d)
+                with open(log, "a") as fh:
+                    fh.write(json.dumps({"arm": name, "r": r}) + "\n")
+                qs = {k: v for k, v in r["queries"].items()
+                      if k.startswith("q")}
+                serial = sum(qs.values())
+                print(f"{name:3s}: build={r['queries']['build']:.2f}s "
+                      f"serial20={serial:.2f}s p50={r['p50_query_ms']:.0f}ms "
+                      f"p95={r['p95_query_ms']:.0f}ms", flush=True)
+    # summarize everything accumulated in the log (rounds=0 → just report)
+    for ln in open(log):
+        rec = json.loads(ln)
+        arms[rec["arm"]].append(rec["r"])
 
     def med(arm, key):
         return statistics.median(key(r) for r in arms[arm])
@@ -57,7 +64,7 @@ def main():
     p95 = lambda r: r["p95_query_ms"]
     p50 = lambda r: r["p50_query_ms"]
     summary = {
-        "rounds": rounds,
+        "rounds": {a: len(v) for a, v in arms.items()},
         "r2": {"build_s": med("r2", build), "serial20_s": med("r2", serial),
                "p50_ms": med("r2", p50), "p95_ms": med("r2", p95)},
         "cur": {"build_s": med("cur", build),
