@@ -782,15 +782,24 @@ SELECT sha256(text) AS text_sha, min(doc_id) AS keeper,
        count(*)::BIGINT AS n_copies
 FROM documents GROUP BY sha256(text)"""
 
+    # universal-hash family (round-4): ONE md5 base per token, then
+    # h_k = (a_k·lo + b_k·hi + c_k) mod 2^61−1 — constants single-sourced
+    # from zsolr.ops so engine and oracle cannot drift
+    _mh_case = " ".join(
+        f"WHEN {k} THEN ({ops._MH_A[k]} * (base & {ops._MH_MASK}) "
+        f"+ {ops._MH_B[k]} * (base >> 28) + {ops._MH_C[k]}) % {ops._MH_P}"
+        for k in range(8))
     o["dedup_minhash_lsh"] = f"""
 WITH sub AS (SELECT doc_id, {_DOC_TOKS} AS ts FROM documents
              WHERE doc_id % 10 = 0),
 tok_set AS (SELECT DISTINCT doc_id, t.term AS term
             FROM sub, unnest(ts) AS t(term)),
+based AS (SELECT doc_id,
+                 ('0x' || substr(md5(term), 1, 15))::BIGINT AS base
+          FROM tok_set),
 hashes AS (
-  SELECT doc_id, k.k,
-         ('0x' || substr(md5(term || '#' || k.k::VARCHAR), 1, 15))::BIGINT AS h
-  FROM tok_set CROSS JOIN (SELECT unnest(range(8)) AS k) k),
+  SELECT doc_id, k.k, (CASE k.k {_mh_case} END)::BIGINT AS h
+  FROM based CROSS JOIN (SELECT unnest(range(8)) AS k) k),
 sig AS (SELECT doc_id, k, min(h) AS mh FROM hashes GROUP BY doc_id, k),
 bands AS (
   SELECT doc_id, (k // 2)::INTEGER AS band,
