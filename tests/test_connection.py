@@ -1,0 +1,142 @@
+"""SolrConnection facade: pysolr call shape (search/fq/fl/facet/hl,
+add/delete lifecycle) over the engine — Solr semantics verified against
+the Searcher directly."""
+
+import pytest
+
+from zsolr.connection import Results, SolrConnection
+from zsolr.search import Searcher, UnsupportedQuery
+
+
+@pytest.fixture(scope="module")
+def conn(spark, built_index, corpus_df):
+    cat, _res = built_index
+    return SolrConnection(spark, cat, corpus_df=corpus_df)
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, built_index):
+    cat, _res = built_index
+    return Searcher(spark, cat)
+
+
+def test_search_results_shape(conn, searcher):
+    res = conn.search("spark", rows=5)
+    assert isinstance(res, Results)
+    exp_df, exp_n = searcher.search("spark", k=5, with_count=True)
+    exp = [r.asDict() for r in exp_df.collect()]
+    assert res.docs == exp
+    assert res.hits == exp_n
+    assert len(res) == 5 and list(res) == res.docs
+
+
+def test_search_rows0_count_only(conn, searcher):
+    res = conn.search("spark", rows=0)
+    assert res.docs == []
+    _df, n = searcher.search("spark", k=1, with_count=True)
+    assert res.hits == n > 0
+
+
+def test_fl_field_list(conn):
+    res = conn.search("spark", rows=3, fl="repo, path")
+    assert all(set(d) == {"repo", "path"} for d in res.docs)
+    with pytest.raises(UnsupportedQuery):
+        conn.search("spark", rows=3, fl="nope")
+
+
+def test_fq_meta_equals_meta_conjunct(conn):
+    """A meta fq is exactly the zero-scored meta conjunct the engine
+    already supports — same docs, same scores, same numFound."""
+    a = conn.search("spark", rows=10, fq="lang:en")
+    b = conn.search("lang:en AND spark", rows=10)
+    assert a.docs == b.docs and a.hits == b.hits
+    assert a.hits < conn.search("spark", rows=0).hits  # fq restricts
+
+
+def test_fq_scored_clause_restricts_without_scoring(conn, searcher):
+    """Solr fq semantics on a CONTENT clause: matches are required but the
+    score stays the main query's.  Every returned doc scores exactly its
+    'spark'-only score (not spark+join), and the doc set is the top-k of
+    the intersection ranked by that score."""
+    res = conn.search("spark", rows=10, fq="join")
+    spark_scores = {r["doc_id"]: r["score"] for r in
+                    searcher.match_scores("spark").collect()}
+    inter = {r["doc_id"] for r in
+             searcher.search("spark AND join", k=None, wand=False).collect()}
+    assert res.hits == len(inter)
+    exp_ids = sorted(inter, key=lambda d: (-spark_scores[d], d))[:10]
+    assert [d["doc_id"] for d in res.docs] == exp_ids
+    for d in res.docs:
+        assert abs(d["score"] - spark_scores[d["doc_id"]]) < 1e-12
+
+
+def test_facet_field_section(conn, searcher):
+    res = conn.search("spark", rows=0, facet_field="lang")
+    exp = {r[0]: r["hits"] for r in searcher.facet("spark", "lang").collect()}
+    assert res.facets == {"facet_fields": {"lang": exp}}
+
+
+def test_highlighting_section(conn):
+    res = conn.search("spark", rows=3, hl=True)
+    assert res.highlighting, "top docs for 'spark' must produce snippets"
+    frags = [s for d in res.highlighting.values() for s in d["content"]]
+    assert any("<em>spark</em>" in s for s in frags)
+    # multi-term rewrite rides through the facade too
+    res2 = conn.search("spar*", rows=3, hl=True)
+    frags2 = [s for d in res2.highlighting.values() for s in d["content"]]
+    assert any("<em>spark</em>" in s for s in frags2)
+
+
+def test_hl_without_corpus_raises(spark, built_index):
+    cat, _res = built_index
+    bare = SolrConnection(spark, cat)
+    with pytest.raises(UnsupportedQuery):
+        bare.search("spark", rows=2, hl=True)
+
+
+def test_add_delete_lifecycle(spark, tmp_path, corpus_df):
+    """E1'/E3 through the facade: delete-by-query tombstones and
+    re-pins the searcher; add() incrementally indexes new docs."""
+    from zsolr.build import BuildConfig, IndexBuilder
+    from zsolr.catalog import ManifestParquetCatalog
+    from pyspark.sql import functions as F
+
+    cat = ManifestParquetCatalog(str(tmp_path / "conn-idx"))
+    IndexBuilder(cat, BuildConfig(n_buckets=4)).build(
+        spark, "cx", corpus_df=corpus_df)
+    conn = SolrConnection(spark, cat)
+    before = conn.search("spark", rows=0).hits
+    assert before > 0
+    conn.delete(q="lang:en AND spark")
+    conn.commit()   # parity no-op
+    after = conn.search("spark", rows=0).hits
+    assert after == conn.search("spark AND NOT lang:en", rows=0).hits
+    assert after < before
+    # delete exactly one id
+    one = conn.search("join", rows=1).docs[0]["doc_id"]
+    n0 = conn.search("join", rows=0).hits
+    conn.delete(id=int(one))
+    assert conn.search("join", rows=0).hits == n0 - 1
+    with pytest.raises(ValueError):
+        conn.delete()
+    # add new docs (fresh repo name → pure inserts)
+    new = corpus_df.limit(3).select(
+        F.lit("newrepo").alias("repo"), "path", "commit", "lang",
+        F.concat(F.col("content"), F.lit(" zzzuniq")).alias("content"))
+    res = conn.add(new)
+    assert res == {"added": 3, "changed": 0, "skipped": 0}
+    hits = conn.search("zzzuniq", rows=5)
+    assert hits.hits == 3
+    assert all(d["repo"] == "newrepo" for d in hits.docs)
+    # upsert semantics: re-adding identical docs is a no-op, absent docs
+    # untouched; changing one doc re-indexes exactly that one
+    n_all = conn.search("[* TO *]", rows=0).hits
+    assert conn.add(new) == {"added": 0, "changed": 0, "skipped": 3}
+    assert conn.search("[* TO *]", rows=0).hits == n_all
+    changed = new.limit(1).select(
+        "repo", "path", "commit", "lang",
+        F.concat(F.col("content"), F.lit(" yyyuniq")).alias("content"))
+    assert conn.add(changed) == {"added": 0, "changed": 1, "skipped": 0}
+    assert conn.search("yyyuniq", rows=0).hits == 1
+    assert conn.search("zzzuniq", rows=0).hits == 3  # changed doc kept it
+    assert conn.search("[* TO *]", rows=0).hits == n_all

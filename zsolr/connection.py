@@ -1,0 +1,192 @@
+"""pysolr-style connection facade (SURVEY.md §2.3 / E2).
+
+zeit.solr callers talk to ``SolrConnection.search(q, rows=, sort=, fl=,
+fq=)`` and get a pysolr ``Results`` object (``.docs`` list-of-dicts,
+``.hits`` numFound) [SURVEY §3.1 E2]; deletes go through
+``SolrConnection.delete(q=... / id=...)``.  This module provides the same
+call shape over the PySpark engine, so a reference user can port
+call-sites verbatim:
+
+* ``search`` → :class:`Results` with ``docs``/``hits``/``facets``/
+  ``highlighting`` — the HTTP hop is replaced by in-cluster jobs;
+* ``fq`` filter queries never contribute score (Solr semantics): meta
+  conjuncts lower to pushed-down doc-store predicates exactly like
+  ``lang:en`` terms, scored clauses are wrapped in a ``Boost(…, 0.0)``
+  (match required, zero score mass; WAND upper bounds stay safe because
+  `_boost_mults` floors multipliers at 1.0);
+* ``add``/``delete``/``commit`` map to the incremental-update and
+  tombstone lifecycle (commits are atomic snapshots — ``commit()`` is a
+  Solr-parity no-op kept so ported code runs unchanged).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import ManifestParquetCatalog
+from .parse import And, Boost, Not, parse
+from .search import Searcher, UnsupportedQuery, _is_meta
+
+
+class Results:
+    """pysolr-compatible result container: iterable of doc dicts with
+    ``hits`` (numFound), plus ``facets`` / ``highlighting`` side sections
+    when requested."""
+
+    def __init__(self, docs: list[dict], hits: int,
+                 facets: dict | None = None,
+                 highlighting: dict | None = None):
+        self.docs = docs
+        self.hits = hits
+        self.facets = facets or {}
+        self.highlighting = highlighting or {}
+
+    def __len__(self):
+        return len(self.docs)
+
+    def __iter__(self):
+        return iter(self.docs)
+
+    def __repr__(self):
+        return f"<Results: {self.hits} hits, {len(self.docs)} docs>"
+
+
+def _fq_conjuncts(fq: str) -> tuple:
+    """Parse one fq into conjuncts that can be ANDed into the main query
+    without adding score: meta equalities stay bare (the planner lowers
+    them to doc-store filters with parquet pushdown), anything scored is
+    zero-boosted."""
+    ast = parse(fq)
+    nodes = list(ast.children) if isinstance(ast, And) else [ast]
+    out = []
+    for n in nodes:
+        if _is_meta(n) or (isinstance(n, Not) and _is_meta(n.child)):
+            out.append(n)
+        else:
+            out.append(Boost(n, 0.0))
+    return tuple(out)
+
+
+class SolrConnection:
+    """Drop-in call shape for zeit.solr's ``SolrConnection`` over the
+    PySpark engine.  ``corpus_df`` (repo, path, content) is only needed
+    for highlighting — the index stores sha256 + metadata, content stays
+    in the source-of-truth corpus table (the Solr stored-fields
+    deployment shape)."""
+
+    def __init__(self, spark: SparkSession,
+                 catalog: ManifestParquetCatalog | str,
+                 cache_size: int = 0,
+                 corpus_df: DataFrame | None = None):
+        self.spark = spark
+        self.cat = (catalog if isinstance(catalog, ManifestParquetCatalog)
+                    else ManifestParquetCatalog(catalog))
+        self.cache_size = cache_size
+        self.corpus_df = corpus_df
+        self._searcher = Searcher(spark, self.cat, cache_size=cache_size)
+
+    # -- E2: search ---------------------------------------------------------
+    def search(self, q, rows: int = 10, start: int = 0,
+               sort: str | None = None, fl: str | None = None,
+               fq: str | list[str] | None = None,
+               facet_field: str | list[str] | None = None,
+               hl: bool = False, hl_snippets: int = 3) -> Results:
+        """Solr ``/select``: returns :class:`Results`.
+
+        ``rows=0`` is the Solr count-only idiom (numFound, no docs).
+        ``fl`` subsets the returned fields (``"repo,path"``); ``score``
+        and ``doc_id`` are always available.  ``fq`` filter queries
+        restrict matches without contributing score."""
+        ast = parse(q) if isinstance(q, str) else q
+        if fq:
+            fqs = [fq] if isinstance(fq, str) else list(fq)
+            extra: tuple = ()
+            for f_ in fqs:
+                extra = extra + _fq_conjuncts(f_)
+            base = tuple(ast.children) if isinstance(ast, And) else (ast,)
+            ast = And(base + extra)
+        k = rows if rows > 0 else 1
+        df, hits = self._searcher.search(ast, k=k, start=start, sort=sort,
+                                         with_count=True)
+        docs = [r.asDict() for r in df.collect()] if rows > 0 else []
+        if fl:
+            want = [c.strip() for c in fl.split(",") if c.strip()]
+            bad = [c for c in want if c not in
+                   ("doc_id", "repo", "path", "commit", "score")]
+            if bad:
+                raise UnsupportedQuery(f"unknown fl fields: {bad}")
+            docs = [{c: d[c] for c in want} for d in docs]
+        facets: dict = {}
+        if facet_field:
+            fields = ([facet_field] if isinstance(facet_field, str)
+                      else list(facet_field))
+            ff = {}
+            for fld in fields:
+                rows_ = self._searcher.facet(ast, fld).collect()
+                ff[fld] = {r[0]: r["hits"] for r in rows_}
+            facets = {"facet_fields": ff}
+        highlighting: dict = {}
+        if hl:
+            if self.corpus_df is None:
+                raise UnsupportedQuery(
+                    "highlighting needs corpus_df (stored content lives in"
+                    " the corpus table, not the index)")
+            ids = [(d["repo"], d["path"]) for d in docs
+                   if "repo" in d and "path" in d]
+            if ids:
+                key = self.spark.createDataFrame(
+                    ids, "repo string, path string")
+                fetched = (self.corpus_df
+                           .join(F.broadcast(key.distinct()),
+                                 ["repo", "path"])
+                           .select("repo", "path", "content").collect())
+                content = {(r["repo"], r["path"]): r["content"]
+                           for r in fetched}
+                for d in docs:
+                    c = content.get((d.get("repo"), d.get("path")))
+                    if c is not None:
+                        highlighting[f"{d['repo']}/{d['path']}"] = {
+                            "content": Searcher.highlight(
+                                c, ast, max_snippets=hl_snippets,
+                                searcher=self._searcher)}
+        return Results(docs, hits, facets, highlighting)
+
+    # -- E1'/E3: update + delete -------------------------------------------
+    def add(self, docs: DataFrame) -> dict:
+        """Solr ``<add>`` upsert of a corpus-shaped DataFrame
+        (repo, path, commit, lang, content) — zeit.solr's
+        ``IUpdater.update`` path; only the given docs are touched
+        (``incremental_add``, not the full-snapshot diff).  Returns
+        {'added', 'changed', 'skipped'} counts."""
+        from .lifecycle import incremental_add
+
+        res = incremental_add(self.spark, self.cat, docs)
+        self._reopen()
+        return res
+
+    def delete(self, q: str | None = None,
+               id: int | list[int] | None = None) -> None:
+        """Solr delete-by-query / delete-by-id (tombstones; stats
+        refreshed so idf/N stay exact)."""
+        from .lifecycle import delete_by_ids, delete_by_query
+
+        if (q is None) == (id is None):
+            raise ValueError("pass exactly one of q= or id=")
+        if q is not None:
+            delete_by_query(self.spark, self.cat, q)
+        else:
+            ids = [id] if isinstance(id, int) else list(id)
+            delete_by_ids(self.spark, self.cat, ids)
+        self._reopen()
+
+    def commit(self) -> None:
+        """Parity no-op: every add/delete already commits an atomic
+        snapshot (Solr needs an explicit commit to open a new searcher;
+        our Searcher re-pins per lifecycle op via ``_reopen``)."""
+
+    def _reopen(self) -> None:
+        """Lifecycle ops change the pinned snapshot — re-open the
+        searcher (Solr's openSearcher analogue)."""
+        self._searcher = Searcher(self.spark, self.cat,
+                                  cache_size=self.cache_size)

@@ -147,6 +147,55 @@ def incremental_update(spark: SparkSession, cat: ManifestParquetCatalog,
     return {"added": n_added, "changed": n_changed, "removed": n_removed}
 
 
+def incremental_add(spark: SparkSession, cat: ManifestParquetCatalog,
+                    delta: DataFrame, cfg: BuildConfig | None = None) -> dict:
+    """Solr ``<add>`` semantics (upsert): index/replace ONLY the given
+    docs — absent docs are untouched (contrast ``incremental_update``,
+    which diffs a FULL snapshot and tombstones whatever is missing).
+    Unchanged-content upserts are skipped (sha equality), changed ones
+    tombstone the old doc_id and re-index.  One left join on the delta's
+    keys — the shuffle is sized by the delta, never the corpus."""
+    cfg_row = cat.read(spark, "index_stats").collect()[0]
+    cfg = cfg or BuildConfig(
+        n_buckets=int(cfg_row["n_buckets"]),
+        block_size=int(cfg_row["block_size"]),
+        codec=int(cfg_row["codec"]),
+        positions=bool(cfg_row.asDict().get("positions", 1)))
+    live = _live(spark, cat, "docs").select(
+        "doc_id", "repo", "path", F.col("content_sha256").alias("old_sha"))
+    new = delta.withColumn("new_sha", F.sha2(F.col("content"), 256))
+    j = (new.join(live, ["repo", "path"], "left_outer")
+         .withColumn(
+             "status",
+             F.when(F.col("old_sha").isNull(), F.lit("added"))
+             .when(F.col("new_sha") != F.col("old_sha"), F.lit("changed"))
+             .otherwise(F.lit("same")))
+         .persist())
+    try:
+        counts = {r["status"]: r["n"] for r in
+                  j.groupBy("status").agg(F.count(F.lit(1)).alias("n"))
+                  .collect()}
+        n_changed = int(counts.get("changed", 0))
+        n_new = int(counts.get("added", 0))
+        if n_changed:
+            _append_tombstones(
+                spark, cat,
+                j.filter(F.col("status") == "changed").select("doc_id"))
+        if n_new + n_changed:
+            upsert_corpus = (
+                j.filter(F.col("status").isin("added", "changed"))
+                .select("repo", "path", "commit", "lang", "content"))
+            offset = cat.read(spark, "docs").agg(
+                F.max("doc_id")).collect()[0][0] + 1
+            _append_partial_index(spark, cat, IndexBuilder(cat, cfg),
+                                  upsert_corpus, int(offset))
+    finally:
+        j.unpersist()
+    _refresh_stats(spark, cat)
+    return {"added": n_new, "changed": n_changed,
+            "skipped": int(counts.get("same", 0))}
+
+
 def _append_partial_index(spark: SparkSession, cat: ManifestParquetCatalog,
                           builder: IndexBuilder, corpus: DataFrame,
                           id_offset: int):
