@@ -99,6 +99,16 @@ def test_spark_submit_pyfiles(tmp_path):
     bt = run("batch", "spark", "hash AND join", "--index", idx, "-k", "2")
     assert len(bt) == 4 and {r["query"] for r in bt} == \
         {"spark", "hash AND join"}
+    # round-4: the pysolr facade through spark-submit — Solr /select shape
+    sel = run("select", "spark", "--index", idx, "--rows", "3",
+              "--fq", "lang:en", "--fl", "repo,path",
+              "--facet-field", "lang")
+    resp = sel[-1]
+    assert resp["responseHeader"]["status"] == 0
+    assert resp["response"]["numFound"] > 0
+    assert len(resp["response"]["docs"]) == 3
+    assert all(set(d) == {"repo", "path"} for d in resp["response"]["docs"])
+    assert set(resp["facet_counts"]["facet_fields"]["lang"]) == {"en"}
 
 
 def test_streaming_windowed_agg(tmp_path, spark, sf_dir):

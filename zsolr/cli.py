@@ -45,6 +45,17 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--no-wand", action="store_true")
     s.add_argument("--count", action="store_true")
 
+    se = sub.add_parser("select", help="Solr /select via the pysolr-style"
+                                       " facade (fq/fl/facet/rows)")
+    se.add_argument("query")
+    se.add_argument("--index", required=True)
+    se.add_argument("--rows", type=int, default=10)
+    se.add_argument("--start", type=int, default=0)
+    se.add_argument("--sort", default=None)
+    se.add_argument("--fl", default=None)
+    se.add_argument("--fq", action="append", default=None)
+    se.add_argument("--facet-field", action="append", default=None)
+
     fc = sub.add_parser("facet", help="field / range facets over a query")
     fc.add_argument("query")
     fc.add_argument("--index", required=True)
@@ -154,6 +165,18 @@ def main(argv: list[str] | None = None) -> int:
                                    wand=not args.no_wand).collect()
         for r in rows:
             print(json.dumps(r.asDict()))
+    elif args.cmd == "select":
+        from zsolr.connection import SolrConnection
+        conn = SolrConnection(spark, cat)
+        res = conn.search(args.query, rows=args.rows, start=args.start,
+                          sort=args.sort, fl=args.fl, fq=args.fq,
+                          facet_field=args.facet_field)
+        out = {"responseHeader": {"status": 0},
+               "response": {"numFound": res.hits, "start": args.start,
+                            "docs": res.docs}}
+        if res.facets:
+            out["facet_counts"] = res.facets
+        print(json.dumps(out))
     elif args.cmd in ("facet", "suggest", "stats", "group", "mlt",
                       "spellcheck", "explain"):
         from zsolr.search import Searcher
