@@ -87,6 +87,25 @@ def test_highlighting_section(conn):
     assert any("<em>spark</em>" in s for s in frags2)
 
 
+def test_cursor_mark_pages_to_exhaustion(conn, searcher):
+    """Solr cursorMark protocol through the facade: iterate until the
+    mark stops changing; concatenated pages equal the full ranking."""
+    rows = searcher.search("spark", k=None, wand=False).collect()
+    full = [r["doc_id"] for r in
+            sorted(rows, key=lambda r: (-r["score"], r["doc_id"]))]
+    mark, seen = "*", []
+    for _ in range(200):
+        res = conn.search("spark", rows=5, cursor_mark=mark)
+        seen += [d["doc_id"] for d in res.docs]
+        assert res.hits == len(full)       # numFound on every page
+        if res.nextCursorMark == mark:
+            break
+        mark = res.nextCursorMark
+    assert seen == full
+    with pytest.raises(UnsupportedQuery):
+        conn.search("spark", rows=5, cursor_mark="*", start=2)
+
+
 def test_hl_without_corpus_raises(spark, built_index):
     cat, _res = built_index
     bare = SolrConnection(spark, cat)

@@ -794,6 +794,51 @@ def test_compound_sort_override(searcher, spark, built_index):
                 searcher.search("spark", k=5, sort=s).collect()] == base
 
 
+@pytest.mark.parametrize("q,wand", [("spark", True), ("spark", False),
+                                    ("hash AND join", True),
+                                    ("spark^2 OR join", True),
+                                    ("lang:en AND spark", True)])
+def test_cursor_paging_matches_full_ranking(searcher, q, wand):
+    """Solr cursorMark (round-4): paging with search_after reproduces the
+    full score-desc/doc_id ranking exactly — no gaps, no overlaps, WAND
+    on == off — and the terminal page is empty with cursor None."""
+    full = [(r["doc_id"], r["score"]) for r in
+            searcher.search(q, k=None, wand=False).collect()]
+    full.sort(key=lambda t: (-t[1], t[0]))
+    # page size sized so the walk is a handful of pages (+1 empty final)
+    k = max(1, -(-len(full) // 4))
+    pages, cur = [], None
+    for _ in range(8):
+        df, cur2 = searcher.search_after(q, k=k, after=cur, wand=wand)
+        rows = [(r["doc_id"], r["score"]) for r in df.collect()]
+        if not rows:
+            assert cur2 is None
+            break
+        pages += rows
+        cur = cur2
+    assert pages == full, (q, wand)
+    # cursor page 2 == offset page 2 (same engine ordering)
+    df1, cur = searcher.search_after(q, k=3)
+    page2 = [tuple(r) for r in searcher.search_after(q, k=3,
+                                                     after=cur)[0].collect()]
+    off2 = [tuple(r) for r in searcher.search(q, k=3, start=3).collect()]
+    assert page2 == off2
+    # numFound on a later page still reports the FULL match set
+    _df, _cur, n = searcher.search_after(q, k=3, after=cur, with_count=True)
+    assert n == len(full)
+
+
+def test_cursor_rejects_sort_and_matchall(searcher):
+    with pytest.raises(UnsupportedQuery):
+        searcher._search_uncached("spark", 5, 2, None, True, False,
+                                  after=(1.0, 0))
+    with pytest.raises(UnsupportedQuery):
+        searcher._search_uncached("spark", 5, 0, "path", True, False,
+                                  after=(1.0, 0))
+    with pytest.raises(UnsupportedQuery):
+        searcher.search_after("[* TO *]", k=5, after=(0.0, 3))
+
+
 def test_highlight_expands_multiterm(searcher):
     """Round-3 verdict #7: with a searcher supplied, the highlighter
     rewrites multi-term nodes through the memoized _expand_* lookups —

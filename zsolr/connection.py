@@ -36,11 +36,13 @@ class Results:
 
     def __init__(self, docs: list[dict], hits: int,
                  facets: dict | None = None,
-                 highlighting: dict | None = None):
+                 highlighting: dict | None = None,
+                 nextCursorMark: str | None = None):
         self.docs = docs
         self.hits = hits
         self.facets = facets or {}
         self.highlighting = highlighting or {}
+        self.nextCursorMark = nextCursorMark
 
     def __len__(self):
         return len(self.docs)
@@ -68,6 +70,24 @@ def _fq_conjuncts(fq: str) -> tuple:
     return tuple(out)
 
 
+def _encode_mark(after: tuple) -> str:
+    import base64
+    import json
+
+    return base64.urlsafe_b64encode(
+        json.dumps(list(after)).encode()).decode()
+
+
+def _decode_mark(mark: str) -> tuple | None:
+    import base64
+    import json
+
+    if mark == "*":
+        return None
+    sc, did = json.loads(base64.urlsafe_b64decode(mark.encode()))
+    return float(sc), int(did)
+
+
 class SolrConnection:
     """Drop-in call shape for zeit.solr's ``SolrConnection`` over the
     PySpark engine.  ``corpus_df`` (repo, path, content) is only needed
@@ -91,13 +111,16 @@ class SolrConnection:
                sort: str | None = None, fl: str | None = None,
                fq: str | list[str] | None = None,
                facet_field: str | list[str] | None = None,
-               hl: bool = False, hl_snippets: int = 3) -> Results:
+               hl: bool = False, hl_snippets: int = 3,
+               cursor_mark: str | None = None) -> Results:
         """Solr ``/select``: returns :class:`Results`.
 
         ``rows=0`` is the Solr count-only idiom (numFound, no docs).
         ``fl`` subsets the returned fields (``"repo,path"``); ``score``
         and ``doc_id`` are always available.  ``fq`` filter queries
-        restrict matches without contributing score."""
+        restrict matches without contributing score.  ``cursor_mark``
+        (``"*"`` to start) pages without the deep-offset cost; iterate
+        until ``nextCursorMark`` stops changing (Solr protocol)."""
         ast = parse(q) if isinstance(q, str) else q
         if fq:
             fqs = [fq] if isinstance(fq, str) else list(fq)
@@ -106,9 +129,19 @@ class SolrConnection:
                 extra = extra + _fq_conjuncts(f_)
             base = tuple(ast.children) if isinstance(ast, And) else (ast,)
             ast = And(base + extra)
-        k = rows if rows > 0 else 1
-        df, hits = self._searcher.search(ast, k=k, start=start, sort=sort,
-                                         with_count=True)
+        next_mark = None
+        if cursor_mark is not None:
+            if start or sort:
+                raise UnsupportedQuery(
+                    "cursorMark requires start=0 and score order")
+            after = _decode_mark(cursor_mark)
+            df, nxt, hits = self._searcher.search_after(
+                ast, k=max(rows, 1), after=after, with_count=True)
+            next_mark = _encode_mark(nxt) if nxt is not None else cursor_mark
+        else:
+            k = rows if rows > 0 else 1
+            df, hits = self._searcher.search(ast, k=k, start=start,
+                                             sort=sort, with_count=True)
         docs = [r.asDict() for r in df.collect()] if rows > 0 else []
         if fl:
             want = [c.strip() for c in fl.split(",") if c.strip()]
@@ -150,7 +183,8 @@ class SolrConnection:
                             "content": Searcher.highlight(
                                 c, ast, max_snippets=hl_snippets,
                                 searcher=self._searcher)}
-        return Results(docs, hits, facets, highlighting)
+        return Results(docs, hits, facets, highlighting,
+                       nextCursorMark=next_mark)
 
     # -- E1'/E3: update + delete -------------------------------------------
     def add(self, docs: DataFrame) -> dict:

@@ -579,7 +579,8 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                        phrase_terms: set | None = None,
                        needs_universe: bool = False,
                        boost_mult: dict | None = None,
-                       k1: float = BM25_K1, b: float = BM25_B):
+                       k1: float = BM25_K1, b: float = BM25_B,
+                       after: tuple | None = None):
     """Build the per-shard kernel (two wire-ups, same body):
 
     * fast path (``cogroup=False``): ``groupBy(shard)`` over posting blocks
@@ -599,6 +600,13 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
     candidate rows ``(doc_id, score)`` (≤ k per shard, or all matches when
     k is None) plus one sentinel row ``(-1, n_matches)`` with the shard's
     hit count.
+
+    ``after``: Solr cursorMark deep paging — ``(score, doc_id)`` of the
+    previous page's last hit; only strictly-after candidates (score
+    lower, or tied with larger doc_id) are emitted, so page N ships
+    ≤ k rows per shard instead of the offset path's start+k.  The
+    sentinel still counts the FULL match set (Solr reports total
+    numFound on every cursor page).
     """
     phrase_terms = phrase_terms or set()
     all_terms = sorted(pos_terms | neg_terms | zero_terms | phrase_terms)
@@ -725,6 +733,10 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                     keep[np.argsort(-ubs[t], kind="stable")[:m]] = True
                     phase1[t] = decode_term(t, rows, keep)
             p_ids, p_sc = _eval_ast(scored_ast, phase1, allowed_ids, env)
+            if after is not None:
+                pm = (p_sc < after[0]) | ((p_sc == after[0])
+                                          & (p_ids > after[1]))
+                p_ids, p_sc = p_ids[pm], p_sc[pm]
             theta = float(np.partition(p_sc, -k)[-k]) if len(p_ids) >= k \
                 else -np.inf
             # phase 2: a block of term t survives unless even its best doc
@@ -744,7 +756,10 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
             ids, sc = _eval_ast(scored_ast, per_term, allowed_ids, env)
 
         n_matches = len(ids)
-        if k is not None and n_matches > k:
+        if after is not None:
+            am = (sc < after[0]) | ((sc == after[0]) & (ids > after[1]))
+            ids, sc = ids[am], sc[am]
+        if k is not None and len(ids) > k:
             if not sort_spec:
                 ids, sc = _topk_cut(ids, sc, k)
             else:  # sort override: cogroup mode only (needs the docs side)
@@ -1221,9 +1236,32 @@ class Searcher:
         return self._search_uncached(q, None, 0, None, False, False,
                                      raw=True)
 
+    def search_after(self, q, k: int = 10, after: tuple | None = None,
+                     wand: bool = True, with_count: bool = False):
+        """Solr cursorMark deep paging: return the next ``k`` hits
+        STRICTLY AFTER ``after`` = (score, doc_id) of the previous page's
+        last hit (``None`` = first page), plus the cursor for the next
+        page.  Unlike ``start=`` offsets — whose executor cut grows as
+        start+k — every page ships ≤ k candidate rows per shard, so page
+        10^6 costs the same as page 1 (the reason Solr added cursorMark).
+        Score order only (Solr requires the uniqueKey tiebreak the engine
+        already applies).  → (df, next_after) or (df, next_after,
+        num_found) with ``with_count``."""
+        res = self._search_uncached(q, k, 0, None, wand, with_count,
+                                    after=after)
+        df, n = res if with_count else (res, None)
+        rows = df.collect()
+        nxt = (float(rows[-1]["score"]), int(rows[-1]["doc_id"])) \
+            if rows else None
+        return (df, nxt, n) if with_count else (df, nxt)
+
     def _search_uncached(self, q, k, start, sort, wand, with_count,
-                         raw: bool = False):
+                         raw: bool = False, after: tuple | None = None):
         plan = plan_query(q)
+        if after is not None and (start or sort is not None):
+            raise UnsupportedQuery(
+                "cursor paging requires start=0 and score order"
+                " (Solr cursorMark semantics)")
         docs_f = self.docs
         if plan.filters:
             docs_f = docs_f.filter(_filter_expr(plan.filters))
@@ -1231,6 +1269,10 @@ class Searcher:
         sort_spec = _parse_sort(sort)
 
         if plan.match_all:
+            if after is not None:
+                raise UnsupportedQuery(
+                    "cursor paging over match-all queries is unsupported"
+                    " (score-order cursor needs a scored query)")
             if plan.exclude_ast is not None:
                 # match-all minus exclusions: anti-join the inner match set
                 inner = self.match_scores(plan.exclude_ast).select("doc_id")
@@ -1320,7 +1362,8 @@ class Searcher:
              and not phrase_terms and not needs_universe),
             eff_spec or None, deleted=self._deleted_np if fast else None,
             cogroup=not fast, phrase_terms=phrase_terms,
-            needs_universe=needs_universe, boost_mult=boost_mult)
+            needs_universe=needs_universe, boost_mult=boost_mult,
+            after=after)
         if fast:
             cand = (postings.groupBy("shard")
                     .applyInPandas(kernel, "doc_id long, score double"))
