@@ -109,6 +109,15 @@ def test_spark_submit_pyfiles(tmp_path):
     assert len(resp["response"]["docs"]) == 3
     assert all(set(d) == {"repo", "path"} for d in resp["response"]["docs"])
     assert set(resp["facet_counts"]["facet_fields"]["lang"]) == {"en"}
+    # cursorMark protocol end-to-end: page 1 then page 2, no overlap
+    p1 = run("select", "spark", "--index", idx, "--rows", "2",
+             "--cursor-mark", "*")[-1]
+    assert p1["nextCursorMark"] != "*"
+    p2 = run("select", "spark", "--index", idx, "--rows", "2",
+             "--cursor-mark", p1["nextCursorMark"])[-1]
+    ids1 = {d["doc_id"] for d in p1["response"]["docs"]}
+    ids2 = {d["doc_id"] for d in p2["response"]["docs"]}
+    assert len(ids1) == 2 and len(ids2) == 2 and not ids1 & ids2
 
 
 def test_streaming_windowed_agg(tmp_path, spark, sf_dir):

@@ -55,6 +55,8 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--fl", default=None)
     se.add_argument("--fq", action="append", default=None)
     se.add_argument("--facet-field", action="append", default=None)
+    se.add_argument("--cursor-mark", default=None,
+                    help="'*' to start; pass nextCursorMark to continue")
 
     fc = sub.add_parser("facet", help="field / range facets over a query")
     fc.add_argument("query")
@@ -170,12 +172,15 @@ def main(argv: list[str] | None = None) -> int:
         conn = SolrConnection(spark, cat)
         res = conn.search(args.query, rows=args.rows, start=args.start,
                           sort=args.sort, fl=args.fl, fq=args.fq,
-                          facet_field=args.facet_field)
+                          facet_field=args.facet_field,
+                          cursor_mark=args.cursor_mark)
         out = {"responseHeader": {"status": 0},
                "response": {"numFound": res.hits, "start": args.start,
                             "docs": res.docs}}
         if res.facets:
             out["facet_counts"] = res.facets
+        if res.nextCursorMark is not None:
+            out["nextCursorMark"] = res.nextCursorMark
         print(json.dumps(out))
     elif args.cmd in ("facet", "suggest", "stats", "group", "mlt",
                       "spellcheck", "explain"):
