@@ -87,6 +87,17 @@ def test_highlighting_section(conn):
     assert any("<em>spark</em>" in s for s in frags2)
 
 
+def test_facet_query_section(conn, searcher):
+    """facet.query through the facade: exact intersected counts for each
+    subquery, alongside facet_fields in one response."""
+    res = conn.search("spark", rows=0, facet_query=["join", "lang:en"],
+                      facet_field="lang")
+    for fq in ("join", "lang:en"):
+        _df, n = searcher.search(f"spark AND ({fq})", k=1, with_count=True)
+        assert res.facets["facet_queries"][fq] == n
+    assert "facet_fields" in res.facets
+
+
 def test_cursor_mark_pages_to_exhaustion(conn, searcher):
     """Solr cursorMark protocol through the facade: iterate until the
     mark stops changing; concatenated pages equal the full ranking."""

@@ -839,6 +839,41 @@ def test_cursor_rejects_sort_and_matchall(searcher):
         searcher.search_after("[* TO *]", k=5, after=(0.0, 3))
 
 
+def test_group_topn_matches_oracle(searcher, oracle):
+    """group.limit=n grouping (round-4): per-group top-n and hit counts
+    equal a brute-force ranking of the full match set; the per-group cut
+    is two-level (no single-task hot-group funnel)."""
+    from zsolr.parse import parse as _parse
+
+    got = {}
+    for r in searcher.group_topn("spark", "lang", n=3).collect():
+        got.setdefault(r["group_val"], {"hits": r["hits"], "top": []})
+        got[r["group_val"]]["top"].append((r["rank"], r["doc_id"],
+                                          round(r["score"], 9)))
+    scored = oracle._eval(_parse("spark"))
+    exp: dict = {}
+    for d, sc in scored.items():
+        exp.setdefault(oracle.meta[d]["lang"], []).append((d, sc))
+    assert set(got) == set(exp)
+    for lang, docs in exp.items():
+        ranked = sorted(docs, key=lambda t: (-t[1], t[0]))[:3]
+        assert got[lang]["hits"] == len(docs)
+        assert sorted(got[lang]["top"]) == [
+            (i + 1, d, round(sc, 9)) for i, (d, sc) in enumerate(ranked)]
+
+
+def test_facet_query_counts(searcher):
+    """facet.query (round-4): one batch wave returns each subquery's
+    exact intersected count == the serial numFound of 'q AND fq'."""
+    fqs = ["join", "lang:en", "hash AND join", "NOT slow"]
+    got = searcher.facet_query("spark", fqs)
+    assert set(got) == set(fqs)
+    for fq in fqs:
+        _df, n = searcher.search(f"spark AND ({fq})", k=1, with_count=True)
+        assert got[fq] == n, fq
+    assert any(n > 0 for n in got.values())
+
+
 def test_highlight_expands_multiterm(searcher):
     """Round-3 verdict #7: with a searcher supplied, the highlighter
     rewrites multi-term nodes through the memoized _expand_* lookups —

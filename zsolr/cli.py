@@ -75,10 +75,12 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--index", required=True)
     st.add_argument("--field", default="doc_len")
 
-    gp = sub.add_parser("group", help="result grouping (top-1 per value)")
+    gp = sub.add_parser("group", help="result grouping (top-n per value)")
     gp.add_argument("query")
     gp.add_argument("--index", required=True)
     gp.add_argument("--field", required=True)
+    gp.add_argument("--limit", type=int, default=1,
+                    help="docs per group (Solr group.limit)")
 
     ml = sub.add_parser("mlt", help="MoreLikeThis: docs similar to one doc")
     ml.add_argument("doc_id", type=int)
@@ -203,6 +205,8 @@ def main(argv: list[str] | None = None) -> int:
                                      max_edits=args.max_edits)
         elif args.cmd == "explain":
             df = searcher.explain(args.query, args.doc_id)
+        elif args.limit > 1:
+            df = searcher.group_topn(args.query, args.field, n=args.limit)
         else:
             df = searcher.group_top1(args.query, args.field)
         for r in df.collect():

@@ -111,6 +111,7 @@ class SolrConnection:
                sort: str | None = None, fl: str | None = None,
                fq: str | list[str] | None = None,
                facet_field: str | list[str] | None = None,
+               facet_query: str | list[str] | None = None,
                hl: bool = False, hl_snippets: int = 3,
                cursor_mark: str | None = None) -> Results:
         """Solr ``/select``: returns :class:`Results`.
@@ -158,7 +159,11 @@ class SolrConnection:
             for fld in fields:
                 rows_ = self._searcher.facet(ast, fld).collect()
                 ff[fld] = {r[0]: r["hits"] for r in rows_}
-            facets = {"facet_fields": ff}
+            facets["facet_fields"] = ff
+        if facet_query:
+            fqs_ = ([facet_query] if isinstance(facet_query, str)
+                    else list(facet_query))
+            facets["facet_queries"] = self._searcher.facet_query(ast, fqs_)
         highlighting: dict = {}
         if hl:
             if self.corpus_df is None:

@@ -1966,6 +1966,51 @@ class Searcher:
                 .select(F.col(field).alias("group_val"), "hits",
                         F.col("b.d").alias("top_doc_id")))
 
+    def group_topn(self, q, field: str, n: int = 3) -> DataFrame:
+        """Solr ``group.limit=n`` grouping: per field value, the top-n
+        docs under (-score, doc_id) plus the group's total hit count.
+        The per-group cut is TWO-LEVEL like the batch big path — level 1
+        windows on (field, doc_id % CUT_FANIN) so a hot group (imagine
+        ``lang=en`` covering half of 10^12 docs) spreads over CUT_FANIN
+        tasks, level 2 ranks the ≤ CUT_FANIN·n survivors per group.  A
+        single window partitioned by a low-cardinality field would
+        funnel whole groups into one task each (the round-2 group_top1
+        lesson).  Group counts ride a separate partial-agg branch (the
+        kernel evaluates twice; persist the match set upstream if that
+        matters).  → (group_val, rank, doc_id, score, hits)."""
+        from pyspark.sql import Window as _W
+
+        scored = self.match_scores(q)
+        j = scored.join(self.docs.select("doc_id", field), "doc_id")
+        okeys = (F.desc("score"), F.asc("doc_id"))
+        w1 = _W.partitionBy(field, "salt").orderBy(*okeys)
+        w2 = _W.partitionBy(field).orderBy(*okeys)
+        top = (j.withColumn("salt",
+                            (F.col("doc_id") % self.CUT_FANIN).cast("int"))
+               .withColumn("rn", F.row_number().over(w1))
+               .filter(F.col("rn") <= n).drop("rn", "salt")
+               .withColumn("rank", F.row_number().over(w2))
+               .filter(F.col("rank") <= n))
+        hits = j.groupBy(field).agg(F.count(F.lit(1)).alias("hits"))
+        return (top.join(hits, field)
+                .select(F.col(field).alias("group_val"),
+                        F.col("rank").cast("long").alias("rank"),
+                        "doc_id", "score", "hits"))
+
+    def facet_query(self, q, facet_queries: list) -> dict:
+        """Solr ``facet.query``: exact hit count of each subquery
+        intersected with the main query — ALL subqueries in one batch
+        kernel wave (the batch kernel decodes fully, so counts are exact
+        and N facet queries cost 2 jobs, not 2N)."""
+        main = parse(q) if isinstance(q, str) else q
+        combined = []
+        for fq in facet_queries:
+            node = parse(fq) if isinstance(fq, str) else fq
+            base = tuple(main.children) if isinstance(main, And) else (main,)
+            combined.append(And(base + (node,)))
+        res = self.search_batch(combined, k=1, with_count=True)
+        return {str(fq): n for fq, (_df, n) in zip(facet_queries, res)}
+
     # -- Solr pivot facets ------------------------------------------------------
     def facet_pivot(self, q, field_a: str, field_b: str) -> DataFrame:
         """Solr pivot facet (``facet.pivot=a,b``): hit counts for every
