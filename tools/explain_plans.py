@@ -157,6 +157,39 @@ def main():
         "once per shard, and evaluates every AST against the shared\n"
         "decode; see BENCH batch_suite_s/batch_speedup.\n"))
 
+    # 9. round-4: batch big-path cut is TWO-LEVEL — level 1 windows on
+    # (qid, salt) so no task receives one query's full candidate set
+    saved_cap = Searcher.COLLECT_CAP
+    Searcher.COLLECT_CAP = 0
+    try:
+        s3 = Searcher(spark, cat)
+        s3._cut_debug = True
+        s3.search_batch(["spark", "hash AND join"], k=5)
+        lvl1, per_q = getattr(s3, "_last_cut_stats", (None, None))
+        strat_ok = s3._last_collect_strategy == "distributed_cut"
+        bound_ok = (lvl1 is not None and per_q is not None
+                    and lvl1 < per_q)
+    finally:
+        Searcher.COLLECT_CAP = saved_cap
+    sections.append((
+        "Batch big-path cut (round-4): two-level, no single-task funnel",
+        [f"{'✅' if strat_ok else '❌'} forced COLLECT_CAP=0 takes the "
+         "distributed cut",
+         f"{'✅' if bound_ok else '❌'} max level-1 task rows {lvl1} < max "
+         f"per-query candidates {per_q} (fan-in {Searcher.CUT_FANIN})"],
+        "Counted via the engine's _cut_debug instrumentation on the audit\n"
+        "index; per-shard count rows pre-aggregate executor-side.\n"))
+
+    # 10. round-4: group_topn level-1 window partitions on (field, salt)
+    gt = s.group_topn("spark", "lang", n=2)
+    gtplan = gt._jdf.queryExecution().executedPlan().toString()
+    salt_ok = "salt" in gtplan and "Window" in gtplan
+    sections.append((
+        "group.limit=n (round-4): salted two-level per-group cut",
+        [f"{'✅' if salt_ok else '❌'} level-1 Window partitioned by "
+         "(field, salt) — hot groups spread over CUT_FANIN tasks"],
+        gtplan[:4000] + "\n"))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# Physical plans — pushdown/pruning/codegen audit\n\n"
