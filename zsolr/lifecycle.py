@@ -153,8 +153,17 @@ def incremental_add(spark: SparkSession, cat: ManifestParquetCatalog,
     docs — absent docs are untouched (contrast ``incremental_update``,
     which diffs a FULL snapshot and tombstones whatever is missing).
     Unchanged-content upserts are skipped (sha equality), changed ones
-    tombstone the old doc_id and re-index.  One left join on the delta's
-    keys — the shuffle is sized by the delta, never the corpus."""
+    tombstone the old doc_id and re-index.  The live docs table is
+    pre-filtered by a BROADCAST semi-join on the delta's keys before the
+    left-outer diff join — a plain left-outer would shuffle the FULL
+    docs table (Spark can only broadcast the right side of a left join,
+    and that's the big one), which at 10^12 docs is the whole corpus
+    moving for a 100-doc upsert.  With the semi-join, the big table is
+    scanned but never shuffled, and the diff join runs between two
+    delta-sized inputs.  Past BROADCAST_DELTA_CAP keys the pre-filter is
+    skipped (a bulk load that size is snapshot territory —
+    ``incremental_update``)."""
+    BROADCAST_DELTA_CAP = 2_000_000
     cfg_row = cat.read(spark, "index_stats").collect()[0]
     cfg = cfg or BuildConfig(
         n_buckets=int(cfg_row["n_buckets"]),
@@ -164,6 +173,9 @@ def incremental_add(spark: SparkSession, cat: ManifestParquetCatalog,
     live = _live(spark, cat, "docs").select(
         "doc_id", "repo", "path", F.col("content_sha256").alias("old_sha"))
     new = delta.withColumn("new_sha", F.sha2(F.col("content"), 256))
+    if new.limit(BROADCAST_DELTA_CAP + 1).count() <= BROADCAST_DELTA_CAP:
+        keys = new.select("repo", "path")
+        live = live.join(F.broadcast(keys), ["repo", "path"], "left_semi")
     j = (new.join(live, ["repo", "path"], "left_outer")
          .withColumn(
              "status",
