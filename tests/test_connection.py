@@ -87,6 +87,17 @@ def test_highlighting_section(conn):
     assert any("<em>spark</em>" in s for s in frags2)
 
 
+def test_spellcheck_section(conn):
+    """SpellCheckComponent through the facade: suggestions only for
+    query terms absent from the index, ranked candidates include the
+    intended word."""
+    res = conn.search("spark OR sprak", rows=2, spellcheck=True)
+    sugg = res.spellcheck["suggestions"]
+    assert "sprak" in sugg and "spark" in sugg["sprak"]
+    assert "spark" not in sugg          # in-index word: no suggestion
+    assert conn.search("spark", rows=1).spellcheck == {}
+
+
 def test_facet_query_section(conn, searcher):
     """facet.query through the facade: exact intersected counts for each
     subquery, alongside facet_fields in one response."""

@@ -339,6 +339,50 @@ def test_minhash_guard_default_on(spark):
     assert pairs == {(10000, 10001)}
 
 
+def test_minhash_family_cross_engine_property(spark):
+    """Hypothesis property: the universal-hash MinHash family computes
+    IDENTICAL values in all three engines that must agree — the Spark
+    codegen expression (_mh_k over _hash60), the DuckDB oracle formula
+    string, and a pure-Python reference — on arbitrary terms.  This is
+    the single most fragile cross-engine contract in the dedup oracle."""
+    import hashlib
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    con = duckdb.connect()
+
+    def py_ref(term: str, k: int) -> int:
+        base = int(hashlib.md5(term.encode()).hexdigest()[:15], 16)
+        return (ops._MH_A[k] * (base & ops._MH_MASK)
+                + ops._MH_B[k] * (base >> 28) + ops._MH_C[k]) % ops._MH_P
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.text(alphabet=st.characters(
+        min_codepoint=33, max_codepoint=0x2FF), min_size=1, max_size=24),
+        min_size=1, max_size=8, unique=True),
+        st.integers(min_value=0, max_value=7))
+    def check(terms, k):
+        exp = {t: py_ref(t, k) for t in terms}
+        sdf = spark.createDataFrame([(t,) for t in terms], "term string")
+        got_spark = {r["term"]: r["h"] for r in sdf.select(
+            "term",
+            ops._mh_k(ops._hash60(F.col("term")), k).alias("h")).collect()}
+        assert got_spark == exp
+        ph = (f"({ops._MH_A[k]} * (base & {ops._MH_MASK}) "
+              f"+ {ops._MH_B[k]} * (base >> 28) + {ops._MH_C[k]})"
+              f" % {ops._MH_P}")
+        got_duck = dict(con.execute(
+            "SELECT term, " + ph + " FROM (SELECT term,"
+            " ('0x' || substr(md5(term), 1, 15))::BIGINT AS base"
+            " FROM (SELECT unnest(?) AS term))", [terms]).fetchall())
+        assert got_duck == exp
+
+    check()
+
+
 def test_trained_cents_oracle_twin_identical(spark, sf_dir, monkeypatch):
     """The driver oracle's pyarrow-based offline trainer must reproduce
     ops.train_ivf_centroids BIT-identically (same id-ordered sample, same

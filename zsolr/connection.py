@@ -113,6 +113,7 @@ class SolrConnection:
                facet_field: str | list[str] | None = None,
                facet_query: str | list[str] | None = None,
                hl: bool = False, hl_snippets: int = 3,
+               spellcheck: bool = False,
                cursor_mark: str | None = None) -> Results:
         """Solr ``/select``: returns :class:`Results`.
 
@@ -188,8 +189,24 @@ class SolrConnection:
                             "content": Searcher.highlight(
                                 c, ast, max_snippets=hl_snippets,
                                 searcher=self._searcher)}
-        return Results(docs, hits, facets, highlighting,
-                       nextCursorMark=next_mark)
+        sc_out: dict = {}
+        if spellcheck:
+            # Solr SpellCheckComponent: suggestions for each query term
+            # absent from the index (df == 0), ranked df-desc
+            from .search import _collect_terms
+
+            terms: list[str] = []
+            _collect_terms(ast, terms)
+            words = [w for w in dict.fromkeys(terms) if "=" not in w]
+            self._searcher._idf_map(words)
+            for w in words:
+                if self._searcher._df_cache.get(w, 0) == 0:
+                    cands = self._searcher.spellcheck(w, n=5).collect()
+                    sc_out[w] = [r["term"] for r in cands]
+        res = Results(docs, hits, facets, highlighting,
+                      nextCursorMark=next_mark)
+        res.spellcheck = {"suggestions": sc_out} if spellcheck else {}
+        return res
 
     # -- E1'/E3: update + delete -------------------------------------------
     def add(self, docs: DataFrame) -> dict:
