@@ -339,6 +339,52 @@ def test_minhash_guard_default_on(spark):
     assert pairs == {(10000, 10001)}
 
 
+def _union_find(pairs):
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_dedup_components_vs_union_find(spark):
+    """Connected-components clustering == a Python union-find oracle on a
+    planted graph mixing cliques, a LONG PATH (exercises multi-round
+    propagation), bridges, and isolated pairs."""
+    pairs = ([(0, 1), (1, 2), (0, 2)]                 # clique
+             + [(i, i + 1) for i in range(10, 22)]    # 13-node path
+             + [(30, 31), (31, 40), (40, 41)]         # bridged pairs
+             + [(100, 200)])                          # isolated pair
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["canonical"]
+           for r in ops.dedup_components(df).collect()}
+    assert got == _union_find(pairs)
+    assert got[21] == 10 and got[41] == 30 and got[200] == 100
+
+
+def test_dedup_components_on_minhash_pairs(spark, docs_df):
+    """End-to-end pipeline: MinHash-LSH candidate pairs → components;
+    canonical labels equal union-find over the same pairs, and every
+    cluster's keeper is its min doc_id."""
+    sub = docs_df.filter("doc_id % 10 = 0")
+    pairs_df = ops.minhash_lsh_pairs(sub)
+    pairs = [(r["doc_a"], r["doc_b"]) for r in pairs_df.collect()]
+    assert pairs, "fixture sanity: near-dups exist"
+    got = {r["doc_id"]: r["canonical"]
+           for r in ops.dedup_components(pairs_df).collect()}
+    assert got == _union_find(pairs)
+    assert all(got[c] == c for c in set(got.values()))  # keepers canonical
+
+
 def test_minhash_family_cross_engine_property(spark):
     """Hypothesis property: the universal-hash MinHash family computes
     IDENTICAL values in all three engines that must agree — the Spark

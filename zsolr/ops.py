@@ -153,6 +153,47 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
             .distinct())
 
 
+def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Near-dup CLUSTERING — the step after candidate pairs in a real
+    training-data dedup pipeline: connected components over the pair
+    graph, labeling every member with its component's MINIMUM doc id
+    (the canonical keeper; `keep = doc_id == canonical`).
+
+    Distributed min-label propagation: each round every node adopts the
+    minimum label in its closed neighborhood (one shuffle on node id —
+    the Hash-to-Min shape; converges in O(diameter) rounds, and LSH dup
+    clusters are near-cliques so diameter is tiny).  Each round
+    ``localCheckpoint``s the labels, cutting the lineage that iterative
+    DataFrame algorithms otherwise grow without bound, and convergence
+    is an exact changed-row count.  → (doc_id, canonical) for every doc
+    appearing in ``pairs``."""
+    e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = (e.unionByName(e.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst"))).distinct()
+             .persist())
+    labels = (edges.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")).localCheckpoint())
+    for _ in range(max_iter):
+        nbr_min = (edges.join(labels.withColumnRenamed("node", "dst"),
+                              "dst")
+                   .groupBy("src").agg(F.min("label").alias("nl"))
+                   .withColumnRenamed("src", "node"))
+        new_labels = (labels.join(nbr_min, "node", "left_outer")
+                      .select("node",
+                              F.least("label", F.coalesce("nl", "label"))
+                              .alias("label"))
+                      .localCheckpoint())
+        changed = (new_labels.withColumnRenamed("label", "nl2")
+                   .join(labels, "node")
+                   .filter(F.col("nl2") != F.col("label")).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("label").alias("canonical"))
+
+
 def ngram_jaccard_adjacent(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id") -> DataFrame:
     """Token-set Jaccard between consecutive doc ids — the verifier pass a
