@@ -87,6 +87,21 @@ def test_highlighting_section(conn):
     assert any("<em>spark</em>" in s for s in frags2)
 
 
+def test_cursor_with_fq_composes(conn):
+    """cursorMark + fq in one request: cursor pages walk the fq-filtered
+    ranking exactly."""
+    full = []
+    mark = "*"
+    for _ in range(100):
+        res = conn.search("spark", rows=4, fq="lang:en", cursor_mark=mark)
+        full += [d["doc_id"] for d in res.docs]
+        if res.nextCursorMark == mark:
+            break
+        mark = res.nextCursorMark
+    exp = conn.search("lang:en AND spark", rows=10**6)
+    assert full == [d["doc_id"] for d in exp.docs]
+
+
 def test_spellcheck_section(conn):
     """SpellCheckComponent through the facade: suggestions only for
     query terms absent from the index, ranked candidates include the

@@ -17,8 +17,12 @@ Module map (SURVEY.md §7):
   catalog  — manifest-parquet catalog with atomic snapshot commit (Iceberg stand-in)
   query    — zeit.solr-style query-string builders (§2.3)
   parse    — Lucene-subset query parser → AST (Q1)
-  search   — BM25 top-k query engine (Q2-Q10)
-  lifecycle— delete / incremental update (I9-I10)
+  search   — BM25 top-k query engine (Q2-Q34)
+  connection — pysolr-style SolrConnection facade (search/fq/fl/facets/
+             cursorMark/spellcheck/highlighting, add-upsert, delete)
+  lifecycle— delete / incremental update + <add> upsert (I9-I10)
+  streaming— Structured Streaming updater + stateful sessionization
+  ops      — training-data ops (dedup/ANN/lang-id/quality/clustering)
 """
 
 __version__ = "0.1.0"
