@@ -123,6 +123,9 @@ def main():
                     emb, qv, k=10).count(),
                 "sessionize_events": lambda: zops.sessionize_events(
                     spark.read.parquet(f"{sf_dir}/events.parquet")).count(),
+                "dedup_components": lambda: zops.dedup_components(
+                    zops.minhash_lsh_pairs(
+                        docs.filter("doc_id % 10 = 0"))).count(),
             }
             for name, fn in ops_runs.items():
                 t0 = time.time()
