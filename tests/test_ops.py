@@ -385,6 +385,21 @@ def test_dedup_components_on_minhash_pairs(spark, docs_df):
     assert all(got[c] == c for c in set(got.values()))  # keepers canonical
 
 
+def test_dedup_keep_drops_only_non_canonical(spark, docs_df):
+    """docs → pairs → components → keep: survivors are exactly the
+    union-find keepers plus every unpaired doc."""
+    sub = docs_df.filter("doc_id % 10 = 0")
+    pairs_df = ops.minhash_lsh_pairs(sub)
+    uf = _union_find([(r["doc_a"], r["doc_b"])
+                      for r in pairs_df.collect()])
+    all_ids = {r["doc_id"] for r in sub.select("doc_id").collect()}
+    exp = (all_ids - set(uf)) | {x for x, root in uf.items() if x == root}
+    kept = {r["doc_id"] for r in
+            ops.dedup_keep(sub, pairs_df).select("doc_id").collect()}
+    assert kept == exp
+    assert len(kept) < len(all_ids)   # fixture actually deduplicates
+
+
 def test_minhash_family_cross_engine_property(spark):
     """Hypothesis property: the universal-hash MinHash family computes
     IDENTICAL values in all three engines that must agree — the Spark

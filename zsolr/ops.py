@@ -194,6 +194,20 @@ def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                          F.col("label").alias("canonical"))
 
 
+def dedup_keep(docs: DataFrame, pairs: DataFrame,
+               id_col: str = "doc_id") -> DataFrame:
+    """The last stage of the dedup pipeline: drop every non-canonical
+    member of a near-dup cluster, keeping each component's min-id doc
+    (and every doc that appears in no pair).  One left-anti join against
+    the components' non-keepers — the join's right side is #dup-docs
+    rows, tiny relative to the corpus."""
+    drop = (dedup_components(pairs)
+            .filter(F.col("doc_id") != F.col("canonical"))
+            .select("doc_id"))
+    return docs.join(drop.withColumnRenamed("doc_id", id_col),
+                     id_col, "left_anti")
+
+
 def ngram_jaccard_adjacent(docs: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id") -> DataFrame:
     """Token-set Jaccard between consecutive doc ids — the verifier pass a
