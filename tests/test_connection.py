@@ -74,6 +74,14 @@ def test_facet_field_section(conn, searcher):
     res = conn.search("spark", rows=0, facet_field="lang")
     exp = {r[0]: r["hits"] for r in searcher.facet("spark", "lang").collect()}
     assert res.facets == {"facet_fields": {"lang": exp}}
+    # Solr facet.sort=count ordering + facet.limit truncation
+    got = res.facets["facet_fields"]["lang"]
+    counts = list(got.values())
+    assert counts == sorted(counts, reverse=True)
+    lim = conn.search("spark", rows=0, facet_field="lang", facet_limit=2)
+    top2 = lim.facets["facet_fields"]["lang"]
+    assert len(top2) == 2
+    assert list(top2.items()) == list(got.items())[:2]
 
 
 def test_highlighting_section(conn):

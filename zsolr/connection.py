@@ -112,6 +112,7 @@ class SolrConnection:
                fq: str | list[str] | None = None,
                facet_field: str | list[str] | None = None,
                facet_query: str | list[str] | None = None,
+               facet_limit: int = 100,
                hl: bool = False, hl_snippets: int = 3,
                spellcheck: bool = False,
                cursor_mark: str | None = None) -> Results:
@@ -159,7 +160,11 @@ class SolrConnection:
             ff = {}
             for fld in fields:
                 rows_ = self._searcher.facet(ast, fld).collect()
-                ff[fld] = {r[0]: r["hits"] for r in rows_}
+                # Solr facet.sort=count default: count desc, value asc
+                # tiebreak, truncated at facet.limit (dict preserves the
+                # order for callers iterating the section)
+                ranked = sorted(rows_, key=lambda r: (-r["hits"], r[0]))
+                ff[fld] = {r[0]: r["hits"] for r in ranked[:facet_limit]}
             facets["facet_fields"] = ff
         if facet_query:
             fqs_ = ([facet_query] if isinstance(facet_query, str)
