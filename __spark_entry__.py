@@ -53,10 +53,20 @@ def _docs(spark, sf_dir):
 # --------------------------------------------------------------- entry -----
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: end-to-end BM25 search ('hash AND join', k=10) over the
-    sf0.001 corpus through the full inverted-index engine."""
-    _cat, searcher = _index(spark, "/root/testdata/sf0.001")
-    return searcher.search("hash AND join", k=10)
+    """Flagship: end-to-end BM25 search ('hash AND join', rows=10) over
+    the sf0.001 corpus through the zeit.solr call shape — the
+    ``SolrConnection`` facade over the full inverted-index engine
+    (round-4 verdict #8), returning the (doc_id, repo, path, commit,
+    score) rows a pysolr caller would read off ``Results.docs``."""
+    from zsolr.connection import SolrConnection
+
+    cat, _searcher = _index(spark, "/root/testdata/sf0.001")
+    res = SolrConnection(spark, cat).search("hash AND join", rows=10)
+    return spark.createDataFrame(
+        [(d["doc_id"], d["repo"], d["path"], d["commit"], d["score"])
+         for d in res.docs],
+        "doc_id long, repo string, path string, commit string,"
+        " score double")
 
 
 # -------------------------------------------------------------- queries ----
@@ -211,6 +221,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           "doc_id", "repo", "path")
     q["sort_compound"] = sort_compound
 
+    # round-5: Solr cursorMark (Q32) — page 2 of the ranking via the
+    # strictly-after kernel filter; the oracle is the rank window rows
+    # k+1..2k, so the cut logic (not just page 1) is hash-verified
+    def search_after_page2(spark, sf):
+        from pyspark.sql import Window
+
+        _cat, s = _index(spark, sf)
+        _df1, cur = s.search_after("stream OR batch", k=10)
+        df2, _cur2 = s.search_after("stream OR batch", k=10, after=cur)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return df2.select(F.row_number().over(w).cast("long").alias("rank"),
+                          "doc_id")
+    q["search_after"] = search_after_page2
+
+    # round-5: group.limit=n (Q33) — per-group top-n + hit counts in one
+    # kernel pass (score column dropped: rank encodes the order and the
+    # driver hash compares float-exact otherwise)
+    def group_topn_lang(spark, sf):
+        _cat, s = _index(spark, sf)
+        return s.group_topn("spark", "lang", n=3).select(
+            "group_val", "rank", "doc_id", "hits")
+    q["group_topn"] = group_topn_lang
+
     def facet_lang(spark, sf):
         _cat, s = _index(spark, sf)
         return s.facet("spark", "lang")
@@ -291,14 +324,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- training-data ops (dedup / similarity / text / multimodal) ----
     q["dedup_exact"] = lambda spark, sf: ops.dedup_exact(_docs(spark, sf))
+    # max_bucket=None EXPLICITLY (round-4 advice): the engine's default
+    # skew guard (4096) has no oracle-side twin — at a scale where a band
+    # bucket exceeded the cap the two sides would diverge by design, so
+    # the driver row pins the exact variant on both sides
     q["dedup_minhash_lsh"] = lambda spark, sf: ops.minhash_lsh_pairs(
-        _docs(spark, sf).filter(F.col("doc_id") % 10 == 0))
+        _docs(spark, sf).filter(F.col("doc_id") % 10 == 0),
+        max_bucket=None)
     q["ngram_jaccard"] = lambda spark, sf: ops.ngram_jaccard_adjacent(
         _docs(spark, sf))
-    q["simhash"] = lambda spark, sf: ops.simhash32(
-        _docs(spark, sf).filter(F.col("doc_id") % 20 == 0))
-    # (lang_id_heuristic stays pytest-covered; its driver row is retired
-    # for the 50-row cap — lang_id_ngram is the §2 D2 operator)
+    # (simhash + events_windowed retired to the pytest ring round-5 for
+    # the driver's 50-row cap, making room for search_after/group_topn —
+    # the two newest cut paths; lang_id_heuristic likewise round-3)
     q["lang_id_ngram"] = lambda spark, sf: ops.lang_id_ngram(
         _docs(spark, sf).filter(F.col("doc_id") % 5 == 0))
     q["quality_score"] = lambda spark, sf: ops.quality_score(_docs(spark, sf))
@@ -403,16 +440,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         e = spark.read.parquet(f"{sf}/events.parquet")
         return ops.sessionize_events(e, gap_s=1800)
     q["sessionize_events"] = sessionize
-
-    def events_windowed(spark, sf):
-        e = spark.read.parquet(f"{sf}/events.parquet")
-        # hour bucketing via pure epoch arithmetic — independent of the
-        # session time zone (the driver's session TZ is not ours to set)
-        hour = (F.floor(F.unix_timestamp(F.col("ts")) / 3600) * 3600)
-        return (e.groupBy(hour.cast("long").alias("hour_s"), "event_type")
-                .agg(F.count(F.lit(1)).alias("n"),
-                     F.sum(F.floor(F.col("value") * 1000)).alias("sum_value_milli")))
-    q["events_windowed"] = events_windowed
 
     return q
 
@@ -684,6 +711,36 @@ SELECT row_number() OVER (ORDER BY repo DESC, path ASC, doc_id)::BIGINT
        doc_id, repo, path
 FROM page"""
 
+    # round-5: cursorMark page 2 = rows k+1..2k of the full ranking (the
+    # cursor itself is data-dependent; the RESULT is pure SQL)
+    o["search_after"] = f"""{_BASE},
+scored AS (
+  SELECT tf.doc_id, sum({_SCORE}) AS score
+  FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats st
+  WHERE tf.term IN ('stream', 'batch')
+  GROUP BY tf.doc_id),
+ranked AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rn
+  FROM scored)
+SELECT (rn - 10)::BIGINT AS rank, doc_id
+FROM ranked WHERE rn BETWEEN 11 AND 20"""
+
+    # round-5: group.limit=n — per-group rank + hit counts over the full
+    # match set
+    o["group_topn"] = f"""{_BASE},
+scored AS (
+  SELECT tf.doc_id, {_SCORE} AS score
+  FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats st
+  WHERE tf.term = 'spark'),
+ranked AS (
+  SELECT i.lang, s.doc_id,
+         row_number() OVER (PARTITION BY i.lang
+                            ORDER BY s.score DESC, s.doc_id) AS rn,
+         count(*) OVER (PARTITION BY i.lang) AS hits
+  FROM scored s JOIN ids i USING (doc_id))
+SELECT lang AS group_val, rn::BIGINT AS rank, doc_id, hits::BIGINT AS hits
+FROM ranked WHERE rn <= 3"""
+
     o["facet_lang"] = f"""{_BASE},
 matches AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark')
 SELECT i.lang, count(*)::BIGINT AS hits
@@ -821,21 +878,6 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              / len(list_distinct(a.ts || b.ts)), 6) AS jaccard
 FROM toksets a JOIN toksets b ON b.doc_id = a.doc_id + 1"""
 
-    o["simhash"] = f"""
-WITH sub AS (SELECT doc_id, {_DOC_TOKS} AS ts FROM documents
-             WHERE doc_id % 20 = 0),
-tok_set AS (SELECT DISTINCT doc_id, t.term AS term
-            FROM sub, unnest(ts) AS t(term)),
-th AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 8))::BIGINT AS h
-       FROM tok_set),
-bits AS (
-  SELECT doc_id, j.j, sum(((h >> j.j) & 1) * 2 - 1) AS s
-  FROM th CROSS JOIN (SELECT unnest(range(32)) AS j) j
-  GROUP BY doc_id, j.j)
-SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
-FROM bits GROUP BY doc_id"""
-
     def _tri_hits(lang: str) -> str:
         lits = ", ".join(
             "'" + g.replace("'", "''") + "'" for g in ops.LANG_TRIGRAMS[lang])
@@ -939,12 +981,6 @@ sess AS (
 SELECT user_id, session_no::BIGINT AS session_no, count(*)::BIGINT AS n_events,
        min(t) AS start_s, max(t) AS end_s
 FROM sess GROUP BY user_id, session_no"""
-
-    o["events_windowed"] = """
-SELECT (floor(epoch(ts) / 3600) * 3600)::BIGINT AS hour_s, event_type,
-       count(*)::BIGINT AS n,
-       sum(floor(value * 1000))::BIGINT AS sum_value_milli
-FROM events GROUP BY 1, 2"""
 
     # round 2: every queries() entry has a DuckDB twin (zero rows-only
     # checks); BM25 *scores* are additionally verified to atol 1e-9 against

@@ -84,6 +84,26 @@ def test_facet_field_section(conn, searcher):
     assert list(top2.items()) == list(got.items())[:2]
 
 
+def test_facet_limit_runs_in_engine(conn, searcher):
+    """facet.sort=count + facet.limit execute INSIDE the engine as a
+    TakeOrdered (round-4 verdict #1): faceting on a corpus-cardinality
+    field (path — one distinct value per doc) collects exactly
+    facet_limit rows ranked (hits desc, value asc), never the full value
+    histogram; the facade consumes that ordering without re-sorting."""
+    lim = searcher.facet("spark", "path", limit=7).collect()
+    assert len(lim) == 7
+    full = searcher.facet("spark", "path").collect()
+    assert len(full) > 7          # the field really is high-cardinality
+    exp = [(r[0], r["hits"])
+           for r in sorted(full, key=lambda r: (-r["hits"], r[0]))[:7]]
+    assert [(r[0], r["hits"]) for r in lim] == exp
+    res = conn.search("spark", rows=0, facet_field="path", facet_limit=7)
+    assert list(res.facets["facet_fields"]["path"].items()) == exp
+    # facet.sort=index variant orders by value
+    idx = searcher.facet("spark", "path", limit=5, sort="index").collect()
+    assert [r[0] for r in idx] == sorted(r[0] for r in full)[:5]
+
+
 def test_highlighting_section(conn):
     res = conn.search("spark", rows=3, hl=True)
     assert res.highlighting, "top docs for 'spark' must produce snippets"
@@ -151,6 +171,25 @@ def test_cursor_mark_pages_to_exhaustion(conn, searcher):
         conn.search("spark", rows=5, cursor_mark="*", start=2)
 
 
+def test_cursor_mark_with_field_sort(conn, searcher):
+    """Round-4 verdict #5 through the facade: cursorMark composes with a
+    sort override — the mark round-trips (sort values…, doc_id) and the
+    walk equals the offset path's full field-sorted ranking."""
+    exp = [r["doc_id"] for r in
+           searcher.search("hash AND join", k=10**6,
+                           sort="doc_len desc").collect()]
+    mark, seen = "*", []
+    for _ in range(50):
+        res = conn.search("hash AND join", rows=50, sort="doc_len desc",
+                          cursor_mark=mark)
+        seen += [d["doc_id"] for d in res.docs]
+        assert res.hits == len(exp)
+        if res.nextCursorMark == mark:
+            break
+        mark = res.nextCursorMark
+    assert seen == exp
+
+
 def test_hl_without_corpus_raises(spark, built_index):
     cat, _res = built_index
     bare = SolrConnection(spark, cat)
@@ -204,3 +243,27 @@ def test_add_delete_lifecycle(spark, tmp_path, corpus_df):
     assert conn.search("yyyuniq", rows=0).hits == 1
     assert conn.search("zzzuniq", rows=0).hits == 3  # changed doc kept it
     assert conn.search("[* TO *]", rows=0).hits == n_all
+
+
+def test_add_to_empty_index(spark, tmp_path):
+    """Round-4 advice: the FIRST add() to an index built over an empty
+    corpus must start doc ids at 0 (max(doc_id) is NULL → coalesced to
+    -1), not crash with NoneType + 1."""
+    from zsolr.build import BuildConfig, IndexBuilder
+    from zsolr.catalog import ManifestParquetCatalog
+
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string,"
+            " content string")
+    cat = ManifestParquetCatalog(str(tmp_path / "empty-idx"))
+    IndexBuilder(cat, BuildConfig(n_buckets=4)).build(
+        spark, "empty", corpus_df=empty)
+    conn = SolrConnection(spark, cat)
+    assert conn.search("spark", rows=0).hits == 0
+    delta = spark.createDataFrame(
+        [("r0", "a.txt", "c" * 40, "en", "spark join hash")],
+        "repo string, path string, commit string, lang string,"
+        " content string")
+    assert conn.add(delta) == {"added": 1, "changed": 0, "skipped": 0}
+    hit = conn.search("spark", rows=5)
+    assert hit.hits == 1 and hit.docs[0]["doc_id"] == 0

@@ -371,6 +371,20 @@ def test_dedup_components_vs_union_find(spark):
     assert got[21] == 10 and got[41] == 30 and got[200] == 100
 
 
+def test_dedup_components_log_diameter_convergence(spark):
+    """Round-4 advice: pointer doubling makes convergence O(log d) — a
+    48-node path (diameter 47, far past pure min-propagation's reach in
+    8 rounds) converges with max_iter=8, and a genuinely-too-low
+    max_iter raises instead of silently mislabeling."""
+    pairs = [(i, i + 1) for i in range(100, 147)]
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["canonical"]
+           for r in ops.dedup_components(df, max_iter=8).collect()}
+    assert got == {i: 100 for i in range(100, 148)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        ops.dedup_components(df, max_iter=2).collect()
+
+
 def test_dedup_components_on_minhash_pairs(spark, docs_df):
     """End-to-end pipeline: MinHash-LSH candidate pairs → components;
     canonical labels equal union-find over the same pairs, and every

@@ -828,15 +828,48 @@ def test_cursor_paging_matches_full_ranking(searcher, q, wand):
     assert n == len(full)
 
 
-def test_cursor_rejects_sort_and_matchall(searcher):
-    with pytest.raises(UnsupportedQuery):
+def test_cursor_rejects_start_matchall_and_bad_arity(searcher):
+    with pytest.raises(UnsupportedQuery):          # offsets can't mix in
         searcher._search_uncached("spark", 5, 2, None, True, False,
                                   after=(1.0, 0))
-    with pytest.raises(UnsupportedQuery):
-        searcher._search_uncached("spark", 5, 0, "path", True, False,
-                                  after=(1.0, 0))
+    with pytest.raises(UnsupportedQuery):          # (v, doc_id) vs 2 keys
+        searcher._search_uncached("spark", 5, 0, "repo desc, path", True,
+                                  False, after=(1.0, 0))
     with pytest.raises(UnsupportedQuery):
         searcher.search_after("[* TO *]", k=5, after=(0.0, 3))
+
+
+@pytest.mark.parametrize("sort", ["doc_len desc", "repo desc, path"])
+def test_cursor_paging_field_sort(searcher, sort):
+    """Round-4 verdict #5: cursorMark over a field-sort override — the
+    cursor tuple is (sort values…, doc_id), the kernel's strictly-after
+    filter runs over the sort's own lexicographic order (ties included:
+    doc_len collides heavily), and the page walk equals the offset path
+    with no gaps or overlaps.  Every page ships ≤ k rows per shard by
+    construction (the kernel cut applies after the cursor filter)."""
+    q, k = "hash AND join", 60
+    pages, cur = [], None
+    for _ in range(20):
+        df, cur2 = searcher.search_after(q, k=k, after=cur, sort=sort)
+        rows = [tuple(r) for r in df.collect()]
+        if not rows:
+            assert cur2 is None
+            break
+        pages.append(rows)
+        cur = cur2
+    else:
+        raise AssertionError("cursor walk did not terminate")
+    walked = [r for p in pages for r in p]
+    assert all(len(p) == k for p in pages[:-1])    # full pages until the end
+    off, i = [], 0
+    while True:
+        rows = [tuple(r) for r in
+                searcher.search(q, k=k, start=i * k, sort=sort).collect()]
+        if not rows:
+            break
+        off += rows
+        i += 1
+    assert walked == off
 
 
 def test_group_topn_matches_oracle(searcher, oracle):
@@ -860,6 +893,16 @@ def test_group_topn_matches_oracle(searcher, oracle):
         assert got[lang]["hits"] == len(docs)
         assert sorted(got[lang]["top"]) == [
             (i + 1, d, round(sc, 9)) for i, (d, sc) in enumerate(ranked)]
+
+
+def test_group_topn_single_kernel_pass(searcher):
+    """Round-4 verdict #3: group hit counts ride the top-n cut's own
+    lineage — the physical plan evaluates the search kernel ONCE (one
+    FlatMapGroupsInPandas), not once per branch as the old
+    top-join-counts shape did."""
+    df = searcher.group_topn("spark", "lang", n=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
 
 
 def test_facet_query_counts(searcher):
@@ -937,6 +980,23 @@ def test_spellcheck_component(searcher, spark, built_index):
                  key=lambda cd: (-cd[1], cd[0]))[:5]
     assert out == exp
     assert "spark" in [t for t, _ in out]   # the intended term surfaces
+
+
+def test_spellcheck_batch_one_job(searcher, spark):
+    """Round-4 verdict #6: N misspelled words cost ONE dictionary scan
+    (one Spark job), with suggestions identical to the per-word path."""
+    words = ["sparl", "joim", "windoq"]
+    serial = {w: [(r["term"], r["df"])
+                  for r in searcher.spellcheck(w).collect()] for w in words}
+    sc = spark.sparkContext
+    sc.setJobGroup("zsolr-sc-batch", "batched spellcheck")
+    try:
+        batch = searcher.spellcheck_batch(words, n=5)
+        jobs = sc.statusTracker().getJobIdsForGroup("zsolr-sc-batch")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert len(jobs) == 1, jobs
+    assert batch == serial
     # distance-1 restriction: only the closest corrections remain
     near = [(r["term"], r["df"])
             for r in searcher.spellcheck("sparl", max_edits=1).collect()]

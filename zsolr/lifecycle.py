@@ -137,7 +137,8 @@ def incremental_update(spark: SparkSession, cat: ManifestParquetCatalog,
                 j.filter(F.col("status").isin("added", "changed"))
                 .select("repo", "path", "commit", "lang", "content"))
             offset = cat.read(spark, "docs").agg(
-                F.max("doc_id")).collect()[0][0] + 1
+                F.coalesce(F.max("doc_id"), F.lit(-1))
+            ).collect()[0][0] + 1
             builder = IndexBuilder(cat, cfg)
             _append_partial_index(spark, cat, builder, added_corpus,
                                   int(offset))
@@ -197,8 +198,12 @@ def incremental_add(spark: SparkSession, cat: ManifestParquetCatalog,
             upsert_corpus = (
                 j.filter(F.col("status").isin("added", "changed"))
                 .select("repo", "path", "commit", "lang", "content"))
+            # coalesce → -1: an index built over an EMPTY corpus receiving
+            # its first add() has max(doc_id) NULL (round-4 advice) —
+            # first docs start at 0
             offset = cat.read(spark, "docs").agg(
-                F.max("doc_id")).collect()[0][0] + 1
+                F.coalesce(F.max("doc_id"), F.lit(-1))
+            ).collect()[0][0] + 1
             _append_partial_index(spark, cat, IndexBuilder(cat, cfg),
                                   upsert_corpus, int(offset))
     finally:

@@ -159,37 +159,58 @@ def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     graph, labeling every member with its component's MINIMUM doc id
     (the canonical keeper; `keep = doc_id == canonical`).
 
-    Distributed min-label propagation: each round every node adopts the
-    minimum label in its closed neighborhood (one shuffle on node id —
-    the Hash-to-Min shape; converges in O(diameter) rounds, and LSH dup
-    clusters are near-cliques so diameter is tiny).  Each round
-    ``localCheckpoint``s the labels, cutting the lineage that iterative
-    DataFrame algorithms otherwise grow without bound, and convergence
-    is an exact changed-row count.  → (doc_id, canonical) for every doc
-    appearing in ``pairs``."""
+    Distributed min-label propagation WITH pointer doubling: each round
+    every node adopts the minimum label in its closed neighborhood (one
+    shuffle on node id — the Hash-to-Min shape), then shortcuts to its
+    label's label (``label(label(n))`` — the large-star/small-star
+    doubling step), so a path of length d converges in O(log d) rounds
+    instead of O(d) — round-4 advice: LSH chaining can build long paths,
+    and pure min-propagation silently mislabeled any component whose
+    diameter exceeded max_iter.  Each round ``localCheckpoint``s the
+    labels, cutting the lineage that iterative DataFrame algorithms
+    otherwise grow without bound; the changed flag rides the SAME
+    lineage (no convergence join) and is counted only every second
+    round, halving the per-iteration job count (round-4 verdict #7).
+    Raises ``RuntimeError`` if max_iter rounds end without convergence
+    — wrong canonical labels must never pass silently.
+    → (doc_id, canonical) for every doc appearing in ``pairs``."""
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     edges = (e.unionByName(e.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst"))).distinct()
              .persist())
     labels = (edges.select(F.col("src").alias("node")).distinct()
               .withColumn("label", F.col("node")).localCheckpoint())
-    for _ in range(max_iter):
+    converged = False
+    for it in range(max_iter):
         nbr_min = (edges.join(labels.withColumnRenamed("node", "dst"),
                               "dst")
                    .groupBy("src").agg(F.min("label").alias("nl"))
                    .withColumnRenamed("src", "node"))
-        new_labels = (labels.join(nbr_min, "node", "left_outer")
-                      .select("node",
-                              F.least("label", F.coalesce("nl", "label"))
-                              .alias("label"))
+        stepped = (labels.join(nbr_min, "node", "left_outer")
+                   .select("node", F.col("label").alias("old"),
+                           F.least("label", F.coalesce("nl", "label"))
+                           .alias("lbl")))
+        # pointer doubling: chase one hop through the label "pointer"
+        # (label values are node ids, so self-join label -> node); min()
+        # keeps the move monotone, and at the fixpoint the chase is the
+        # identity so convergence detection is unaffected
+        ptr = stepped.select(F.col("node").alias("lbl"),
+                             F.col("lbl").alias("ll"))
+        new_lbl = F.least("lbl", F.coalesce("ll", "lbl"))
+        new_labels = (stepped.join(ptr, "lbl", "left_outer")
+                      .select("node", new_lbl.alias("label"),
+                              (new_lbl != F.col("old")).alias("chg"))
                       .localCheckpoint())
-        changed = (new_labels.withColumnRenamed("label", "nl2")
-                   .join(labels, "node")
-                   .filter(F.col("nl2") != F.col("label")).count())
-        labels = new_labels
-        if changed == 0:
-            break
+        labels = new_labels.select("node", "label")
+        if it % 2 == 1 or it == max_iter - 1:
+            if new_labels.filter("chg").limit(1).count() == 0:
+                converged = True
+                break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iter} rounds"
+            " — raise max_iter (component diameter > 2^rounds)")
     return labels.select(F.col("node").alias("doc_id"),
                          F.col("label").alias("canonical"))
 

@@ -580,7 +580,8 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                        needs_universe: bool = False,
                        boost_mult: dict | None = None,
                        k1: float = BM25_K1, b: float = BM25_B,
-                       after: tuple | None = None):
+                       after: tuple | None = None,
+                       block_acc: tuple | None = None):
     """Build the per-shard kernel (two wire-ups, same body):
 
     * fast path (``cogroup=False``): ``groupBy(shard)`` over posting blocks
@@ -733,7 +734,7 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                     keep[np.argsort(-ubs[t], kind="stable")[:m]] = True
                     phase1[t] = decode_term(t, rows, keep)
             p_ids, p_sc = _eval_ast(scored_ast, phase1, allowed_ids, env)
-            if after is not None:
+            if after is not None and not sort_spec:
                 pm = (p_sc < after[0]) | ((p_sc == after[0])
                                           & (p_ids > after[1]))
                 p_ids, p_sc = p_ids[pm], p_sc[pm]
@@ -748,6 +749,13 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                     continue
                 rows = by_term[t]
                 keep = (ubs[t] + (total_all - max_ub.get(t, 0.0))) >= theta
+                if block_acc is not None:
+                    # WAND effectiveness telemetry (round-4 verdict #4):
+                    # candidate blocks vs blocks that survive the θ bound
+                    # — phase-1 seed decodes (≤ m per term) excluded, as
+                    # block-max skip rates are conventionally reported
+                    block_acc[0].add(int(len(keep)))
+                    block_acc[1].add(int(keep.sum()))
                 per_term[t] = decode_term(t, rows, keep)
 
         if scored_ast is None:
@@ -757,8 +765,24 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
 
         n_matches = len(ids)
         if after is not None:
-            am = (sc < after[0]) | ((sc == after[0]) & (ids > after[1]))
-            ids, sc = ids[am], sc[am]
+            if sort_spec:
+                # field-sort cursor (round-4 verdict #5): after =
+                # (sort values…, doc_id); keep docs strictly LATER in
+                # the (sort keys…, doc_id asc) lexicographic order —
+                # same ≤k-rows-per-shard property as the score cursor
+                dind = docs.set_index("doc_id")
+                tie = np.ones(len(ids), dtype=bool)
+                aft = np.zeros(len(ids), dtype=bool)
+                for i, (f, dsc) in enumerate(sort_spec):
+                    v = dind[f].loc[ids].to_numpy()
+                    later = (v < after[i]) if dsc else (v > after[i])
+                    aft |= tie & later
+                    tie &= v == after[i]
+                aft |= tie & (ids > after[-1])
+                ids, sc = ids[aft], sc[aft]
+            else:
+                am = (sc < after[0]) | ((sc == after[0]) & (ids > after[1]))
+                ids, sc = ids[am], sc[am]
         if k is not None and len(ids) > k:
             if not sort_spec:
                 ids, sc = _topk_cut(ids, sc, k)
@@ -1228,6 +1252,16 @@ class Searcher:
     _OUT_SCHEMA = ("doc_id long, repo string, path string, commit string,"
                    " score double")
 
+    def enable_wand_stats(self) -> tuple:
+        """Attach two Spark accumulators counting WAND phase-2 candidate
+        blocks vs blocks actually decoded (per prunable term, summed
+        across shards).  Block skip rate = 1 − decoded/candidates.
+        Telemetry only — results are unaffected (WAND == exhaustive is
+        the Q8 gate).  Returns the (candidates, decoded) accumulators."""
+        sc = self.spark.sparkContext
+        self._wand_acc = (sc.accumulator(0), sc.accumulator(0))
+        return self._wand_acc
+
     def match_scores(self, q) -> DataFrame:
         """Unsorted full match set ``(doc_id, score)`` — the bulk-consumer
         entry (facets / stats / grouping / delete-by-query).  Skips the
@@ -1237,31 +1271,51 @@ class Searcher:
                                      raw=True)
 
     def search_after(self, q, k: int = 10, after: tuple | None = None,
-                     wand: bool = True, with_count: bool = False):
+                     wand: bool = True, with_count: bool = False,
+                     sort: str | None = None):
         """Solr cursorMark deep paging: return the next ``k`` hits
-        STRICTLY AFTER ``after`` = (score, doc_id) of the previous page's
-        last hit (``None`` = first page), plus the cursor for the next
-        page.  Unlike ``start=`` offsets — whose executor cut grows as
+        STRICTLY AFTER ``after`` — the previous page's last-hit cursor
+        (``None`` = first page) — plus the cursor for the next page.
+        Unlike ``start=`` offsets — whose executor cut grows as
         start+k — every page ships ≤ k candidate rows per shard, so page
         10^6 costs the same as page 1 (the reason Solr added cursorMark).
-        Score order only (Solr requires the uniqueKey tiebreak the engine
-        already applies).  → (df, next_after) or (df, next_after,
-        num_found) with ``with_count``."""
-        res = self._search_uncached(q, k, 0, None, wand, with_count,
-                                    after=after)
+
+        ``sort`` (round-4 verdict #5): Solr supports cursors over ANY
+        stable sort, and deep field-sorted export is the classic
+        reindex-consumer pattern — with a field sort the cursor tuple is
+        ``(sort field values…, doc_id)`` and the kernel's strictly-after
+        filter runs over the same lexicographic order the sort uses; the
+        doc_id tiebreak the engine always appends is Solr's required
+        uniqueKey tiebreak.  Default (or ``sort='score'``) pages the
+        ranking order with cursor ``(score, doc_id)``.
+        → (df, next_after) or (df, next_after, num_found) with
+        ``with_count``."""
+        spec = _parse_sort(sort)
+        eff = [] if (not spec or spec[0][0] == "score") else spec
+        res = self._search_uncached(q, k, 0, sort if eff else None, wand,
+                                    with_count, after=after,
+                                    keep_sort_cols=bool(eff))
         df, n = res if with_count else (res, None)
         rows = df.collect()
-        nxt = (float(rows[-1]["score"]), int(rows[-1]["doc_id"])) \
-            if rows else None
+        if not rows:
+            nxt = None
+        elif eff:
+            last = rows[-1]
+            nxt = tuple(last[f] for f, _d in eff) + (int(last["doc_id"]),)
+        else:
+            nxt = (float(rows[-1]["score"]), int(rows[-1]["doc_id"]))
+        if eff:
+            df = df.select("doc_id", "repo", "path", "commit", "score")
         return (df, nxt, n) if with_count else (df, nxt)
 
     def _search_uncached(self, q, k, start, sort, wand, with_count,
-                         raw: bool = False, after: tuple | None = None):
+                         raw: bool = False, after: tuple | None = None,
+                         keep_sort_cols: bool = False):
         plan = plan_query(q)
-        if after is not None and (start or sort is not None):
+        if after is not None and start:
             raise UnsupportedQuery(
-                "cursor paging requires start=0 and score order"
-                " (Solr cursorMark semantics)")
+                "cursor paging requires start=0 (Solr cursorMark"
+                " semantics)")
         docs_f = self.docs
         if plan.filters:
             docs_f = docs_f.filter(_filter_expr(plan.filters))
@@ -1285,6 +1339,11 @@ class Searcher:
         eff_spec = [] if (not sort_spec
                           or sort_spec[0][0] == "score") else sort_spec
         eff_sort = eff_spec[0][0] if eff_spec else None
+        if after is not None and eff_spec \
+                and len(after) != len(eff_spec) + 1:
+            raise UnsupportedQuery(
+                "cursor arity must match the sort spec"
+                " (sort values… + doc_id)")
 
         # ---- path selection ------------------------------------------------
         # fast path: only the query terms' postings move (norms decode from
@@ -1363,7 +1422,7 @@ class Searcher:
             eff_spec or None, deleted=self._deleted_np if fast else None,
             cogroup=not fast, phrase_terms=phrase_terms,
             needs_universe=needs_universe, boost_mult=boost_mult,
-            after=after)
+            after=after, block_acc=getattr(self, "_wand_acc", None))
         if fast:
             cand = (postings.groupBy("shard")
                     .applyInPandas(kernel, "doc_id long, score double"))
@@ -1383,6 +1442,12 @@ class Searcher:
                  if f not in ("repo", "path", "commit", "doc_id")]
         out_schema = ("doc_id long, repo string, path string, commit string,"
                       " score double")
+        if keep_sort_cols and extra:
+            # cursor paging over a field sort (search_after) reads the
+            # last row's sort values to build the next cursor — carry
+            # the sort columns through the output schema
+            dtypes = dict(self.docs.dtypes)
+            out_schema += "".join(f", {f} {dtypes[f]}" for f in extra)
 
         if k is not None:
             # Q9, bounded: per-shard candidates are ≤ fetch rows each —
@@ -1413,8 +1478,9 @@ class Searcher:
                     fetched = [r.asDict() for r in sel.collect()][start:]
                     if with_count:
                         cand.unpersist()
-                    out = [(r["doc_id"], r["repo"], r["path"], r["commit"],
-                            r["score"]) for r in fetched]
+                    cols = ["doc_id", "repo", "path", "commit", "score"] \
+                        + (extra if keep_sort_cols else [])
+                    out = [tuple(r[c] for c in cols) for r in fetched]
                     df = self.spark.createDataFrame(out, out_schema) if out \
                         else self.spark.createDataFrame([], out_schema)
                     return (df, num_found) if with_count else df
@@ -1468,8 +1534,10 @@ class Searcher:
             else:
                 fetched.sort(
                     key=lambda r: (-score_by_id[r["doc_id"]], r["doc_id"]))
+            tail = extra if keep_sort_cols else []
             out = [(r["doc_id"], r["repo"], r["path"], r["commit"],
-                    score_by_id[r["doc_id"]]) for r in fetched]
+                    score_by_id[r["doc_id"]], *[r[c] for c in tail])
+                   for r in fetched]
             df = self.spark.createDataFrame(out, out_schema)
             return (df, num_found) if with_count else df
 
@@ -1901,25 +1969,62 @@ class Searcher:
         return out.filter(F.col("doc_id") != doc_id).limit(k)
 
     # -- Solr spellcheck component ---------------------------------------------
+    def spellcheck_batch(self, words: list[str], n: int = 5,
+                         max_edits: int = 2) -> dict:
+        """Correction candidates for EVERY word in ONE dictionary scan
+        (round-4 verdict #6: the facade previously paid one Spark job per
+        misspelled word — a query with 5 typos cost 5 jobs).  The scan
+        filters term_stats on the OR of the words' length-band+Levenshtein
+        predicates (all executor-side, never a driver-side dictionary
+        pull) and emits one membership flag per word, so the driver
+        collects only the union of the words' edit neighborhoods — the
+        same candidate volume N serial scans would ship, in one job.
+        Candidates rank df-descending then lexicographic, the word itself
+        excluded (Solr SpellCheckComponent).
+        → {word: [(term, df), …]} with ≤ n entries per word."""
+        from .analyze import tokenize_py
+
+        toks = []
+        for w in words:
+            t = tokenize_py(w)
+            if len(t) != 1:
+                raise ValueError(f"spellcheck takes single words, got {w!r}")
+            toks.append(t[0])
+        if not toks:
+            return {}
+        conds = [
+            F.length("term").between(len(t) - max_edits, len(t) + max_edits)
+            & (F.levenshtein(F.col("term"), F.lit(t)) <= max_edits)
+            for t in toks]
+        any_c = conds[0]
+        for c in conds[1:]:
+            any_c = any_c | c
+        rows = (self._term_stats
+                .filter(~F.col("term").contains("=")
+                        & ~F.col("term").startswith("\x00"))
+                .filter(any_c)
+                .select("term", "df",
+                        *[c.alias(f"m{i}") for i, c in enumerate(conds)])
+                .collect())
+        out: dict = {}
+        for i, (w, t) in enumerate(zip(words, toks)):
+            cands = sorted(((r["term"], int(r["df"])) for r in rows
+                            if r[f"m{i}"] and r["term"] != t),
+                           key=lambda cd: (-cd[1], cd[0]))
+            out[w] = cands[:n]
+        return out
+
     def spellcheck(self, word: str, n: int = 5,
                    max_edits: int = 2) -> DataFrame:
         """Solr SpellCheckComponent: correction candidates for a (possibly
         zero-hit) word — index terms within ``max_edits`` Levenshtein
         distance, the word itself excluded, ranked df-descending (more
         frequent ≈ more likely intended) then lexicographic.
-        → (term, df) rows, driver-tiny."""
-        from .analyze import tokenize_py
-
-        toks = tokenize_py(word)
-        if len(toks) != 1:
-            raise ValueError(f"spellcheck takes one word, got {word!r}")
-        t = toks[0]
-        cands = [c for c in self._expand_fuzzy(t, max_edits, cap=4096)
-                 if c != t]
-        self._idf_map(cands)          # populates df for every candidate
-        ranked = sorted(((c, self._df_cache[c]) for c in cands),
-                        key=lambda cd: (-cd[1], cd[0]))[:n]
-        return self.spark.createDataFrame(ranked or [], "term string, df long")
+        → (term, df) rows, driver-tiny.  Delegates to the one-scan
+        ``spellcheck_batch`` kernel."""
+        ranked = self.spellcheck_batch([word], n=n, max_edits=max_edits)
+        return self.spark.createDataFrame(
+            next(iter(ranked.values())) or [], "term string, df long")
 
     # -- Solr stats component --------------------------------------------------
     def stats(self, q, field: str = "doc_len") -> DataFrame:
@@ -1975,24 +2080,39 @@ class Searcher:
         tasks, level 2 ranks the ≤ CUT_FANIN·n survivors per group.  A
         single window partitioned by a low-cardinality field would
         funnel whole groups into one task each (the round-2 group_top1
-        lesson).  Group counts ride a separate partial-agg branch (the
-        kernel evaluates twice; persist the match set upstream if that
-        matters).  → (group_val, rank, doc_id, score, hits)."""
+        lesson).
+
+        SINGLE kernel pass (round-4 verdict): group hit counts ride the
+        SAME lineage as the top-n cut instead of a second
+        ``match_scores`` branch — each level-1 salt partition counts its
+        rows in the w1 shuffle (``count over (field, salt)``, same
+        partitioning as the rank window → no extra exchange), the rn=1
+        survivor carries that count through the level-2 cut, and level 2
+        sums the per-salt counts over the group (again sharing w2's
+        shuffle).  The search kernel therefore evaluates ONCE (the plan
+        contains one FlatMapGroupsInPandas — asserted in tests), halving
+        query cost vs the old two-branch shape.
+        → (group_val, rank, doc_id, score, hits)."""
         from pyspark.sql import Window as _W
 
         scored = self.match_scores(q)
         j = scored.join(self.docs.select("doc_id", field), "doc_id")
         okeys = (F.desc("score"), F.asc("doc_id"))
         w1 = _W.partitionBy(field, "salt").orderBy(*okeys)
+        w1c = _W.partitionBy(field, "salt")          # full-frame count
         w2 = _W.partitionBy(field).orderBy(*okeys)
-        top = (j.withColumn("salt",
-                            (F.col("doc_id") % self.CUT_FANIN).cast("int"))
-               .withColumn("rn", F.row_number().over(w1))
-               .filter(F.col("rn") <= n).drop("rn", "salt")
-               .withColumn("rank", F.row_number().over(w2))
-               .filter(F.col("rank") <= n))
-        hits = j.groupBy(field).agg(F.count(F.lit(1)).alias("hits"))
-        return (top.join(hits, field)
+        w2s = _W.partitionBy(field)
+        return (j.withColumn("salt",
+                             (F.col("doc_id") % self.CUT_FANIN).cast("int"))
+                .withColumn("rn", F.row_number().over(w1))
+                .withColumn("salt_cnt", F.count(F.lit(1)).over(w1c))
+                .filter(F.col("rn") <= n)
+                .withColumn("rank", F.row_number().over(w2))
+                .withColumn("hits",
+                            F.sum(F.when(F.col("rn") == 1,
+                                         F.col("salt_cnt"))
+                                  .otherwise(F.lit(0))).over(w2s))
+                .filter(F.col("rank") <= n)
                 .select(F.col(field).alias("group_val"),
                         F.col("rank").cast("long").alias("rank"),
                         "doc_id", "score", "hits"))
@@ -2036,14 +2156,36 @@ class Searcher:
         return docs_f.join(matches, "doc_id")
 
     # -- Q11 facets -----------------------------------------------------------
-    def facet(self, q, field: str) -> DataFrame:
-        """Per-field value → hit count over the full match set."""
+    def facet(self, q, field: str, limit: int | None = None,
+              sort: str = "count") -> DataFrame:
+        """Per-field value → hit count over the full match set.
+
+        ``limit``/``sort`` are Solr's ``facet.limit``/``facet.sort``
+        PUSHED INTO THE ENGINE (round-4 verdict #1): with a limit the
+        plan ends in ``orderBy(hits desc, value asc).limit(n)`` — a
+        TakeOrdered whose driver-side result is O(limit) rows however
+        many distinct values the field has.  Collecting the full value
+        histogram to sort client-side would ship millions of rows for a
+        corpus-cardinality field (``repo`` at 10^9+ docs) — exactly the
+        unbounded driver collect the design bans.  ``sort='count'`` is
+        Solr's default (count desc, value asc tiebreak); ``'index'``
+        orders by value.  ``limit=None`` returns the full histogram
+        unordered (the aggregation output, for oracle comparison)."""
         plan = plan_query(q)
         docs_f = self.docs
         if plan.filters:
             docs_f = docs_f.filter(_filter_expr(plan.filters))
         if plan.match_all:
-            return docs_f.groupBy(field).agg(F.count(F.lit(1)).alias("hits"))
-        matches = self.match_scores(q).select("doc_id")
-        return (docs_f.join(matches, "doc_id")
-                .groupBy(field).agg(F.count(F.lit(1)).alias("hits")))
+            out = docs_f.groupBy(field).agg(F.count(F.lit(1)).alias("hits"))
+        else:
+            matches = self.match_scores(q).select("doc_id")
+            out = (docs_f.join(matches, "doc_id")
+                   .groupBy(field).agg(F.count(F.lit(1)).alias("hits")))
+        if limit is not None:
+            if sort == "count":
+                out = out.orderBy(F.desc("hits"), F.asc(field)).limit(limit)
+            elif sort == "index":
+                out = out.orderBy(F.asc(field)).limit(limit)
+            else:
+                raise UnsupportedQuery(f"facet.sort={sort!r} (count|index)")
+        return out
