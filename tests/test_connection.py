@@ -104,6 +104,24 @@ def test_facet_limit_runs_in_engine(conn, searcher):
     assert [r[0] for r in idx] == sorted(r[0] for r in full)[:5]
 
 
+def test_facet_multi_field_shares_match_set(conn, searcher):
+    """Round-5: N facet fields cost ONE kernel evaluation (facet_fields
+    persists the match set); rankings equal the per-field facet() path
+    exactly, through both the engine and the facade."""
+    got = searcher.facet_fields("spark", ["lang", "repo", "path"], limit=4)
+    for f in ("lang", "repo", "path"):
+        exp = [(r[0], r["hits"]) for r in
+               searcher.facet("spark", f, limit=4).collect()]
+        assert got[f] == exp, f
+    res = conn.search("spark", rows=0, facet_field=["lang", "repo"],
+                      facet_limit=4)
+    ff = res.facets["facet_fields"]
+    for f in ("lang", "repo"):
+        exp = [(r[0], r["hits"]) for r in
+               searcher.facet("spark", f, limit=4).collect()]
+        assert list(ff[f].items()) == exp, f
+
+
 def test_highlighting_section(conn):
     res = conn.search("spark", rows=3, hl=True)
     assert res.highlighting, "top docs for 'spark' must produce snippets"

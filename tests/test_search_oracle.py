@@ -998,6 +998,8 @@ def test_spellcheck_batch_one_job(searcher, spark):
     assert len(jobs) == 1, jobs
     assert batch == serial
     # distance-1 restriction: only the closest corrections remain
+    from tests.oracle import _lev
+
     near = [(r["term"], r["df"])
             for r in searcher.spellcheck("sparl", max_edits=1).collect()]
     assert near and all(_lev(t, "sparl") <= 1 for t, _ in near)

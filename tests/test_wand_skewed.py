@@ -63,3 +63,53 @@ def test_wand_rank_identity_under_skew(spark, skewed, q):
     assert [w[0] for w in wand] == [e[0] for e in exp], q
     for w, e in zip(wand, exp):
         assert abs(w[1] - e[1]) < 1e-9
+
+
+@pytest.fixture(scope="module")
+def clustered(tmp_path_factory, spark):
+    """Repo-clustered hot identifiers (the tf distribution real code
+    corpora have — see tools/bench_wand.py): high-tf mass contiguous in
+    docID space, low-tf leakage spanning every block."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    vocab = np.array([f"w{i:02d}" for i in range(50)])
+    p = 1.0 / np.arange(1, 51, dtype=np.float64) ** 1.1
+    p /= p.sum()
+    rows = []
+    for i in range(1500):
+        toks = vocab[rng.choice(50, size=int(rng.integers(20, 120)),
+                                p=p)].tolist()
+        r = min(i // 150, 9)
+        if rng.random() < 0.5:
+            toks += [f"h{r:02d}"] * int(rng.integers(15, 61))
+        for o in rng.choice(10, size=4, replace=False):
+            if int(o) != r:
+                toks += [f"h{int(o):02d}"] * int(rng.integers(1, 3))
+        rows.append((f"r{r:02d}", f"d/{i:05d}.py", f"{i:040d}", "en",
+                     " ".join(toks)))
+    corpus = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string,"
+              " content string")
+    cat = ManifestParquetCatalog(str(tmp_path_factory.mktemp("clusteridx")))
+    IndexBuilder(cat, BuildConfig(n_buckets=8, block_size=32)).build(
+        spark, "cluster://corpus", corpus_df=corpus)
+    return cat
+
+
+@pytest.mark.parametrize("q", ["h03", "h07", "h03 AND w01"])
+def test_wand_blocks_actually_skip(spark, clustered, q):
+    """Round-5 regression for the block-aligned cross-term bound +
+    aligned phase-1 seeds: on clustered-tf data pruning must MEASURABLY
+    fire (>50% of candidate blocks skipped, via the accumulator
+    telemetry) while results stay bit-identical to exhaustive — the
+    pre-round-5 global bound pruned 0 blocks on every multi-term query,
+    and disjoint seeds left θ at -inf for AND shapes."""
+    s = Searcher(spark, clustered)
+    acc = s.enable_wand_stats()
+    on = [tuple(r) for r in s.search(q, k=10).collect()]
+    s._wand_acc = None
+    off = [tuple(r) for r in s.search(q, k=10, wand=False).collect()]
+    assert on == off, q
+    cand, dec = int(acc[0].value), int(acc[1].value)
+    assert cand > 0 and dec < cand / 2, (q, cand, dec)

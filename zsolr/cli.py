@@ -64,6 +64,9 @@ def main(argv: list[str] | None = None) -> int:
     fc.add_argument("--field", required=True)
     fc.add_argument("--range", dest="frange", default=None,
                     help="start:end:gap for a range facet")
+    fc.add_argument("--limit", type=int, default=None,
+                    help="facet.limit: engine-side TakeOrdered in Solr's"
+                         " facet.sort=count order (hits desc, value asc)")
 
     sg = sub.add_parser("suggest", help="term suggestions by prefix")
     sg.add_argument("prefix")
@@ -192,7 +195,7 @@ def main(argv: list[str] | None = None) -> int:
             start, end, gap = (float(x) for x in args.frange.split(":"))
             df = searcher.facet_range(args.query, args.field, start, end, gap)
         elif args.cmd == "facet":
-            df = searcher.facet(args.query, args.field)
+            df = searcher.facet(args.query, args.field, limit=args.limit)
         elif args.cmd == "suggest":
             df = searcher.suggest(args.prefix, args.n)
         elif args.cmd == "stats":

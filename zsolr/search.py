@@ -705,7 +705,7 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
             # lists ⇒ computed ≤ true, and AND over partial lists only
             # yields genuine matches.
             ubs: dict[str, np.ndarray] = {}
-            max_ub: dict[str, float] = {}
+            spans: dict[str, tuple] = {}
             for t in pos_terms - zero_terms:
                 rows = by_term.get(t)
                 if rows is None:
@@ -718,8 +718,34 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                 ub = ub * (boost_mult or {}).get(t, 1.0)
                 if t in prunable:
                     ubs[t] = ub
-                max_ub[t] = float(ub.max()) if len(ub) else 0.0
+                spans[t] = (rows["first_doc"].to_numpy(np.int64),
+                            rows["last_doc"].to_numpy(np.int64), ub)
             m = max(1, -(-2 * k // 128))
+            sel: dict[str, np.ndarray] = {}
+            for t in sorted(prunable):
+                if t in ubs and by_term.get(t) is not None:
+                    keep = np.zeros(len(ubs[t]), dtype=bool)
+                    keep[np.argsort(-ubs[t], kind="stable")[:m]] = True
+                    sel[t] = keep
+            # seed ALIGNMENT (round-5): additionally decode each term's
+            # blocks overlapping the OTHER prunable terms' seed spans —
+            # for AND shapes, disjoint top-UB seeds intersect to nothing,
+            # θ stays -inf, and phase 2 can never prune; aligned seeds
+            # make the phase-1 intersection real.  Extra decode is ≤ a
+            # few blocks per (term, other-seed); θ remains a valid lower
+            # bound (more partial postings only raise computed scores
+            # toward, never past, the truth).
+            extra = {t: np.zeros_like(mask) for t, mask in sel.items()}
+            for t, mask in sel.items():
+                fd_t, ld_t, _ub = spans[t]
+                for u, umask in sel.items():
+                    if u == t:
+                        continue
+                    fd_u, ld_u, _ = spans[u]
+                    for j in np.nonzero(umask)[0]:
+                        lo = np.searchsorted(ld_t, fd_u[j], side="left")
+                        hi = np.searchsorted(fd_t, ld_u[j], side="right")
+                        extra[t][lo:hi] = True
             phase1: dict[str, tuple] = {}
             full: dict[str, tuple] = {}
             for t in all_terms:
@@ -730,9 +756,7 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                     phase1[t] = full[t] = decode_term(
                         t, rows, np.ones(len(rows), bool))
                 else:
-                    keep = np.zeros(len(rows), dtype=bool)
-                    keep[np.argsort(-ubs[t], kind="stable")[:m]] = True
-                    phase1[t] = decode_term(t, rows, keep)
+                    phase1[t] = decode_term(t, rows, sel[t] | extra[t])
             p_ids, p_sc = _eval_ast(scored_ast, phase1, allowed_ids, env)
             if after is not None and not sort_spec:
                 pm = (p_sc < after[0]) | ((p_sc == after[0])
@@ -740,15 +764,36 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                 p_ids, p_sc = p_ids[pm], p_sc[pm]
             theta = float(np.partition(p_sc, -k)[-k]) if len(p_ids) >= k \
                 else -np.inf
-            # phase 2: a block of term t survives unless even its best doc
-            # plus every OTHER positive term's max contribution stays < θ
-            total_all = sum(max_ub.values())
+            # phase 2: a block of term t survives unless even its best
+            # doc plus every OTHER scored term's best CO-LOCATED
+            # contribution stays < θ.  Block-ALIGNED cross-term bound
+            # (round-5, true block-max WAND): other terms contribute the
+            # max UB of their blocks OVERLAPPING this block's docID
+            # range, not their corpus-wide max — any doc in the block
+            # takes term u's score from exactly one overlapping u-block,
+            # so the sum bounds every doc's total and pruning stays
+            # safe.  The old global bound (ub + Σ other max UBs) could
+            # never prune multi-term queries: any block plus a hot
+            # term's corpus-wide max always cleared θ.  Blocks are
+            # sorted by first_doc and disjoint per term, so overlap is
+            # two searchsorteds; block counts per (term, shard) are
+            # ≤ shard_width/block_size, keeping this O(blocks²/terms).
             for t in all_terms:
                 if t in full:
                     per_term[t] = full[t]
                     continue
                 rows = by_term[t]
-                keep = (ubs[t] + (total_all - max_ub.get(t, 0.0))) >= theta
+                fd_t, ld_t, ub_t = spans[t]
+                other = np.zeros(len(ub_t))
+                for u, (fd_u, ld_u, ub_u) in spans.items():
+                    if u == t:
+                        continue
+                    lo = np.searchsorted(ld_u, fd_t, side="left")
+                    hi = np.searchsorted(fd_u, ld_t, side="right")
+                    for i in range(len(ub_t)):
+                        if lo[i] < hi[i]:
+                            other[i] += ub_u[lo[i]:hi[i]].max()
+                keep = (ub_t + other) >= theta
                 if block_acc is not None:
                     # WAND effectiveness telemetry (round-4 verdict #4):
                     # candidate blocks vs blocks that survive the θ bound
@@ -2189,3 +2234,46 @@ class Searcher:
             else:
                 raise UnsupportedQuery(f"facet.sort={sort!r} (count|index)")
         return out
+
+    def facet_fields(self, q, fields: list, limit: int | None = None,
+                     sort: str = "count") -> dict:
+        """Multi-field facets over ONE evaluation of the match set
+        (round-5): ``facet.field=a&facet.field=b`` used to re-run the
+        whole search kernel once per field through the facade's loop —
+        here the matched doc set persists across the per-field
+        aggregations, so N fields cost one kernel wave plus N tiny
+        TakeOrdered aggs over the cached match set.  Ordering/limit
+        semantics are :meth:`facet`'s.  → {field: [(value, hits), …]}
+        in rank order, O(limit) rows per field on the driver."""
+        plan = plan_query(q)
+        docs_f = self.docs
+        if plan.filters:
+            docs_f = docs_f.filter(_filter_expr(plan.filters))
+        if plan.match_all:
+            matched = docs_f
+            cached = None
+        else:
+            matches = self.match_scores(q).select("doc_id")
+            cols = [c for c in dict.fromkeys(fields) if c != "doc_id"]
+            cached = docs_f.select("doc_id", *cols) \
+                .join(matches, "doc_id").persist()
+            matched = cached
+        try:
+            out: dict = {}
+            for f in fields:
+                agg = matched.groupBy(f).agg(
+                    F.count(F.lit(1)).alias("hits"))
+                if limit is not None:
+                    if sort == "count":
+                        agg = agg.orderBy(F.desc("hits"),
+                                          F.asc(f)).limit(limit)
+                    elif sort == "index":
+                        agg = agg.orderBy(F.asc(f)).limit(limit)
+                    else:
+                        raise UnsupportedQuery(
+                            f"facet.sort={sort!r} (count|index)")
+                out[f] = [(r[0], r["hits"]) for r in agg.collect()]
+            return out
+        finally:
+            if cached is not None:
+                cached.unpersist()
