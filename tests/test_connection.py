@@ -208,6 +208,22 @@ def test_cursor_mark_with_field_sort(conn, searcher):
     assert seen == exp
 
 
+def test_mlt_and_suggest_facade(conn, searcher):
+    """pysolr parity methods (round-5): more_like_this / suggest_terms
+    delegate to the engine's MLT and suggester components with pysolr's
+    call and return shapes."""
+    src = int(conn.search("spark", rows=1).docs[0]["doc_id"])
+    res = conn.more_like_this(src, rows=5)
+    exp = [r.asDict() for r in
+           searcher.more_like_this(src, k=5).collect()]
+    assert res.docs == exp and res.hits == len(exp)
+    assert all(d["doc_id"] != src for d in res.docs)
+    sg = conn.suggest_terms("sp", rows=5)
+    exp_sg = [(r["term"], r["df"])
+              for r in searcher.suggest("sp", 5).collect()]
+    assert sg == {"sp": exp_sg}
+
+
 def test_hl_without_corpus_raises(spark, built_index):
     cat, _res = built_index
     bare = SolrConnection(spark, cat)

@@ -835,8 +835,48 @@ def test_cursor_rejects_start_matchall_and_bad_arity(searcher):
     with pytest.raises(UnsupportedQuery):          # (v, doc_id) vs 2 keys
         searcher._search_uncached("spark", 5, 0, "repo desc, path", True,
                                   False, after=(1.0, 0))
-    with pytest.raises(UnsupportedQuery):
+    with pytest.raises(UnsupportedQuery):   # match-all needs a field sort
         searcher.search_after("[* TO *]", k=5, after=(0.0, 3))
+
+
+def test_cursor_match_all_export(searcher):
+    """Round-5: Solr's classic full-export pattern — ``q=*:*`` with a
+    field-sort cursor — walks the whole corpus in pure Catalyst pages
+    (strictly-after predicate on the doc store, no kernel); the walk
+    equals the offset path, numFound stays the full count on every
+    page, and a filter-only query composes with the cursor."""
+    sort, k = "doc_len desc", 120
+    pages, cur, total = [], None, None
+    for _ in range(20):
+        df, cur2, n = searcher.search_after("[* TO *]", k=k, after=cur,
+                                            sort=sort, with_count=True)
+        rows = [tuple(r) for r in df.collect()]
+        if not rows:
+            assert cur2 is None
+            break
+        total = n if total is None else total
+        assert n == total                      # full numFound each page
+        pages.append(rows)
+        cur = cur2
+    walked = [r for p in pages for r in p]
+    assert len(walked) == total
+    assert len({r[0] for r in walked}) == total     # no dups, no gaps
+    off, i = [], 0
+    while True:
+        rows = [tuple(r) for r in
+                searcher.search("[* TO *]", k=k, start=i * k,
+                                sort=sort).collect()]
+        if not rows:
+            break
+        off += rows
+        i += 1
+    assert walked == off
+    # pure-filter query + cursor: only lang:en docs, same machinery
+    df, _cur = searcher.search_after("lang:en", k=10**6, sort="path")
+    en = [tuple(r) for r in df.collect()]
+    exp = [tuple(r) for r in
+           searcher.search("lang:en", k=10**6, sort="path").collect()]
+    assert en == exp and 0 < len(en) < total
 
 
 @pytest.mark.parametrize("sort", ["doc_len desc", "repo desc, path"])

@@ -46,6 +46,48 @@ def test_streaming_incremental_index(tmp_path, spark, corpus_df):
     assert all(r["repo"] == "srcS" for r in df.collect())
 
 
+def test_streaming_add_upserts_idempotent(tmp_path, spark, corpus_df):
+    """Round-5 stream_add: micro-batches are PARTIAL Solr <add> deltas
+    (absent docs untouched), and replaying the same deltas through a
+    fresh checkpoint is a no-op (sha-equal upserts skip) — idempotent
+    exactly-once on top of atomic catalog commits."""
+    from zsolr.streaming import stream_add
+
+    base = corpus_df.limit(60).cache()
+    cat = ManifestParquetCatalog(str(tmp_path / "addidx"))
+    cfg = BuildConfig(n_buckets=8)
+    IndexBuilder(cat, cfg).build(spark, "m", corpus_df=base)
+    n0 = cat.read(spark, "docs").count()
+
+    drop = str(tmp_path / "drop-add")
+    new = spark.createDataFrame(
+        [("srcA", f"a/add_{i}.py", "f" * 40, "en",
+          f"added doc {i} zzaddterm") for i in range(4)],
+        "repo string, path string, commit string, lang string,"
+        " content string")
+    changed = base.limit(1).select(
+        "repo", "path", "commit", "lang",
+        F.concat(F.col("content"), F.lit(" zzchangedterm")).alias("content"))
+    new.coalesce(1).write.mode("append").parquet(drop)
+    changed.coalesce(1).write.mode("append").parquet(drop)
+
+    q = stream_add(spark, cat, drop, str(tmp_path / "ckpt-a1"), cfg)
+    q.awaitTermination(120)
+
+    s = Searcher(spark, cat)
+    assert s.search("zzaddterm", k=10, with_count=True)[1] == 4
+    assert s.search("zzchangedterm", k=10, with_count=True)[1] == 1
+    n1 = cat.read(spark, "docs").count()
+    assert n1 == n0 + 5        # 4 new + the changed doc's new version
+    assert s.search("[* TO *]", k=1, with_count=True)[1] == n0 + 4  # live
+    # replay the SAME deltas via a fresh checkpoint: all sha-equal → no-op
+    q2 = stream_add(spark, cat, drop, str(tmp_path / "ckpt-a2"), cfg)
+    q2.awaitTermination(120)
+    assert cat.read(spark, "docs").count() == n1
+    s2 = Searcher(spark, cat)
+    assert s2.search("zzaddterm", k=10, with_count=True)[1] == 4
+
+
 @pytest.mark.slow
 def test_spark_submit_pyfiles(tmp_path):
     """Package zsolr as a zip and run build+search through spark-submit."""

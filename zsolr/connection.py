@@ -227,6 +227,19 @@ class SolrConnection:
         res.spellcheck = {"suggestions": sc_out} if spellcheck else {}
         return res
 
+    def more_like_this(self, doc_id: int, rows: int = 10) -> Results:
+        """pysolr ``Solr.more_like_this`` shape over the engine's MLT
+        component (Q25): docs similar to ``doc_id``, source excluded."""
+        df = self._searcher.more_like_this(doc_id, k=rows)
+        docs = [r.asDict() for r in df.collect()]
+        return Results(docs, len(docs))
+
+    def suggest_terms(self, prefix: str, rows: int = 10) -> dict:
+        """pysolr ``Solr.suggest_terms`` shape over the suggester (Q19):
+        ``{prefix: [(term, df), …]}`` by descending df."""
+        rows_ = self._searcher.suggest(prefix, rows).collect()
+        return {prefix: [(r["term"], r["df"]) for r in rows_]}
+
     # -- E1'/E3: update + delete -------------------------------------------
     def add(self, docs: DataFrame) -> dict:
         """Solr ``<add>`` upsert of a corpus-shaped DataFrame

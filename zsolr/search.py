@@ -1369,16 +1369,31 @@ class Searcher:
 
         if plan.match_all:
             if after is not None:
-                raise UnsupportedQuery(
-                    "cursor paging over match-all queries is unsupported"
-                    " (score-order cursor needs a scored query)")
+                # Solr's classic full-export pattern is exactly
+                # `q=*:* & cursorMark=* & sort=<field> asc` (round-5):
+                # a field-sort cursor over match-all lowers to a pure
+                # Catalyst strictly-after predicate on the doc store —
+                # pushed down to the parquet scan, no kernel at all.
+                # Score order is refused (constant scores give no
+                # stable score cursor).
+                eff_ma = [s for s in sort_spec if s[0] != "score"]
+                if not eff_ma:
+                    raise UnsupportedQuery(
+                        "cursor paging over match-all queries needs a"
+                        " field sort (scores are constant)")
+                if len(after) != len(eff_ma) + 1:
+                    raise UnsupportedQuery(
+                        "cursor arity must match the sort spec"
+                        " (sort values… + doc_id)")
             if plan.exclude_ast is not None:
                 # match-all minus exclusions: anti-join the inner match set
                 inner = self.match_scores(plan.exclude_ast).select("doc_id")
                 docs_f = docs_f.join(inner, "doc_id", "left_anti")
             if raw:
                 return docs_f.select("doc_id", F.lit(0.0).alias("score"))
-            return self._match_all(docs_f, k, start, sort_spec, with_count)
+            return self._match_all(docs_f, k, start, sort_spec, with_count,
+                                   after=after,
+                                   keep_sort_cols=keep_sort_cols)
 
         fetch = None if k is None else start + k
         eff_spec = [] if (not sort_spec
@@ -1783,13 +1798,37 @@ class Searcher:
         return [results[i] for i in range(len(queries))]
 
     def _match_all(self, docs_f: DataFrame, k, start, sort_spec,
-                   with_count: bool):
+                   with_count: bool, after: tuple | None = None,
+                   keep_sort_cols: bool = False):
         """Filter-only / existence queries: pure Catalyst (Q2) — predicate
-        pushdown to the parquet scan, no posting access at all."""
-        out = docs_f.select("doc_id", "repo", "path", "commit",
-                            F.lit(0.0).alias("score"))
-        keys = [F.col(f).desc() if dsc else F.col(f).asc()
-                for f, dsc in (sort_spec or []) if f != "score"]
+        pushdown to the parquet scan, no posting access at all.
+
+        ``after``: field-sort cursor (the `q=*:*` full-export pattern) —
+        the strictly-after condition becomes a lexicographic Catalyst
+        predicate evaluated before the sort+limit, so every page is a
+        TakeOrdered over a pushed-down-filtered scan; numFound stays the
+        full (pre-cursor) match count, per Solr."""
+        eff = [(f, dsc) for f, dsc in (sort_spec or []) if f != "score"]
+        extra = [f for f, _d in eff
+                 if f not in ("repo", "path", "commit", "doc_id")] \
+            if keep_sort_cols else []
+        filtered = docs_f
+        if after is not None:
+            conds = []
+            eq = F.lit(True)
+            for i, (f, dsc) in enumerate(eff):
+                later = (F.col(f) < F.lit(after[i])) if dsc \
+                    else (F.col(f) > F.lit(after[i]))
+                conds.append(eq & later)
+                eq = eq & (F.col(f) == F.lit(after[i]))
+            conds.append(eq & (F.col("doc_id") > F.lit(after[-1])))
+            pred = conds[0]
+            for c in conds[1:]:
+                pred = pred | c
+            filtered = docs_f.filter(pred)
+        out = filtered.select("doc_id", "repo", "path", "commit",
+                              F.lit(0.0).alias("score"), *extra)
+        keys = [F.col(f).desc() if dsc else F.col(f).asc() for f, dsc in eff]
         out = out.orderBy(*keys, F.asc("doc_id"))
         if k is not None:
             out = out.limit(start + k)

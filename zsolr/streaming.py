@@ -264,3 +264,36 @@ def stream_index(spark: SparkSession, cat: ManifestParquetCatalog,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_add(spark: SparkSession, cat: ManifestParquetCatalog,
+               drop_dir: str, checkpoint_dir: str,
+               cfg: BuildConfig | None = None,
+               available_now: bool = True):
+    """Streaming Solr ``<add>`` upserts (round-5): each micro-batch is a
+    PARTIAL delta — only the docs to upsert — handed to
+    ``incremental_add``: absent docs untouched, sha-equal upserts
+    skipped.  That skip makes replays after a crash no-ops, so the
+    checkpointed source + atomic catalog commits give idempotent
+    exactly-once indexing.  This is the streaming twin of the zeit.solr
+    updater's event-driven call shape (one ``<add>`` per changed
+    content object); contrast :func:`stream_index`, whose micro-batches
+    are CUMULATIVE snapshots (``incremental_update`` diff semantics
+    that tombstone whatever a snapshot no longer contains)."""
+    from .lifecycle import incremental_add
+
+    stream = (spark.readStream.schema(CORPUS_SCHEMA)
+              .option("maxFilesPerTrigger", 8)
+              .parquet(drop_dir))
+
+    def on_batch(batch_df, epoch_id: int):
+        if batch_df.isEmpty():
+            return
+        incremental_add(spark, cat, batch_df, cfg)
+
+    writer = (stream.writeStream
+              .foreachBatch(on_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
