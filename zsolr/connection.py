@@ -117,7 +117,7 @@ class SolrConnection:
                fq: str | list[str] | None = None,
                facet_field: str | list[str] | None = None,
                facet_query: str | list[str] | None = None,
-               facet_limit: int = 100,
+               facet_limit: int = 100, facet_mincount: int = 0,
                hl: bool = False, hl_snippets: int = 3,
                spellcheck: bool = False,
                cursor_mark: str | None = None) -> Results:
@@ -173,7 +173,8 @@ class SolrConnection:
             # set (facet_fields persists it; round-5).  Dict preserves
             # rank order for callers iterating the section.
             ranked = self._searcher.facet_fields(ast, fields,
-                                                 limit=facet_limit)
+                                                 limit=facet_limit,
+                                                 mincount=facet_mincount)
             ff = {fld: {v: h for v, h in rows_}
                   for fld, rows_ in ranked.items()}
             facets["facet_fields"] = ff
