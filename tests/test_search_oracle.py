@@ -847,7 +847,7 @@ def test_cursor_match_all_export(searcher):
     page, and a filter-only query composes with the cursor."""
     sort, k = "doc_len desc", 120
     pages, cur, total = [], None, None
-    for _ in range(20):
+    for _ in range(searcher.n_docs_total // k + 3):
         df, cur2, n = searcher.search_after("[* TO *]", k=k, after=cur,
                                             sort=sort, with_count=True)
         rows = [tuple(r) for r in df.collect()]
@@ -916,7 +916,8 @@ def test_cursor_paging_field_sort(searcher, sort):
     construction (the kernel cut applies after the cursor filter)."""
     q, k = "hash AND join", 60
     pages, cur = [], None
-    for _ in range(20):
+    budget = searcher.n_docs_total // k + 3   # scale-aware page budget
+    for _ in range(budget):
         df, cur2 = searcher.search_after(q, k=k, after=cur, sort=sort)
         rows = [tuple(r) for r in df.collect()]
         if not rows:
