@@ -906,6 +906,22 @@ def test_facet_mincount(searcher):
     assert 0 < len(got) < len(full) or thr == min(full.values())
 
 
+def test_facet_prefix(searcher):
+    """Solr facet.prefix: value filter before the aggregation (and the
+    per-block dl_min tightening must not change any facet result —
+    facets bypass WAND entirely)."""
+    full = {r[0]: r["hits"]
+            for r in searcher.facet("spark", "repo").collect()}
+    got = {r[0]: r["hits"] for r in
+           searcher.facet("spark", "repo", prefix="src1").collect()}
+    assert got == {v: h for v, h in full.items() if v.startswith("src1")}
+    assert 0 < len(got) < len(full)
+    multi = searcher.facet_fields("spark", ["repo", "lang"], limit=50,
+                                  prefix="src1")
+    assert dict(multi["repo"]) == got
+    assert multi["lang"] == []        # no lang value starts with src1
+
+
 @pytest.mark.parametrize("sort", ["doc_len desc", "repo desc, path"])
 def test_cursor_paging_field_sort(searcher, sort):
     """Round-4 verdict #5: cursorMark over a field-sort override — the

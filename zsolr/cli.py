@@ -55,6 +55,9 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--fl", default=None)
     se.add_argument("--fq", action="append", default=None)
     se.add_argument("--facet-field", action="append", default=None)
+    se.add_argument("--facet-limit", type=int, default=100)
+    se.add_argument("--facet-mincount", type=int, default=0)
+    se.add_argument("--facet-prefix", default=None)
     se.add_argument("--cursor-mark", default=None,
                     help="'*' to start; pass nextCursorMark to continue")
 
@@ -178,6 +181,9 @@ def main(argv: list[str] | None = None) -> int:
         res = conn.search(args.query, rows=args.rows, start=args.start,
                           sort=args.sort, fl=args.fl, fq=args.fq,
                           facet_field=args.facet_field,
+                          facet_limit=args.facet_limit,
+                          facet_mincount=args.facet_mincount,
+                          facet_prefix=args.facet_prefix,
                           cursor_mark=args.cursor_mark)
         out = {"responseHeader": {"status": 0},
                "response": {"numFound": res.hits, "start": args.start,

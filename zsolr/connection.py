@@ -118,6 +118,7 @@ class SolrConnection:
                facet_field: str | list[str] | None = None,
                facet_query: str | list[str] | None = None,
                facet_limit: int = 100, facet_mincount: int = 0,
+               facet_prefix: str | None = None,
                hl: bool = False, hl_snippets: int = 3,
                spellcheck: bool = False,
                cursor_mark: str | None = None) -> Results:
@@ -174,7 +175,8 @@ class SolrConnection:
             # rank order for callers iterating the section.
             ranked = self._searcher.facet_fields(ast, fields,
                                                  limit=facet_limit,
-                                                 mincount=facet_mincount)
+                                                 mincount=facet_mincount,
+                                                 prefix=facet_prefix)
             ff = {fld: {v: h for v, h in rows_}
                   for fld, rows_ in ranked.items()}
             facets["facet_fields"] = ff

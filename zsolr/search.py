@@ -447,8 +447,10 @@ def _eval_ast(node, per_term, allowed_ids, env=None):
 
 
 def _term_ub(idf_t: float, bmax: np.ndarray, k1: float, b: float,
-             avgdl: float, dl_min: float) -> np.ndarray:
-    """Block-max score upper bound (Q8): max tf in block, min doc length."""
+             avgdl: float, dl_min) -> np.ndarray:
+    """Block-max score upper bound (Q8): max tf in block, min doc length
+    (scalar, or a per-block array — round-5 tightens dl_min from the
+    shard-global minimum to each block's docID-range minimum)."""
     return idf_t * bmax * (k1 + 1.0) / (bmax + k1 * (1 - b + b * dl_min / avgdl))
 
 
@@ -710,8 +712,24 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                 rows = by_term.get(t)
                 if rows is None:
                     continue
-                dl_min = max(1.0, float(norm_vals.min())) \
-                    if len(norm_vals) else 1.0
+                if len(norm_ids):
+                    # per-block dl_min over the block's docID RANGE
+                    # (round-5): the norms sidecar is already decoded
+                    # per shard, so each block's minimum doc length over
+                    # [first_doc, last_doc] comes from two searchsorteds
+                    # — a superset of the block's postings, hence still
+                    # a safe bound, and never looser than the old
+                    # shard-global min (real corpora cluster doc length:
+                    # vendored/minified/generated files).
+                    fd = rows["first_doc"].to_numpy(np.int64)
+                    ld = rows["last_doc"].to_numpy(np.int64)
+                    lo = np.searchsorted(norm_ids, fd)
+                    hi = np.searchsorted(norm_ids, ld, side="right")
+                    dl_min = np.maximum(np.array(
+                        [norm_vals[a:z].min() if z > a else 1.0
+                         for a, z in zip(lo, hi)]), 1.0)
+                else:
+                    dl_min = 1.0
                 ub = _term_ub(idf_map[t],
                               rows["block_max_tf"].to_numpy(np.float64),
                               k1, b, avgdl, dl_min)
@@ -2282,7 +2300,8 @@ class Searcher:
 
     # -- Q11 facets -----------------------------------------------------------
     def facet(self, q, field: str, limit: int | None = None,
-              sort: str = "count", mincount: int = 0) -> DataFrame:
+              sort: str = "count", mincount: int = 0,
+              prefix: str | None = None) -> DataFrame:
         """Per-field value → hit count over the full match set.
 
         ``limit``/``sort`` are Solr's ``facet.limit``/``facet.sort``
@@ -2301,11 +2320,16 @@ class Searcher:
         if plan.filters:
             docs_f = docs_f.filter(_filter_expr(plan.filters))
         if plan.match_all:
-            out = docs_f.groupBy(field).agg(F.count(F.lit(1)).alias("hits"))
+            src = docs_f
         else:
-            matches = self.match_scores(q).select("doc_id")
-            out = (docs_f.join(matches, "doc_id")
-                   .groupBy(field).agg(F.count(F.lit(1)).alias("hits")))
+            src = docs_f.join(self.match_scores(q).select("doc_id"),
+                              "doc_id")
+        if prefix is not None:
+            # Solr facet.prefix: value filter BEFORE the aggregation —
+            # prunes the agg input, and for match-all facets pushes the
+            # StartsWith straight into the parquet scan
+            src = src.filter(F.col(field).startswith(prefix))
+        out = src.groupBy(field).agg(F.count(F.lit(1)).alias("hits"))
         if mincount > 1:
             # Solr facet.mincount: drop values below the threshold BEFORE
             # ordering/limit (values absent from the match set never
@@ -2321,7 +2345,8 @@ class Searcher:
         return out
 
     def facet_fields(self, q, fields: list, limit: int | None = None,
-                     sort: str = "count", mincount: int = 0) -> dict:
+                     sort: str = "count", mincount: int = 0,
+                     prefix: str | None = None) -> dict:
         """Multi-field facets over ONE evaluation of the match set
         (round-5): ``facet.field=a&facet.field=b`` used to re-run the
         whole search kernel once per field through the facade's loop —
@@ -2346,7 +2371,9 @@ class Searcher:
         try:
             out: dict = {}
             for f in fields:
-                agg = matched.groupBy(f).agg(
+                src = matched if prefix is None else \
+                    matched.filter(F.col(f).startswith(prefix))
+                agg = src.groupBy(f).agg(
                     F.count(F.lit(1)).alias("hits"))
                 if mincount > 1:
                     agg = agg.filter(F.col("hits") >= mincount)
