@@ -414,6 +414,38 @@ def test_dedup_keep_drops_only_non_canonical(spark, docs_df):
     assert len(kept) < len(all_ids)   # fixture actually deduplicates
 
 
+def test_dedup_pipeline_on_embedding_pairs(spark, sf_dir):
+    """End-to-end dedup over the EMBEDDING modality (round-5 breadth):
+    cosine near-dup pairs → connected components → keep — the same
+    pipeline shape as the MinHash path, over dedup_embedding_cosine's
+    candidate pairs on the scaled-duplicate-augmented fixture."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding")
+    dup = emb.select((F.col("vec_id") + 10000).alias("vec_id"),
+                     F.transform("embedding",
+                                 lambda x: (x * F.lit(2.0)).cast("float"))
+                     .alias("embedding"))
+    aug = emb.unionByName(dup)
+    pairs = (ops.dedup_embedding_cosine(aug, tau=0.999999)
+             .select(F.col("vec_a").alias("doc_a"),
+                     F.col("vec_b").alias("doc_b")))
+    plist = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert plist, "scaled copies must collide at tau~1"
+    uf = _union_find(plist)
+    kept = {r["vec_id"] for r in
+            ops.dedup_keep(aug, pairs, id_col="vec_id")
+            .select("vec_id").collect()}
+    all_ids = {r["vec_id"] for r in aug.select("vec_id").collect()}
+    exp = (all_ids - set(uf)) | {x for x, root in uf.items() if x == root}
+    assert kept == exp
+    # every (v, v+10000) scaled pair keeps only the original
+    for a, b in plist:
+        if b == a + 10000:
+            assert a in kept and b not in kept
+
+
 def test_minhash_family_cross_engine_property(spark):
     """Hypothesis property: the universal-hash MinHash family computes
     IDENTICAL values in all three engines that must agree — the Spark
