@@ -894,6 +894,20 @@ def test_export_generator(searcher):
                              searcher.docs.select("doc_id").collect())
 
 
+def test_export_df_distributed(searcher):
+    """export_df: the full match set as one distributed DataFrame (the
+    scale-correct bulk export) — set-equal to the cursor walk."""
+    got = {r["doc_id"] for r in
+           searcher.export_df("spark").select("doc_id").collect()}
+    exp = {r["doc_id"] for r in
+           searcher.search("spark", k=None, wand=False)
+           .select("doc_id").collect()}
+    assert got == exp
+    assert {r["doc_id"] for r in
+            searcher.export_df().select("doc_id").collect()} == \
+        {r["doc_id"] for r in searcher.docs.select("doc_id").collect()}
+
+
 def test_facet_mincount(searcher):
     """Solr facet.mincount: values below the threshold drop before
     ordering/limit."""

@@ -1412,6 +1412,16 @@ class Searcher:
                 yield r.asDict()
             after = after2
 
+    def export_df(self, q="[* TO *]") -> DataFrame:
+        """Distributed bulk export: the FULL match set of ``q`` joined to
+        the doc store, as a DataFrame — for cluster-side consumers
+        (``.write.parquet``, a downstream Spark job).  ONE distributed
+        job, no driver streaming: at 10^12 docs this is the correct
+        export path; the cursor generator (:meth:`export`) exists for
+        protocol parity with Solr /export-style client iteration, whose
+        2-jobs-per-page cost only suits driver-sized reads."""
+        return self._matched_docs(q)
+
     def _search_uncached(self, q, k, start, sort, wand, with_count,
                          raw: bool = False, after: tuple | None = None,
                          keep_sort_cols: bool = False):
