@@ -2152,13 +2152,19 @@ class Searcher:
         any_c = conds[0]
         for c in conds[1:]:
             any_c = any_c | c
+        cap = 4096 * len(toks)      # matches _expand_fuzzy's per-word cap
         rows = (self._term_stats
                 .filter(~F.col("term").contains("=")
                         & ~F.col("term").startswith("\x00"))
                 .filter(any_c)
                 .select("term", "df",
                         *[c.alias(f"m{i}") for i, c in enumerate(conds)])
+                .limit(cap + 1)
                 .collect())
+        if len(rows) > cap:
+            raise UnsupportedQuery(
+                f"spellcheck candidate set exceeds {cap} terms"
+                " — narrow max_edits or the word list")
         out: dict = {}
         for i, (w, t) in enumerate(zip(words, toks)):
             cands = sorted(((r["term"], int(r["df"])) for r in rows
