@@ -166,11 +166,13 @@ def test_lifecycle_fuzz_sequence(tmp_path, spark, corpus_df):
     update → compact — mirrored on a pure-Python corpus dict; after every
     step the engine must stay rank+score-identical to the oracle over the
     live corpus."""
+    import os
     import re
 
     import numpy as np
 
-    rng = np.random.default_rng(5)
+    rng = np.random.default_rng(
+        int(os.environ.get("ZSOLR_LIFECYCLE_FUZZ_SEED", "5")))
     schema = ("repo string, path string, commit string, lang string,"
               " content string")
     rows = [r.asDict() for r in corpus_df.limit(80).collect()]
