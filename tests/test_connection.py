@@ -104,6 +104,22 @@ def test_facet_limit_runs_in_engine(conn, searcher):
     assert [r[0] for r in idx] == sorted(r[0] for r in full)[:5]
 
 
+def test_facet_only_request_single_pass(conn, searcher):
+    """rows=0 + facet.field (the classic UI request): numFound rides the
+    same persisted match set the facets aggregate (one kernel
+    evaluation) and must equal the regular path's numFound exactly."""
+    a = conn.search("spark", rows=0, facet_field="lang")
+    b = conn.search("spark", rows=1, facet_field="lang")
+    assert a.hits == b.hits and a.docs == []
+    assert a.facets == b.facets
+    # composes with facet.query and filters
+    c = conn.search("lang:en AND spark", rows=0, facet_field="repo",
+                    facet_query=["join"])
+    d = conn.search("lang:en AND spark", rows=1, facet_field="repo",
+                    facet_query=["join"])
+    assert c.hits == d.hits and c.facets == d.facets
+
+
 def test_facet_multi_field_shares_match_set(conn, searcher):
     """Round-5: N facet fields cost ONE kernel evaluation (facet_fields
     persists the match set); rankings equal the per-field facet() path

@@ -138,7 +138,32 @@ class SolrConnection:
                 extra = extra + _fq_conjuncts(f_)
             base = tuple(ast.children) if isinstance(ast, And) else (ast,)
             ast = And(base + extra)
+        fields = ([facet_field] if isinstance(facet_field, str)
+                  else list(facet_field)) if facet_field else []
+        facets: dict = {}
         next_mark = None
+        # facet-only request (rows=0 + facet.field — the classic UI
+        # pattern): numFound rides the SAME persisted match set the
+        # facets aggregate (facet_fields with_hits), so the request
+        # costs one kernel evaluation instead of a search() + a facet
+        # pass (round-5)
+        facet_only = (bool(fields) and rows == 0 and cursor_mark is None
+                      and not hl and not spellcheck)
+        if facet_only:
+            ranked, hits = self._searcher.facet_fields(
+                ast, fields, limit=facet_limit, mincount=facet_mincount,
+                prefix=facet_prefix, with_hits=True)
+            facets["facet_fields"] = {
+                fld: {v: h for v, h in rows_}
+                for fld, rows_ in ranked.items()}
+            if facet_query:
+                fqs_ = ([facet_query] if isinstance(facet_query, str)
+                        else list(facet_query))
+                facets["facet_queries"] = self._searcher.facet_query(
+                    ast, fqs_)
+            res = Results([], hits, facets, {}, nextCursorMark=None)
+            res.spellcheck = {}
+            return res
         if cursor_mark is not None:
             if start:
                 raise UnsupportedQuery("cursorMark requires start=0")
@@ -162,10 +187,7 @@ class SolrConnection:
             if bad:
                 raise UnsupportedQuery(f"unknown fl fields: {bad}")
             docs = [{c: d[c] for c in want} for d in docs]
-        facets: dict = {}
-        if facet_field:
-            fields = ([facet_field] if isinstance(facet_field, str)
-                      else list(facet_field))
+        if fields:
             # Solr facet.sort=count default (count desc, value asc
             # tiebreak) + facet.limit run INSIDE the engine as a
             # TakeOrdered — the facade collects O(facet_limit) rows per

@@ -2362,7 +2362,7 @@ class Searcher:
 
     def facet_fields(self, q, fields: list, limit: int | None = None,
                      sort: str = "count", mincount: int = 0,
-                     prefix: str | None = None) -> dict:
+                     prefix: str | None = None, with_hits: bool = False):
         """Multi-field facets over ONE evaluation of the match set
         (round-5): ``facet.field=a&facet.field=b`` used to re-run the
         whole search kernel once per field through the facade's loop —
@@ -2385,6 +2385,10 @@ class Searcher:
                 .join(matches, "doc_id").persist()
             matched = cached
         try:
+            # numFound from the SAME (persisted) match set the facets
+            # aggregate — a facet-only request (rows=0) then costs one
+            # kernel evaluation, not a search() + a facet pass
+            hits = matched.count() if with_hits else None
             out: dict = {}
             for f in fields:
                 src = matched if prefix is None else \
@@ -2403,7 +2407,7 @@ class Searcher:
                         raise UnsupportedQuery(
                             f"facet.sort={sort!r} (count|index)")
                 out[f] = [(r[0], r["hits"]) for r in agg.collect()]
-            return out
+            return (out, hits) if with_hits else out
         finally:
             if cached is not None:
                 cached.unpersist()
