@@ -232,7 +232,12 @@ def test_mlt_and_suggest_facade(conn, searcher):
     res = conn.more_like_this(src, rows=5)
     exp = [r.asDict() for r in
            searcher.more_like_this(src, k=5).collect()]
-    assert res.docs == exp and res.hits == len(exp)
+    assert res.docs == exp
+    # hits = TOTAL similar-doc count (Solr MLT numFound), NOT the page
+    # size (round-6 advice) — equals the interesting-term OR's match
+    # count minus the source doc
+    _df, total = searcher.more_like_this(src, k=5, with_count=True)
+    assert res.hits == total and total >= len(exp)
     assert all(d["doc_id"] != src for d in res.docs)
     sg = conn.suggest_terms("sp", rows=5)
     exp_sg = [(r["term"], r["df"])
@@ -317,3 +322,94 @@ def test_add_to_empty_index(spark, tmp_path):
     assert conn.add(delta) == {"added": 1, "changed": 0, "skipped": 0}
     hit = conn.search("spark", rows=5)
     assert hit.hits == 1 and hit.docs[0]["doc_id"] == 0
+
+
+def test_add_list_of_dicts_pysolr_shape(spark, tmp_path, corpus_df):
+    """pysolr parity (round-6 verdict #3): ``add()`` accepts pysolr's
+    list-of-dicts call shape — same ``incremental_add`` underneath,
+    counts identical to the DataFrame path, commit/lang defaulted."""
+    from zsolr.build import BuildConfig, IndexBuilder
+    from zsolr.catalog import ManifestParquetCatalog
+
+    cat = ManifestParquetCatalog(str(tmp_path / "dict-add-idx"))
+    IndexBuilder(cat, BuildConfig(n_buckets=4)).build(
+        spark, "cx", corpus_df=corpus_df)
+    conn = SolrConnection(spark, cat)
+    docs = [
+        {"repo": "dictrepo", "path": "a.py", "commit": "f" * 40,
+         "lang": "en", "content": "spark dict upsert qqquniq"},
+        {"repo": "dictrepo", "path": "b.py",
+         "content": "another dict doc qqquniq"},     # commit/lang default
+    ]
+    assert conn.add(docs) == {"added": 2, "changed": 0, "skipped": 0}
+    hits = conn.search("qqquniq", rows=5)
+    assert hits.hits == 2
+    assert all(d["repo"] == "dictrepo" for d in hits.docs)
+    defaulted = [d for d in hits.docs if d["path"] == "b.py"]
+    assert defaulted and defaulted[0]["commit"] == ""
+    # re-add identical dicts: skipped (sha equality), nothing re-indexed
+    assert conn.add(docs) == {"added": 0, "changed": 0, "skipped": 2}
+    # change one: exactly that one re-indexes
+    docs[1]["content"] += " rrruniq"
+    assert conn.add(docs) == {"added": 0, "changed": 1, "skipped": 1}
+    assert conn.search("rrruniq", rows=0).hits == 1
+    # malformed dict raises before touching the index
+    with pytest.raises(ValueError):
+        conn.add([{"repo": "x", "content": "missing path"}])
+
+
+def test_search_with_facets_single_wave(conn, searcher, monkeypatch):
+    """Round-6 verdict #2: q + facet.field + rows>0 (the commonest Solr
+    request shape) runs ONE kernel evaluation — the ranked page,
+    numFound, and every facet field share the persisted match set.
+    Job shape: exactly one postings scan is planned; results are
+    bit-identical to the old two-wave path."""
+    calls = []
+    orig = Searcher._postings_scan
+
+    def counting(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(Searcher, "_postings_scan", counting)
+    res = conn.search("spark", rows=5, facet_field=["lang", "repo"],
+                      facet_limit=4)
+    assert len(calls) == 1, f"{len(calls)} kernel waves for q+facets"
+    # page identical to the plain ranked path
+    exp_df, exp_n = searcher.search("spark", k=5, with_count=True)
+    assert res.docs == [r.asDict() for r in exp_df.collect()]
+    assert res.hits == exp_n
+    # facets identical to the facet_fields path
+    exp_ff = searcher.facet_fields("spark", ["lang", "repo"], limit=4)
+    for f in ("lang", "repo"):
+        assert list(res.facets["facet_fields"][f].items()) == exp_ff[f], f
+
+
+def test_search_with_facets_variants(conn, searcher):
+    """The shared search+facets wave composes with fq, start offsets,
+    field sorts, mincount/prefix, and match-all queries — identical to
+    the separate paths in every case."""
+    # fq + offset
+    a = conn.search("spark", rows=3, start=2, fq="lang:en",
+                    facet_field="repo", facet_limit=3)
+    b = conn.search("lang:en AND spark", rows=3, start=2)
+    assert a.docs == b.docs and a.hits == b.hits
+    exp = searcher.facet_fields("lang:en AND spark", ["repo"], limit=3)
+    assert list(a.facets["facet_fields"]["repo"].items()) == exp["repo"]
+    # field sort override
+    c = conn.search("spark", rows=4, sort="doc_len desc",
+                    facet_field="lang")
+    d = conn.search("spark", rows=4, sort="doc_len desc")
+    assert c.docs == d.docs and c.hits == d.hits
+    # mincount + prefix ride through
+    e = conn.search("spark", rows=2, facet_field="path",
+                    facet_limit=5, facet_mincount=1, facet_prefix="src")
+    exp_p = searcher.facet("spark", "path", limit=5, prefix="src")
+    assert list(e.facets["facet_fields"]["path"].items()) == \
+        [(r[0], r["hits"]) for r in exp_p.collect()]
+    # match-all + facets
+    f_ = conn.search("[* TO *]", rows=3, facet_field="lang")
+    g = conn.search("[* TO *]", rows=3)
+    assert f_.docs == g.docs and f_.hits == g.hits
+    exp_ma = searcher.facet_fields("[* TO *]", ["lang"], limit=100)
+    assert list(f_.facets["facet_fields"]["lang"].items()) == exp_ma["lang"]

@@ -113,3 +113,34 @@ def test_wand_blocks_actually_skip(spark, clustered, q):
     assert on == off, q
     cand, dec = int(acc[0].value), int(acc[1].value)
     assert cand > 0 and dec < cand / 2, (q, cand, dec)
+
+
+@pytest.mark.parametrize("q", [
+    "h03 OR w01", "h07 OR w00 OR w05", "h03 OR h07",
+    "h03 AND w01", "h05^2 OR w02",
+])
+def test_wand_cursor_pages_sound(spark, clustered, q):
+    """Round-6 soundness regression (ADVICE high): the score-cursor θ
+    pool must not be seeded by PARTIAL phase-1 scores — a previous-page
+    doc whose mass sits partly in an undecoded block slips under the
+    cursor with an understated score, inflates θ past the true kth
+    after-cursor score, and the block-aligned phase-2 bound then prunes
+    blocks holding genuine page docs.  On the clustered fixture (where
+    multi-term pruning measurably fires) every WAND cursor page must be
+    bit-identical to the exhaustive walk."""
+    s = Searcher(spark, clustered)
+    full = [(r["doc_id"], r["score"])
+            for r in s.search(q, k=10**6, wand=False).collect()]
+    # page budget must exceed the match count or the walk truncates
+    pages = -(-len(full) // 7) + 2
+    walked, cur = [], None
+    for _ in range(pages):
+        rows, cur2 = s.search_after(q, k=7, after=cur, wand=True,
+                                    as_rows=True)
+        if not rows:
+            break
+        walked += [(d["doc_id"], d["score"]) for d in rows]
+        cur = cur2
+    assert [d for d, _ in walked] == [d for d, _ in full], q
+    for (wd, ws), (fd, fs) in zip(walked, full):
+        assert abs(ws - fs) < 1e-9, (q, wd)

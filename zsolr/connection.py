@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from .catalog import ManifestParquetCatalog
 from .parse import And, Boost, Not, parse
-from .search import Searcher, UnsupportedQuery, _is_meta
+from .search import Searcher, UnsupportedQuery, _is_meta, _parse_sort
 
 
 class Results:
@@ -168,18 +168,38 @@ class SolrConnection:
             if start:
                 raise UnsupportedQuery("cursorMark requires start=0")
             # Solr supports cursors over any stable sort (the uniqueKey
-            # tiebreak the engine always appends makes ours stable)
-            fielded = bool(sort) and not sort.strip().startswith("score")
+            # tiebreak the engine always appends makes ours stable).
+            # Fielded-ness comes from the PARSED sort spec (round-6
+            # advice): a prefix test misclassified any field whose name
+            # starts with "score" (e.g. `score_v asc`) as a score cursor
+            # and coerced its mark to (float, int), corrupting it.
+            spec = _parse_sort(sort)
+            fielded = bool(spec) and spec[0][0] != "score"
             after = _decode_mark(cursor_mark, fielded=fielded)
-            df, nxt, hits = self._searcher.search_after(
+            page, nxt, hits = self._searcher.search_after(
                 ast, k=max(rows, 1), after=after, with_count=True,
-                sort=sort)
+                sort=sort, as_rows=True)
             next_mark = _encode_mark(nxt) if nxt is not None else cursor_mark
+            docs = page if rows > 0 else []
+        elif fields:
+            # q + facet.field + rows>0 — the commonest Solr request
+            # shape (round-6): the ranked page, numFound, and every
+            # facet field share ONE kernel evaluation of the match set
+            # (Solr computes facets from the same match set as the
+            # page; the counted page already forces a full decode)
+            df, hits, ranked = self._searcher.search_with_facets(
+                ast, fields, k=rows, start=start, sort=sort,
+                facet_limit=facet_limit, mincount=facet_mincount,
+                prefix=facet_prefix)
+            facets["facet_fields"] = {
+                fld: {v: h for v, h in rows_}
+                for fld, rows_ in ranked.items()}
+            docs = [r.asDict() for r in df.collect()]
         else:
             k = rows if rows > 0 else 1
             df, hits = self._searcher.search(ast, k=k, start=start,
                                              sort=sort, with_count=True)
-        docs = [r.asDict() for r in df.collect()] if rows > 0 else []
+            docs = [r.asDict() for r in df.collect()] if rows > 0 else []
         if fl:
             want = [c.strip() for c in fl.split(",") if c.strip()]
             bad = [c for c in want if c not in
@@ -187,7 +207,9 @@ class SolrConnection:
             if bad:
                 raise UnsupportedQuery(f"unknown fl fields: {bad}")
             docs = [{c: d[c] for c in want} for d in docs]
-        if fields:
+        if fields and "facet_fields" not in facets:
+            # (cursorMark requests only — plain ranked requests share
+            # the kernel wave above, rows=0 took the facet-only path)
             # Solr facet.sort=count default (count desc, value asc
             # tiebreak) + facet.limit run INSIDE the engine as a
             # TakeOrdered — the facade collects O(facet_limit) rows per
@@ -254,10 +276,13 @@ class SolrConnection:
 
     def more_like_this(self, doc_id: int, rows: int = 10) -> Results:
         """pysolr ``Solr.more_like_this`` shape over the engine's MLT
-        component (Q25): docs similar to ``doc_id``, source excluded."""
-        df = self._searcher.more_like_this(doc_id, k=rows)
+        component (Q25): docs similar to ``doc_id``, source excluded.
+        ``hits`` is the TOTAL similar-doc match count (pysolr/Solr
+        numFound semantics — round-6 advice), not the page size."""
+        df, n = self._searcher.more_like_this(doc_id, k=rows,
+                                              with_count=True)
         docs = [r.asDict() for r in df.collect()]
-        return Results(docs, len(docs))
+        return Results(docs, n)
 
     def suggest_terms(self, prefix: str, rows: int = 10) -> dict:
         """pysolr ``Solr.suggest_terms`` shape over the suggester (Q19):
@@ -266,14 +291,31 @@ class SolrConnection:
         return {prefix: [(r["term"], r["df"]) for r in rows_]}
 
     # -- E1'/E3: update + delete -------------------------------------------
-    def add(self, docs: DataFrame) -> dict:
-        """Solr ``<add>`` upsert of a corpus-shaped DataFrame
-        (repo, path, commit, lang, content) — zeit.solr's
-        ``IUpdater.update`` path; only the given docs are touched
-        (``incremental_add``, not the full-snapshot diff).  Returns
-        {'added', 'changed', 'skipped'} counts."""
+    _CORPUS_SCHEMA = ("repo string, path string, commit string,"
+                      " lang string, content string")
+
+    def add(self, docs) -> dict:
+        """Solr ``<add>`` upsert — zeit.solr's ``IUpdater.update`` path;
+        only the given docs are touched (``incremental_add``, not the
+        full-snapshot diff).  Accepts EITHER a corpus-shaped DataFrame
+        (repo, path, commit, lang, content) OR pysolr's call shape, a
+        list of doc dicts (round-6 verdict #3) — each dict needs
+        ``repo``/``path``/``content``; ``commit``/``lang`` default to
+        ``""``.  Returns {'added', 'changed', 'skipped'} counts."""
         from .lifecycle import incremental_add
 
+        if not isinstance(docs, DataFrame):
+            rows = list(docs)
+            bad = [d for d in rows
+                   if not {"repo", "path", "content"} <= set(d)]
+            if bad:
+                raise ValueError(
+                    "add(list[dict]) docs need repo/path/content keys;"
+                    f" first bad doc: {bad[0]!r}")
+            docs = self.spark.createDataFrame(
+                [(d["repo"], d["path"], d.get("commit", ""),
+                  d.get("lang", ""), d["content"]) for d in rows],
+                self._CORPUS_SCHEMA)
         res = incremental_add(self.spark, self.cat, docs)
         self._reopen()
         return res

@@ -189,7 +189,13 @@ def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         stepped = (labels.join(nbr_min, "node", "left_outer")
                    .select("node", F.col("label").alias("old"),
                            F.least("label", F.coalesce("nl", "label"))
-                           .alias("lbl")))
+                           .alias("lbl"))
+                   # checkpoint BEFORE the doubling self-join (round-6
+                   # verdict #7): ptr is derived from stepped, so
+                   # without this the neighborhood aggregation lineage
+                   # executes TWICE per round — the bulk of the round-5
+                   # doubling regression at small fixture scale
+                   .localCheckpoint())
         # pointer doubling: chase one hop through the label "pointer"
         # (label values are node ids, so self-join label -> node); min()
         # keeps the move monotone, and at the fixpoint the chase is the

@@ -29,6 +29,7 @@ algebra is numpy ``searchsorted``/``union1d``; scoring is array math.
 from __future__ import annotations
 
 import math
+import re
 from dataclasses import dataclass
 
 import numpy as np
@@ -42,7 +43,32 @@ from .catalog import ManifestParquetCatalog
 from .parse import (And, Boost, Contains, Fuzzy, Not, Or, Phrase, Prefix,
                     Range, Term, Wildcard, parse)
 
-DOC_META_FIELDS = ("repo", "path", "commit", "lang")
+DOC_META_FIELDS = ("repo", "path", "commit", "lang", "ts")
+
+# ISO-8601 instants accepted as bounds on the typed ``ts`` date field
+# (Solr date-field syntax: ``ts:[2020-01-15T00:00:00Z TO *]``)
+_ISO_TS_RE = re.compile(
+    r"\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(?:\.\d+)?(?:Z|[+-]\d{2}:?\d{2})?$")
+
+
+def _parse_ts_bound(field: str, val: str):
+    """Validate + parse an ISO-8601 ``ts`` range bound driver-side.
+    A malformed bound RAISES (Q17's range-guard principle) instead of
+    becoming a NULL cast executor-side that silently matches nothing.
+    Naive strings read as UTC (Solr stores/renders all dates UTC)."""
+    from datetime import datetime, timezone
+
+    if not _ISO_TS_RE.match(val):
+        raise UnsupportedQuery(
+            f"bad {field} range bound {val!r} — expected ISO-8601"
+            f" (2020-01-15T00:00:00Z)")
+    try:
+        dt = datetime.fromisoformat(val.replace("Z", "+00:00"))
+    except ValueError as e:   # right shape, impossible instant (month 13…)
+        raise UnsupportedQuery(f"bad {field} range bound {val!r}: {e}")
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt
 
 
 class UnsupportedQuery(ValueError):
@@ -267,11 +293,18 @@ def _filter_expr(filters: list[tuple]):
         if isinstance(node, Term):
             e = F.col(node.field) == node.term
         else:  # Range, inclusive bounds (Lucene [a TO b])
-            e = F.lit(True)
+            # the typed date field compares as TIMESTAMP literals
+            # (validated driver-side), everything else lexicographically;
+            # either way the folded constant reaches the parquet scan as
+            # a pushed min/max filter
+            conv = (lambda v: F.lit(_parse_ts_bound(node.field, v))) \
+                if node.field == "ts" else F.lit
+            # open-open `f:[* TO *]` = field existence (Solr semantics)
+            e = F.col(node.field).isNotNull()
             if node.lo is not None:
-                e = e & (F.col(node.field) >= node.lo)
+                e = e & (F.col(node.field) >= conv(node.lo))
             if node.hi is not None:
-                e = e & (F.col(node.field) <= node.hi)
+                e = e & (F.col(node.field) <= conv(node.hi))
         expr = expr & (~e if kind == "neg" else e)
     return expr
 
@@ -572,6 +605,42 @@ def _topk_cut(ids: np.ndarray, sc: np.ndarray, k: int):
     return ids[top], sc[top]
 
 
+def _sparse_max(a: np.ndarray) -> list[np.ndarray]:
+    """Sparse table for O(1) range-max: ``tabs[k][i] = max(a[i:i+2**k])``.
+    Built once per (term, shard) in O(n log n); lets the WAND phase-2
+    cross-term bound answer every overlapping-window max without a
+    per-block Python loop (round-6: the old ``for i: ub[lo:hi].max()``
+    was O(blocks²) interpreted work per term pair)."""
+    tabs = [a]
+    p, n = 1, len(a)
+    while 2 * p <= n:
+        prev = tabs[-1]
+        tabs.append(np.maximum(prev[:n - 2 * p + 1], prev[p:n - p + 1]))
+        p *= 2
+    return tabs
+
+
+def _window_max(tabs: list, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Vectorized ``max(a[lo[i]:hi[i]])`` per i over a :func:`_sparse_max`
+    table (0.0 where the window is empty): each query is the max of two
+    overlapping power-of-two windows; queries group by window-length
+    exponent so the whole batch is a handful of fancy-index maxima."""
+    out = np.zeros(len(lo))
+    length = hi - lo
+    valid = length > 0
+    if not valid.any():
+        return out
+    ks = np.zeros(len(lo), dtype=np.int64)
+    # log2 of an exact power of two is exact in IEEE, so floor is safe
+    ks[valid] = np.floor(np.log2(length[valid])).astype(np.int64)
+    for kv in np.unique(ks[valid]):
+        m = valid & (ks == kv)
+        p = 1 << int(kv)
+        t = tabs[int(kv)]
+        out[m] = np.maximum(t[lo[m]], t[hi[m] - p])
+    return out
+
+
 def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                        neg_terms: set, zero_terms: set, k: int | None,
                        shard_width: int, avgdl: float, wand: bool,
@@ -779,7 +848,30 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                     phase1[t] = decode_term(t, rows, p1mask[t])
             p_ids, p_sc = _eval_ast(scored_ast, phase1, allowed_ids, env)
             if after is not None and not sort_spec:
-                pm = (p_sc < after[0]) | ((p_sc == after[0])
+                # Sound θ-pool cursor filter (round-6 ADVICE high):
+                # phase-1 scores are PARTIAL, so filtering on them lets
+                # a previous-page doc whose mass sits in an undecoded
+                # block slip under the cursor with an understated score
+                # and inflate θ past the true kth after-cursor score —
+                # the block-aligned phase-2 bound then prunes blocks
+                # holding genuine page docs.  Admit a doc only when its
+                # per-doc UPPER bound (partial score + the UB of its
+                # containing UNDECODED block, per partially-decoded
+                # term) is certainly past the cursor; conservatively
+                # excluded genuine docs only lower θ — less pruning,
+                # never a wrong page.  Each doc's posting for a term
+                # lies in exactly one block (disjoint, docID-sorted), so
+                # the containing block is one searchsorted per term.
+                p_ub = p_sc.copy()
+                for t, mask in p1mask.items():
+                    fd_t, ld_t, ub_t = spans[t]
+                    if not len(fd_t):
+                        continue
+                    idx = np.searchsorted(fd_t, p_ids, side="right") - 1
+                    safe = np.clip(idx, 0, None)
+                    inb = (idx >= 0) & (p_ids <= ld_t[safe]) & ~mask[safe]
+                    p_ub[inb] += ub_t[safe[inb]]
+                pm = (p_ub < after[0]) | ((p_ub == after[0])
                                           & (p_ids > after[1]))
                 p_ids, p_sc = p_ids[pm], p_sc[pm]
             theta = float(np.partition(p_sc, -k)[-k]) if len(p_ids) >= k \
@@ -796,8 +888,11 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
             # never prune multi-term queries: any block plus a hot
             # term's corpus-wide max always cleared θ.  Blocks are
             # sorted by first_doc and disjoint per term, so overlap is
-            # two searchsorteds; block counts per (term, shard) are
-            # ≤ shard_width/block_size, keeping this O(blocks²/terms).
+            # two searchsorteds; the window maxima come from per-term
+            # sparse tables (round-6), so the whole bound is
+            # O(terms² · blocks · log blocks) vectorized numpy — no
+            # per-block Python loop in the hot kernel.
+            ub_tabs = {u: _sparse_max(s[2]) for u, s in spans.items()}
             for t in all_terms:
                 if t in full:
                     per_term[t] = full[t]
@@ -810,9 +905,10 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                         continue
                     lo = np.searchsorted(ld_u, fd_t, side="left")
                     hi = np.searchsorted(fd_u, ld_t, side="right")
-                    for i in range(len(ub_t)):
-                        if lo[i] < hi[i]:
-                            other[i] += ub_u[lo[i]:hi[i]].max()
+                    # sparse-table window maxima (round-6): vectorized
+                    # O(blocks_t) per term pair instead of the old
+                    # per-block Python loop's O(blocks_t · blocks_u)
+                    other += _window_max(ub_tabs[u], lo, hi)
                 keep = (ub_t + other) >= theta
                 # phase-1 decodes are REUSED, not re-decoded (round-5):
                 # phase 2 decodes only surviving blocks phase 1 hasn't
@@ -1356,13 +1452,23 @@ class Searcher:
 
     def search_after(self, q, k: int = 10, after: tuple | None = None,
                      wand: bool = True, with_count: bool = False,
-                     sort: str | None = None):
+                     sort: str | None = None, as_rows: bool = False):
         """Solr cursorMark deep paging: return the next ``k`` hits
         STRICTLY AFTER ``after`` — the previous page's last-hit cursor
         (``None`` = first page) — plus the cursor for the next page.
         Unlike ``start=`` offsets — whose executor cut grows as
         start+k — every page ships ≤ k candidate rows per shard, so page
         10^6 costs the same as page 1 (the reason Solr added cursorMark).
+
+        ``as_rows=True`` returns the page as a list of plain dicts
+        instead of a DataFrame — the zero-extra-job shape for driver
+        consumers (:meth:`export`, the facade): the page is evaluated
+        exactly ONCE here (round-6; the ``_match_all`` path used to
+        return a lazy plan that downstream ``collect()`` re-evaluated,
+        doubling every match-all export page).  With ``as_rows=False``
+        the returned DataFrame is always driver-local
+        (``createDataFrame`` over the already-collected page), so a
+        second ``collect()`` costs no distributed work either way.
 
         ``sort`` (round-4 verdict #5): Solr supports cursors over ANY
         stable sort, and deep field-sorted export is the classic
@@ -1388,9 +1494,16 @@ class Searcher:
             nxt = tuple(last[f] for f, _d in eff) + (int(last["doc_id"]),)
         else:
             nxt = (float(rows[-1]["score"]), int(rows[-1]["doc_id"]))
-        if eff:
-            df = df.select("doc_id", "repo", "path", "commit", "score")
-        return (df, nxt, n) if with_count else (df, nxt)
+        page = [{"doc_id": int(r["doc_id"]), "repo": r["repo"],
+                 "path": r["path"], "commit": r["commit"],
+                 "score": float(r["score"])} for r in rows]
+        if as_rows:
+            return (page, nxt, n) if with_count else (page, nxt)
+        out = [(d["doc_id"], d["repo"], d["path"], d["commit"], d["score"])
+               for d in page]
+        df2 = self.spark.createDataFrame(out, self._OUT_SCHEMA) if out \
+            else self.spark.createDataFrame([], self._OUT_SCHEMA)
+        return (df2, nxt, n) if with_count else (df2, nxt)
 
     def export(self, q="[* TO *]", sort: str = "doc_id",
                page_size: int = 10000):
@@ -1403,13 +1516,12 @@ class Searcher:
         pure Catalyst, scored/filtered queries run the kernel path."""
         after = None
         while True:
-            df, after2 = self.search_after(q, k=page_size, after=after,
-                                           sort=sort)
-            rows = df.collect()
+            rows, after2 = self.search_after(q, k=page_size, after=after,
+                                             sort=sort, as_rows=True)
             if not rows:
                 return
             for r in rows:
-                yield r.asDict()
+                yield r
             after = after2
 
     def export_df(self, q="[* TO *]") -> DataFrame:
@@ -2097,7 +2209,7 @@ class Searcher:
 
     # -- Solr MoreLikeThis component -------------------------------------------
     def more_like_this(self, doc_id: int, k: int = 10,
-                       max_terms: int = 8) -> DataFrame:
+                       max_terms: int = 8, with_count: bool = False):
         """Solr MoreLikeThis: the source doc's top tf·idf content terms
         ("interesting terms") form an OR query; the source doc itself is
         excluded from the results.  Term selection reads the tfs table
@@ -2118,6 +2230,14 @@ class Searcher:
         terms = [r["term"] for r in ranked[:max_terms]]
         ast = Or(tuple(Term(t) for t in terms)) if len(terms) > 1 \
             else Term(terms[0])
+        if with_count:
+            # Solr MLT numFound = TOTAL similar-doc count, not the page
+            # size (round-6 advice): the source doc always matches its
+            # own interesting-term OR (tf > 0 by construction), so the
+            # similar-doc total is the match count minus the source.
+            out, n = self.search(ast, k=k + 1, with_count=True)
+            return (out.filter(F.col("doc_id") != doc_id).limit(k),
+                    max(0, n - 1))
         out = self.search(ast, k=k + 1)   # +1: the source doc ranks high
         return out.filter(F.col("doc_id") != doc_id).limit(k)
 
@@ -2411,3 +2531,90 @@ class Searcher:
         finally:
             if cached is not None:
                 cached.unpersist()
+
+    def search_with_facets(self, q, fields: list, k: int = 10,
+                           start: int = 0, sort: str | None = None,
+                           facet_limit: int | None = None,
+                           facet_sort: str = "count", mincount: int = 0,
+                           prefix: str | None = None):
+        """Ranked page + field facets + numFound from ONE evaluation of
+        the match set (round-6): Solr's commonest request shape
+        (``q`` + ``facet.field`` + rows>0) used to cost two kernel
+        waves — the counted top-k page and ``facet_fields``' match set.
+        Solr computes facets from the same match set as the page, and
+        the counted page already forces a FULL (non-WAND) decode, so
+        nothing is lost by sharing: the scored match set persists once;
+        the page is a TakeOrdered over it, numFound a count, and every
+        facet field a tiny agg over the cached set.
+        → (page_df, num_found, {field: [(value, hits), …]}) with the
+        page bit-identical to ``search(..., with_count=True)`` and the
+        facet rankings bit-identical to ``facet_fields``."""
+        plan = plan_query(q)
+        docs_f = self.docs
+        if plan.filters:
+            docs_f = docs_f.filter(_filter_expr(plan.filters))
+        sort_spec = _parse_sort(sort)
+        eff = [] if (not sort_spec or sort_spec[0][0] == "score") \
+            else sort_spec
+        fcols = [c for c in dict.fromkeys(fields) if c != "doc_id"]
+        scols = [f for f, _d in eff if f != "doc_id"]
+        need = list(dict.fromkeys(fcols + scols))
+        if plan.match_all:
+            if plan.exclude_ast is not None:
+                inner = self.match_scores(plan.exclude_ast) \
+                    .select("doc_id")
+                docs_f = docs_f.join(inner, "doc_id", "left_anti")
+            matched = docs_f.select("doc_id", *need,
+                                    F.lit(0.0).alias("score"))
+        else:
+            matches = self.match_scores(q)
+            matched = docs_f.select("doc_id", *need) \
+                .join(matches, "doc_id")
+        matched = matched.persist()
+        try:
+            num_found = matched.count()
+            keys = [F.col(f).desc() if dsc else F.col(f).asc()
+                    for f, dsc in eff] if eff else [F.desc("score")]
+            cut = (matched.select("doc_id", "score", *scols)
+                   .orderBy(*keys, F.asc("doc_id"))
+                   .limit(start + k).collect())[start:]
+            ids = [int(r["doc_id"]) for r in cut]
+            score_by_id = {int(r["doc_id"]): float(r["score"])
+                           for r in cut}
+            out = []
+            if ids:
+                if len(ids) <= self.ISIN_FETCH_CAP:
+                    src = self.docs.filter(F.col("doc_id").isin(ids))
+                else:
+                    ids_df = self.spark.createDataFrame(
+                        [(i,) for i in ids], "doc_id long")
+                    src = self.docs.join(F.broadcast(ids_df), "doc_id")
+                meta = {r["doc_id"]: r for r in
+                        src.select("doc_id", "repo", "path",
+                                   "commit").collect()}
+                out = [(d, meta[d]["repo"], meta[d]["path"],
+                        meta[d]["commit"], score_by_id[d]) for d in ids]
+            page = self.spark.createDataFrame(out, self._OUT_SCHEMA) \
+                if out else self.spark.createDataFrame(
+                    [], self._OUT_SCHEMA)
+            facets: dict = {}
+            for f in fields:
+                src_f = matched if prefix is None else \
+                    matched.filter(F.col(f).startswith(prefix))
+                agg = src_f.groupBy(f).agg(
+                    F.count(F.lit(1)).alias("hits"))
+                if mincount > 1:
+                    agg = agg.filter(F.col("hits") >= mincount)
+                if facet_limit is not None:
+                    if facet_sort == "count":
+                        agg = agg.orderBy(F.desc("hits"),
+                                          F.asc(f)).limit(facet_limit)
+                    elif facet_sort == "index":
+                        agg = agg.orderBy(F.asc(f)).limit(facet_limit)
+                    else:
+                        raise UnsupportedQuery(
+                            f"facet.sort={facet_sort!r} (count|index)")
+                facets[f] = [(r[0], r["hits"]) for r in agg.collect()]
+            return page, num_found, facets
+        finally:
+            matched.unpersist()
