@@ -244,6 +244,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "group_val", "rank", "doc_id", "hits")
     q["group_topn"] = group_topn_lang
 
+    # round-6: typed date field end-to-end (I3/Q17) — the corpus carries a
+    # real TIMESTAMP commit-date; the Solr date-range syntax parses to a
+    # pushed-down timestamp predicate on the doc store; output epoch
+    # seconds are instant-based, so the row is timezone-independent
+    def filter_ts_range(spark, sf):
+        cat, s = _index(spark, sf)
+        hits = s.search(
+            "ts:[2020-02-01T00:00:00Z TO 2020-06-01T00:00:00Z] AND spark",
+            k=None, wand=False).select("doc_id")
+        return hits.join(
+            cat.read(spark, "docs").select(
+                "doc_id", F.unix_timestamp("ts").alias("ts_s")), "doc_id")
+    q["filter_ts_range"] = filter_ts_range
+
+    # round-6: MoreLikeThis (Q25) — doc 0's top tf·idf interesting terms
+    # form the OR query, source excluded; the oracle recomputes the same
+    # term selection (tie-break: term asc) and ranking in pure SQL
+    def mlt_top(spark, sf):
+        from pyspark.sql import Window
+
+        _cat, s = _index(spark, sf)
+        out = s.more_like_this(0, k=10)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.select(F.row_number().over(w).cast("long").alias("rank"),
+                          "doc_id")
+    q["mlt_top"] = mlt_top
+
+    # round-6: debugQuery / Lucene Explanation (Q29) — the per-term BM25
+    # breakdown for the top-1 doc of 'hash AND join'; doubles rounded to
+    # 6 dp on both sides (ln() libm bit-identity across engines is not
+    # guaranteed; the exact Σ==score invariant is pytest-gated at 1e-12)
+    def explain_score(spark, sf):
+        _cat, s = _index(spark, sf)
+        top = s.search("hash AND join", k=1).collect()
+        df = s.explain("hash AND join", int(top[0]["doc_id"]))
+        return df.select(
+            "term", "tf", "df",
+            F.round("idf", 6).alias("idf_r"),
+            F.round("tf_norm", 6).alias("tf_norm_r"),
+            F.round("contribution", 6).alias("contrib_r"))
+    q["explain_score"] = explain_score
+
     def facet_lang(spark, sf):
         _cat, s = _index(spark, sf)
         return s.facet("spark", "lang")
@@ -331,20 +373,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_lsh"] = lambda spark, sf: ops.minhash_lsh_pairs(
         _docs(spark, sf).filter(F.col("doc_id") % 10 == 0),
         max_bucket=None)
-    q["ngram_jaccard"] = lambda spark, sf: ops.ngram_jaccard_adjacent(
-        _docs(spark, sf))
     # (simhash + events_windowed retired to the pytest ring round-5 for
     # the driver's 50-row cap, making room for search_after/group_topn —
     # the two newest cut paths; lang_id_heuristic likewise round-3)
     q["lang_id_ngram"] = lambda spark, sf: ops.lang_id_ngram(
         _docs(spark, sf).filter(F.col("doc_id") % 5 == 0))
     q["quality_score"] = lambda spark, sf: ops.quality_score(_docs(spark, sf))
-    q["token_count_bpe"] = lambda spark, sf: ops.token_count_bpe(
-        _docs(spark, sf))
-    q["doc_fingerprint"] = lambda spark, sf: ops.doc_fingerprint(
-        _docs(spark, sf).filter(F.col("doc_id") % 20 == 0))
     # (media_features stays pytest-covered — its driver row is retired for
-    # the 50-row cap in favor of the round-3/4 query components)
+    # the 50-row cap in favor of the round-3/4 query components; round 6
+    # likewise retires doc_fingerprint, ngram_jaccard and token_count_bpe
+    # — pure-codegen breadth with python-oracle pytest rings — for
+    # filter_ts_range, mlt_top and explain_score, the round-6 cut paths)
 
     def dedup_emb_cosine(spark, sf):
         """Embedding near-dup pairs over the fixture augmented with scaled
@@ -450,7 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # engine's deterministic rank assignment) → tokens → tf → doc_len → stats
 _BASE = f"""WITH {CORPUS_ORACLE_CTE.strip()},
 ids AS (
-  SELECT repo, path, "commit", lang, content,
+  SELECT repo, path, "commit", lang, content, ts, ts_s,
          row_number() OVER (ORDER BY repo, path, "commit") - 1 AS doc_id
   FROM corpus
 ),
@@ -600,7 +639,7 @@ FROM corpus"""
 
     o["convert_fields"] = f"""{_BASE}
 SELECT repo, path, "commit", lang, sha256(content) AS content_sha256,
-       length(content)::BIGINT AS n_chars
+       length(content)::BIGINT AS n_chars, ts_s
 FROM corpus"""
 
     o["tokenize_counts"] = f"""{_BASE}
@@ -741,6 +780,52 @@ ranked AS (
 SELECT lang AS group_val, rn::BIGINT AS rank, doc_id, hits::BIGINT AS hits
 FROM ranked WHERE rn <= 3"""
 
+    # round-6: typed date range — real TIMESTAMP comparison in the oracle
+    # (WHERE ts BETWEEN), epoch seconds as the tz-independent compared value
+    o["filter_ts_range"] = f"""{_BASE},
+matches AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark')
+SELECT i.doc_id, i.ts_s
+FROM matches JOIN ids i USING (doc_id)
+WHERE i.ts BETWEEN TIMESTAMP '2020-02-01 00:00:00'
+               AND TIMESTAMP '2020-06-01 00:00:00'"""
+
+    # round-6: MoreLikeThis — interesting-term selection (top-8 by tf·idf,
+    # term-asc tie-break) + OR ranking, source doc 0 excluded
+    o["mlt_top"] = f"""{_BASE},
+interesting AS (
+  SELECT tf.term,
+         tf.tf * ln(1 + (st.n - tdf.df + 0.5)/(tdf.df + 0.5)) AS ti
+  FROM tf JOIN tdf USING (term) CROSS JOIN stats st
+  WHERE tf.doc_id = 0
+  ORDER BY ti DESC, tf.term LIMIT 8),
+scored AS (
+  SELECT tf.doc_id, sum({_SCORE}) AS score
+  FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats st
+  WHERE tf.term IN (SELECT term FROM interesting) AND tf.doc_id <> 0
+  GROUP BY tf.doc_id)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank, doc_id
+FROM scored ORDER BY score DESC, doc_id LIMIT 10"""
+
+    # round-6: explain breakdown for the top-1 'hash AND join' doc —
+    # weight is 1.0 for every leg of a plain AND, so the compared columns
+    # are the per-term stats + rounded idf/tf_norm/contribution
+    o["explain_score"] = f"""{_BASE},
+scored AS (
+  SELECT tf.doc_id, sum({_SCORE}) AS score
+  FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats st
+  WHERE tf.term IN ('hash', 'join')
+  GROUP BY tf.doc_id HAVING count(*) = 2),
+top1 AS (SELECT doc_id FROM scored ORDER BY score DESC, doc_id LIMIT 1)
+SELECT tf.term, tf.tf, tdf.df,
+       round(ln(1 + (st.n - tdf.df + 0.5)/(tdf.df + 0.5)), 6) AS idf_r,
+       round(tf.tf * (1.2 + 1.0)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.doc_len / st.avgdl)),
+             6) AS tf_norm_r,
+       round({_SCORE}, 6) AS contrib_r
+FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats st
+WHERE tf.doc_id = (SELECT doc_id FROM top1)
+  AND tf.term IN ('hash', 'join')"""
+
     o["facet_lang"] = f"""{_BASE},
 matches AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark')
 SELECT i.lang, count(*)::BIGINT AS hits
@@ -868,16 +953,6 @@ FROM bands a JOIN bands b
   ON a.band = b.band AND a.h0 = b.h0 AND a.h1 = b.h1
  AND a.doc_id < b.doc_id"""
 
-    o["ngram_jaccard"] = f"""
-WITH toksets AS (
-  SELECT doc_id,
-         list_sort(list_distinct({_DOC_TOKS})) AS ts
-  FROM documents)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       round(len(list_intersect(a.ts, b.ts))::DOUBLE
-             / len(list_distinct(a.ts || b.ts)), 6) AS jaccard
-FROM toksets a JOIN toksets b ON b.doc_id = a.doc_id + 1"""
-
     def _tri_hits(lang: str) -> str:
         lits = ", ".join(
             "'" + g.replace("'", "''") + "'" for g in ops.LANG_TRIGRAMS[lang])
@@ -904,24 +979,6 @@ SELECT doc_id, length(text)::BIGINT AS n_chars, len(ts)::BIGINT AS n_tokens,
              / greatest(len(ts), 1), 6) AS avg_token_len,
        round(len(list_filter(ts, x -> x IN ('the', 'a')))::DOUBLE
              / greatest(len(ts), 1), 6) AS stop_ratio
-FROM t"""
-
-    o["token_count_bpe"] = """
-SELECT doc_id,
-       len(regexp_extract_all(lower(text), '[a-z]{1,4}|[0-9]{1,3}'))::BIGINT
-         AS n_bpe_tokens
-FROM documents"""
-
-    o["doc_fingerprint"] = f"""
-WITH t AS (SELECT doc_id, {_DOC_TOKS} AS ts FROM documents
-           WHERE doc_id % 20 = 0)
-SELECT doc_id,
-       (CASE WHEN len(ts) = 0 THEN 0
-             ELSE list_reduce(
-                    list_transform(ts,
-                        x -> ('0x' || substr(md5(x), 1, 7))::BIGINT),
-                    (acc, h) -> (acc * 1000003 + h) % 2147483647)
-        END)::BIGINT AS fingerprint
 FROM t"""
 
     o["dedup_embedding_cosine"] = """

@@ -152,6 +152,16 @@ def test_quality_and_langid(spark, docs_df, docs_py):
         assert abs(lid[d["doc_id"]] - round(stops / max(1, len(toks)), 6)) < 1e-9
 
 
+def test_token_count_bpe_matches_python(spark, docs_df, docs_py):
+    """Python-regex oracle for the BPE-ish token counter (its driver row
+    retired to this ring round-6 for the 50-row cap)."""
+    got = {r["doc_id"]: r["n_bpe_tokens"]
+           for r in ops.token_count_bpe(docs_df).collect()}
+    for d in docs_py:
+        exp = len(re.findall(r"[a-z]{1,4}|[0-9]{1,3}", d["text"].lower()))
+        assert got[d["doc_id"]] == exp, d["doc_id"]
+
+
 def test_doc_fingerprint_deterministic_and_order_sensitive(spark, docs_df):
     sub = docs_df.filter("doc_id % 20 = 0")
     a = {r["doc_id"]: r["fingerprint"]

@@ -105,11 +105,17 @@ def term_bucket(term: str, n_buckets: int) -> int:
 
 
 def corpus_to_tokd(with_ids: DataFrame, tokenizer: str = "codegen") -> DataFrame:
-    """corpus+doc_id → (doc_id, meta, content_sha256, toks, doc_len)."""
+    """corpus+doc_id → (doc_id, meta, content_sha256, toks, doc_len).
+    A typed ``ts`` date column (optional — legacy corpora lack it) rides
+    into the doc store so date-range filters hit a real timestamp with
+    parquet min/max pushdown."""
     toks = (tokenize_arrow(F.col("content")) if tokenizer == "arrow"
             else tokenize_codegen(F.col("content")))
+    meta = ["doc_id", "repo", "path", "commit", "lang"]
+    if "ts" in with_ids.columns:
+        meta.append("ts")
     return with_ids.select(
-        "doc_id", "repo", "path", "commit", "lang",
+        *meta,
         F.sha2(F.col("content"), 256).alias("content_sha256"),
         toks.alias("toks"),
     ).withColumn("doc_len", F.size("toks").cast("long"))

@@ -22,8 +22,17 @@ from pyspark.sql import functions as F
 # lang → source-file extension, FIXTURES.md §1
 LANG_EXT = {"en": "py", "de": "java", "fr": "go", "es": "rs", "zh": "c"}
 
+# commit timestamp derivation (FIXTURES.md §1): a pseudo-uniform instant
+# inside calendar year 2020, pure function of the fixture doc_id —
+# TS_EPOCH0 = 2020-01-01T00:00:00Z, the multiplier spreads consecutive ids
+# across the year.  Stored as a real TIMESTAMP column (instant semantics);
+# oracle comparisons use epoch seconds, which are timezone-independent.
+TS_EPOCH0 = 1577836800
+TS_MULT = 8761
+TS_YEAR_S = 31536000
+
 # DuckDB-oracle twin of the corpus derivation (shared by __spark_entry__):
-CORPUS_ORACLE_CTE = """
+CORPUS_ORACLE_CTE = f"""
 corpus AS (
   SELECT
     source AS repo,
@@ -37,7 +46,10 @@ corpus AS (
                    WHEN 'fr' THEN 'go' WHEN 'es' THEN 'rs' ELSE 'c' END
       || '@' || CAST(doc_id AS VARCHAR)), 1, 40) AS "commit",
     lang,
-    text AS content
+    text AS content,
+    (TIMESTAMP '2020-01-01 00:00:00'
+       + ((doc_id * {TS_MULT}) % {TS_YEAR_S}) * INTERVAL '1 second') AS ts,
+    ({TS_EPOCH0} + (doc_id * {TS_MULT}) % {TS_YEAR_S})::BIGINT AS ts_s
   FROM documents
 )
 """
@@ -93,6 +105,13 @@ def synth_corpus(spark: SparkSession, sf_dir: str,
         ).alias("commit"),
         F.col("lang"),
         F.col("text").alias("content"),
+        # typed commit-date field (SURVEY I3: zeit.solr converts CMS
+        # dates to Solr date fields) — timestamp_seconds builds the
+        # INSTANT from epoch arithmetic, so the value is identical in
+        # every session timezone
+        F.timestamp_seconds(
+            F.lit(TS_EPOCH0)
+            + (F.col("doc_id") * TS_MULT) % TS_YEAR_S).alias("ts"),
     )
 
 
@@ -111,9 +130,15 @@ def convert_fields(corpus: DataFrame) -> DataFrame:
     zeit.solr's converter turns a CMS object into Solr ``<field>`` values
     (dates → ISO-8601Z, bools → 'true'/'false'); here the typed field bag is
     the DataFrame schema itself and the computed field is the invariant
-    sha256."""
-    return corpus.select(
+    sha256.  When the corpus carries the typed ``ts`` date field, the
+    conversion emits its instant as ``ts_s`` epoch seconds (the
+    timezone-independent comparable; ISO-8601Z *rendering* is
+    ``date_format`` under the engine's pinned-UTC sessions)."""
+    cols = [
         "repo", "path", "commit", "lang",
         F.sha2(F.col("content"), 256).alias("content_sha256"),
         F.length("content").alias("n_chars"),
-    )
+    ]
+    if "ts" in corpus.columns:
+        cols.append(F.unix_timestamp("ts").alias("ts_s"))
+    return corpus.select(*cols)

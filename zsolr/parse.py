@@ -294,13 +294,28 @@ class _Parser:
         self.pop()  # [
         parts = []
         while self.peek()[0] not in ("rbrack", None):
-            parts.append(self.pop()[1])
+            parts.append(self.pop())
         if self.pop()[0] != "rbrack":
             raise ValueError("unterminated range")
-        if len(parts) != 3 or parts[1] != "TO":
-            raise ValueError(f"bad range {parts}")
-        lo = None if parts[0] == "*" else _unescape(parts[0])
-        hi = None if parts[2] == "*" else _unescape(parts[2])
+        # bounds may contain colons the lexer splits on (ISO-8601
+        # timestamps: ``ts:[2020-01-01T00:00:00Z TO *]``) — the literal
+        # word ``TO`` is the only reliable separator, so tokens on each
+        # side re-join into one bound.  Only colon-split sequences may
+        # re-join (word colon word …); two ADJACENT word tokens mean the
+        # input had whitespace inside a bound, which stays an error.
+        vals = [v for _k, v in parts]
+        if vals.count("TO") != 1:
+            raise ValueError(f"bad range {vals}")
+        cut = vals.index("TO")
+        for seg in (parts[:cut], parts[cut + 1:]):
+            if any(a[0] == "word" and b[0] == "word"
+                   for a, b in zip(seg, seg[1:])):
+                raise ValueError(f"bad range {vals}")
+        lo_s, hi_s = "".join(vals[:cut]), "".join(vals[cut + 1:])
+        if not lo_s or not hi_s:
+            raise ValueError(f"bad range {vals}")
+        lo = None if lo_s == "*" else _unescape(lo_s)
+        hi = None if hi_s == "*" else _unescape(hi_s)
         return Range(name, lo, hi)
 
     @staticmethod
