@@ -1,0 +1,130 @@
+"""Solr ``facet.missing`` + multi-field ``group.field`` (round-6 verdict
+stretch #8): NULL-field docs count as the missing bucket (never as a
+``lang=…`` field term), and repeated ``group.field`` params share one
+kernel evaluation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from zsolr.build import BuildConfig, IndexBuilder
+from zsolr.catalog import ManifestParquetCatalog
+from zsolr.search import Searcher
+
+
+@pytest.fixture(scope="module")
+def null_index(tmp_path_factory, spark, corpus_df):
+    """Index over the sf0.001 corpus with lang NULLed on ~1/7 of docs."""
+    nulled = corpus_df.withColumn(
+        "lang",
+        F.when(F.crc32(F.col("path")) % 7 == 0, F.lit(None))
+        .otherwise(F.col("lang")))
+    root = str(tmp_path_factory.mktemp("null-idx"))
+    cat = ManifestParquetCatalog(root)
+    IndexBuilder(cat, BuildConfig(n_buckets=4)).build(
+        spark, "nulls", corpus_df=nulled)
+    return cat
+
+
+@pytest.fixture(scope="module")
+def ns(spark, null_index):
+    return Searcher(spark, null_index)
+
+
+def _brute(ns, q, field):
+    """(value→count incl. None key) over the match set, via the doc store."""
+    matched = ns.search(q, k=None, wand=False).select("doc_id") \
+        .join(ns.docs.select("doc_id", field), "doc_id")
+    out = {}
+    for r in matched.collect():
+        out[r[field]] = out.get(r[field], 0) + 1
+    return out
+
+
+def test_facet_missing_counts_null_docs(ns):
+    exp = _brute(ns, "spark", "lang")
+    assert None in exp and exp[None] > 0  # fixture really has null matches
+    rows = ns.facet("spark", "lang", missing=True).collect()
+    got = {r["lang"]: r["hits"] for r in rows}
+    assert got == exp
+    # without missing, the null bucket never appears (Solr default)
+    got_plain = {r["lang"]: r["hits"]
+                 for r in ns.facet("spark", "lang").collect()}
+    assert None not in got_plain
+    assert got_plain == {k: v for k, v in exp.items() if k is not None}
+
+
+def test_facet_missing_zero_row_present(ns):
+    # repo has no nulls → Solr still reports missing: 0
+    rows = ns.facet("spark", "repo", missing=True, limit=100).collect()
+    assert rows[-1]["repo"] is None and rows[-1]["hits"] == 0
+    # the null row rides OUTSIDE the limit budget, after the ranked values
+    rows2 = ns.facet("spark", "lang", missing=True, limit=2).collect()
+    assert len(rows2) == 3 and rows2[-1]["lang"] is None
+    ranked = [(r["lang"], r["hits"]) for r in rows2[:-1]]
+    assert ranked == sorted(ranked, key=lambda t: (-t[1], t[0]))
+
+
+def test_facet_missing_survives_mincount_and_prefix(ns):
+    exp_null = _brute(ns, "spark", "lang")[None]
+    rows = ns.facet("spark", "lang", missing=True, mincount=10**6,
+                    limit=10).collect()
+    assert [(r["lang"], r["hits"]) for r in rows] == [(None, exp_null)]
+    rows = ns.facet("spark", "path", missing=True, prefix="dir1",
+                    limit=5).collect()
+    # path is never null → missing row present with 0, prefix respected
+    assert rows[-1]["path"] is None and rows[-1]["hits"] == 0
+    assert all(r["path"].startswith("dir1") for r in rows[:-1])
+
+
+def test_facade_facet_missing(spark, null_index, ns):
+    from zsolr.connection import SolrConnection
+
+    conn = SolrConnection(spark, null_index)
+    exp = _brute(ns, "spark", "lang")
+    # facet-only path (rows=0)
+    r0 = conn.search("spark", rows=0, facet_field="lang",
+                     facet_missing=True)
+    assert r0.facets["facet_fields"]["lang"][None] == exp[None]
+    # shared search+facets path (rows>0)
+    r1 = conn.search("spark", rows=5, facet_field="lang",
+                     facet_missing=True)
+    assert r1.facets["facet_fields"]["lang"][None] == exp[None]
+    assert r1.hits == r0.hits
+    # default stays Solr default: no missing bucket
+    r2 = conn.search("spark", rows=0, facet_field="lang")
+    assert None not in r2.facets["facet_fields"]["lang"]
+
+
+def test_null_field_docs_not_lang_terms(ns):
+    # a NULL lang doc is findable by content but not via any lang:… filter
+    en = {r["doc_id"] for r in
+          ns.search("lang:en", k=None).select("doc_id").collect()}
+    nulls = {r["doc_id"] for r in
+             ns.docs.filter(F.col("lang").isNull())
+             .select("doc_id").collect()}
+    assert nulls and not (en & nulls)
+    # and the postings contain no NULL field term
+    bad = (ns.cat.read(ns.spark, "tfs")
+           .filter(F.col("term").isNull()).count())
+    assert bad == 0
+
+
+def test_group_topn_multi_matches_single(ns, monkeypatch):
+    single = {
+        f: [tuple(r) for r in ns.group_topn("spark", f, n=3)
+            .orderBy("group_val", "rank").collect()]
+        for f in ("lang", "repo")}
+    calls = []
+    orig = Searcher._postings_scan
+
+    def counting(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(Searcher, "_postings_scan", counting)
+    multi = ns.group_topn_multi("spark", ["lang", "repo"], n=3)
+    assert len(calls) == 1, f"{len(calls)} kernel waves for 2 group fields"
+    for f in ("lang", "repo"):
+        got = [tuple(r) for r in multi[f]
+               .orderBy("group_val", "rank").collect()]
+        assert got == single[f], f

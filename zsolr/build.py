@@ -151,10 +151,13 @@ def tokd_to_tf(tokd: DataFrame, n_buckets: int,
                         F.col("doc_len").alias("tf"),
                         empty_pos.alias("positions"))
     for fld in FIELD_TERMS:
-        part = tokd.select(
-            F.concat(F.lit(f"{fld}="), F.col(fld)).alias("term"),
-            "doc_id", F.lit(1).cast("long").alias("tf"),
-            empty_pos.alias("positions"))
+        # a NULL field value means the doc simply has no field term
+        # (concat would otherwise poison the postings with a NULL term);
+        # such docs are countable via facet.missing, never via lang=…
+        part = (tokd.filter(F.col(fld).isNotNull())
+                .select(F.concat(F.lit(f"{fld}="), F.col(fld)).alias("term"),
+                        "doc_id", F.lit(1).cast("long").alias("tf"),
+                        empty_pos.alias("positions")))
         extra = extra.unionByName(part)
     return tok_tf.unionByName(extra).withColumn(
         "bucket", F.pmod(F.crc32(F.col("term")), F.lit(n_buckets)).cast("int"))

@@ -58,6 +58,8 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--facet-limit", type=int, default=100)
     se.add_argument("--facet-mincount", type=int, default=0)
     se.add_argument("--facet-prefix", default=None)
+    se.add_argument("--facet-missing", action="store_true",
+                    help="Solr facet.missing: NULL-field bucket per facet")
     se.add_argument("--cursor-mark", default=None,
                     help="'*' to start; pass nextCursorMark to continue")
 
@@ -84,7 +86,8 @@ def main(argv: list[str] | None = None) -> int:
     gp = sub.add_parser("group", help="result grouping (top-n per value)")
     gp.add_argument("query")
     gp.add_argument("--index", required=True)
-    gp.add_argument("--field", required=True)
+    gp.add_argument("--field", required=True, action="append",
+                    dest="fields", help="repeatable (Solr group.field)")
     gp.add_argument("--limit", type=int, default=1,
                     help="docs per group (Solr group.limit)")
 
@@ -184,6 +187,7 @@ def main(argv: list[str] | None = None) -> int:
                           facet_limit=args.facet_limit,
                           facet_mincount=args.facet_mincount,
                           facet_prefix=args.facet_prefix,
+                          facet_missing=args.facet_missing,
                           cursor_mark=args.cursor_mark)
         out = {"responseHeader": {"status": 0},
                "response": {"numFound": res.hits, "start": args.start,
@@ -214,12 +218,23 @@ def main(argv: list[str] | None = None) -> int:
                                      max_edits=args.max_edits)
         elif args.cmd == "explain":
             df = searcher.explain(args.query, args.doc_id)
+        elif len(args.fields) > 1:
+            # repeated --field (Solr group.field): one kernel wave, one
+            # grouped section per field
+            grouped = searcher.group_topn_multi(args.query, args.fields,
+                                                n=args.limit)
+            df = None
+            for fld, gdf in grouped.items():
+                for r in gdf.collect():
+                    print(json.dumps({"group.field": fld, **r.asDict()}))
         elif args.limit > 1:
-            df = searcher.group_topn(args.query, args.field, n=args.limit)
+            df = searcher.group_topn(args.query, args.fields[0],
+                                     n=args.limit)
         else:
-            df = searcher.group_top1(args.query, args.field)
-        for r in df.collect():
-            print(json.dumps(r.asDict()))
+            df = searcher.group_top1(args.query, args.fields[0])
+        if df is not None:
+            for r in df.collect():
+                print(json.dumps(r.asDict()))
     elif args.cmd == "batch":
         from zsolr.search import Searcher
         searcher = Searcher(spark, cat)

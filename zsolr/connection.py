@@ -119,6 +119,7 @@ class SolrConnection:
                facet_query: str | list[str] | None = None,
                facet_limit: int = 100, facet_mincount: int = 0,
                facet_prefix: str | None = None,
+               facet_missing: bool = False,
                hl: bool = False, hl_snippets: int = 3,
                spellcheck: bool = False,
                cursor_mark: str | None = None) -> Results:
@@ -152,7 +153,8 @@ class SolrConnection:
         if facet_only:
             ranked, hits = self._searcher.facet_fields(
                 ast, fields, limit=facet_limit, mincount=facet_mincount,
-                prefix=facet_prefix, with_hits=True)
+                prefix=facet_prefix, with_hits=True,
+                missing=facet_missing)
             facets["facet_fields"] = {
                 fld: {v: h for v, h in rows_}
                 for fld, rows_ in ranked.items()}
@@ -190,7 +192,7 @@ class SolrConnection:
             df, hits, ranked = self._searcher.search_with_facets(
                 ast, fields, k=rows, start=start, sort=sort,
                 facet_limit=facet_limit, mincount=facet_mincount,
-                prefix=facet_prefix)
+                prefix=facet_prefix, missing=facet_missing)
             facets["facet_fields"] = {
                 fld: {v: h for v, h in rows_}
                 for fld, rows_ in ranked.items()}
@@ -220,7 +222,8 @@ class SolrConnection:
             ranked = self._searcher.facet_fields(ast, fields,
                                                  limit=facet_limit,
                                                  mincount=facet_mincount,
-                                                 prefix=facet_prefix)
+                                                 prefix=facet_prefix,
+                                                 missing=facet_missing)
             ff = {fld: {v: h for v, h in rows_}
                   for fld, rows_ in ranked.items()}
             facets["facet_fields"] = ff

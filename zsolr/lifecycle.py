@@ -133,9 +133,11 @@ def incremental_update(spark: SparkSession, cat: ManifestParquetCatalog,
                 j.filter(F.col("status").isin("removed", "changed"))
                 .select("doc_id"))
         if n_added:
+            extra = ["ts"] if "ts" in new_corpus.columns else []
             added_corpus = (
                 j.filter(F.col("status").isin("added", "changed"))
-                .select("repo", "path", "commit", "lang", "content"))
+                .select("repo", "path", "commit", "lang", "content",
+                        *extra))
             offset = cat.read(spark, "docs").agg(
                 F.coalesce(F.max("doc_id"), F.lit(-1))
             ).collect()[0][0] + 1
@@ -195,9 +197,11 @@ def incremental_add(spark: SparkSession, cat: ManifestParquetCatalog,
                 spark, cat,
                 j.filter(F.col("status") == "changed").select("doc_id"))
         if n_new + n_changed:
+            extra = ["ts"] if "ts" in delta.columns else []
             upsert_corpus = (
                 j.filter(F.col("status").isin("added", "changed"))
-                .select("repo", "path", "commit", "lang", "content"))
+                .select("repo", "path", "commit", "lang", "content",
+                        *extra))
             # coalesce → -1: an index built over an EMPTY corpus receiving
             # its first add() has max(doc_id) NULL (round-4 advice) —
             # first docs start at 0
@@ -227,6 +231,22 @@ def _append_partial_index(spark: SparkSession, cat: ManifestParquetCatalog,
     tf = tokd_to_tf(tokd, cfg.n_buckets, positions=cfg.positions)
     cat.write(tf, "tfs", mode="append")
     docs = tokd.drop("toks")
+    # align the delta to the doc store's committed schema: a column the
+    # store has but the delta lacks (e.g. a delta without the typed ts
+    # date field) appends as typed NULL — exactly the docs facet.missing
+    # then counts; a column the store has never seen is refused (doc-store
+    # schema evolution is a rebuild decision, not an append side effect)
+    existing = {f.name: f.dataType
+                for f in cat.read(spark, "docs").schema.fields}
+    unknown = [c for c in docs.columns if c not in existing]
+    if unknown:
+        raise ValueError(
+            f"delta corpus adds doc-store columns {unknown}; rebuild the"
+            f" index to change the doc schema")
+    docs = docs.select(*[
+        F.col(c).alias(c) if c in docs.columns
+        else F.lit(None).cast(t).alias(c)
+        for c, t in existing.items()])
     cat.write(docs, "docs", mode="append")
     # read the delta back from the committed snapshot rather than
     # recomputing the docid lineage (its cache is cleared below)

@@ -2372,10 +2372,16 @@ class Searcher:
         contains one FlatMapGroupsInPandas — asserted in tests), halving
         query cost vs the old two-branch shape.
         → (group_val, rank, doc_id, score, hits)."""
-        from pyspark.sql import Window as _W
-
         scored = self.match_scores(q)
         j = scored.join(self.docs.select("doc_id", field), "doc_id")
+        return self._group_cut(j, field, n)
+
+    def _group_cut(self, j: DataFrame, field: str, n: int) -> DataFrame:
+        """The two-level salted per-group top-n cut over a
+        (doc_id, score, field) frame — shared by :meth:`group_topn` and
+        :meth:`group_topn_multi`."""
+        from pyspark.sql import Window as _W
+
         okeys = (F.desc("score"), F.asc("doc_id"))
         w1 = _W.partitionBy(field, "salt").orderBy(*okeys)
         w1c = _W.partitionBy(field, "salt")          # full-frame count
@@ -2395,6 +2401,30 @@ class Searcher:
                 .select(F.col(field).alias("group_val"),
                         F.col("rank").cast("long").alias("rank"),
                         "doc_id", "score", "hits"))
+
+    def group_topn_multi(self, q, fields: list, n: int = 3) -> dict:
+        """Multi-field result grouping (round-6 verdict #8: Solr accepts
+        ``group.field`` repeatedly and returns one grouped section per
+        field).  The search kernel evaluates ONCE: the scored match set
+        (joined to every requested group field) persists, and each field
+        runs only its own two-level salted cut over the cached rows — N
+        fields cost one kernel wave + N window cuts, not N full
+        searches.  → {field: group_topn-shaped DataFrame} (driver-local
+        rows, so the cache can be released before returning)."""
+        fields = list(dict.fromkeys(fields))
+        scored = self.match_scores(q)
+        cols = [f for f in fields if f != "doc_id"]
+        j = scored.join(self.docs.select("doc_id", *cols), "doc_id") \
+            .persist()
+        try:
+            out = {}
+            for f in fields:
+                cut = self._group_cut(j, f, n)
+                out[f] = self.spark.createDataFrame(cut.collect(),
+                                                    cut.schema)
+            return out
+        finally:
+            j.unpersist()
 
     def facet_query(self, q, facet_queries: list) -> dict:
         """Solr ``facet.query``: exact hit count of each subquery
@@ -2435,9 +2465,66 @@ class Searcher:
         return docs_f.join(matches, "doc_id")
 
     # -- Q11 facets -----------------------------------------------------------
+    @staticmethod
+    def _facet_agg(src: DataFrame, field: str, limit: int | None,
+                   sort: str, mincount: int, prefix: str | None,
+                   missing: bool) -> DataFrame:
+        """The shared per-field facet aggregation over a match set:
+        prefix-pruned input → hash agg → mincount filter → engine-side
+        TakeOrdered under ``facet.sort`` semantics.  ``missing=True``
+        (Solr ``facet.missing``) appends ONE row counting match-set docs
+        with a NULL field value (value = NULL), computed in the same
+        lineage — the null group of the aggregation — so it costs no
+        extra pass; Solr renders it after the ranked values, and the
+        null-valued row is unambiguous to callers."""
+        base = src if missing else src.filter(F.col(field).isNotNull())
+        if prefix is not None:
+            # Solr facet.prefix: value filter BEFORE the aggregation —
+            # prunes the agg input, and for match-all facets pushes the
+            # StartsWith straight into the parquet scan.  The missing
+            # row ignores prefix (Solr: facet.missing counts all
+            # unfielded docs regardless of prefix).
+            keep = F.col(field).startswith(prefix)
+            if missing:
+                keep = keep | F.col(field).isNull()
+            base = base.filter(keep)
+        out = base.groupBy(field).agg(F.count(F.lit(1)).alias("hits"))
+        if missing:
+            # guarantee the NULL row exists even with zero unfielded
+            # docs (Solr reports missing: 0): seed a (NULL, 0) row and
+            # re-aggregate — the histogram is already tiny post-agg
+            ftype = dict(src.dtypes)[field]
+            seed = (src.sparkSession.range(1)
+                    .select(F.lit(None).cast(ftype).alias(field),
+                            F.lit(0).cast("long").alias("hits")))
+            out = (out.unionByName(seed).groupBy(field)
+                   .agg(F.sum("hits").alias("hits")))
+        if mincount > 1:
+            keep = F.col("hits") >= mincount
+            if missing:
+                keep = keep | F.col(field).isNull()
+            out = out.filter(keep)
+        if limit is not None:
+            if sort == "count":
+                keys = [F.desc("hits"), F.asc(field)]
+            elif sort == "index":
+                keys = [F.asc(field)]
+            else:
+                raise UnsupportedQuery(f"facet.sort={sort!r} (count|index)")
+            if missing:
+                # NULL row last (Solr renders missing after the values),
+                # outside the limit budget
+                nn = (out.filter(F.col(field).isNotNull())
+                      .orderBy(*keys).limit(limit))
+                out = nn.unionByName(out.filter(F.col(field).isNull()))
+            else:
+                out = out.orderBy(*keys).limit(limit)
+        return out
+
     def facet(self, q, field: str, limit: int | None = None,
               sort: str = "count", mincount: int = 0,
-              prefix: str | None = None) -> DataFrame:
+              prefix: str | None = None,
+              missing: bool = False) -> DataFrame:
         """Per-field value → hit count over the full match set.
 
         ``limit``/``sort`` are Solr's ``facet.limit``/``facet.sort``
@@ -2450,7 +2537,11 @@ class Searcher:
         unbounded driver collect the design bans.  ``sort='count'`` is
         Solr's default (count desc, value asc tiebreak); ``'index'``
         orders by value.  ``limit=None`` returns the full histogram
-        unordered (the aggregation output, for oracle comparison)."""
+        unordered (the aggregation output, for oracle comparison).
+        ``missing=True`` (Solr ``facet.missing``) appends one NULL-valued
+        row counting match-set docs without the field — always present
+        (0 when every doc has a value), rendered after the ranked
+        values, outside the limit budget (round-6)."""
         plan = plan_query(q)
         docs_f = self.docs
         if plan.filters:
@@ -2460,29 +2551,13 @@ class Searcher:
         else:
             src = docs_f.join(self.match_scores(q).select("doc_id"),
                               "doc_id")
-        if prefix is not None:
-            # Solr facet.prefix: value filter BEFORE the aggregation —
-            # prunes the agg input, and for match-all facets pushes the
-            # StartsWith straight into the parquet scan
-            src = src.filter(F.col(field).startswith(prefix))
-        out = src.groupBy(field).agg(F.count(F.lit(1)).alias("hits"))
-        if mincount > 1:
-            # Solr facet.mincount: drop values below the threshold BEFORE
-            # ordering/limit (values absent from the match set never
-            # appear, so 0/1 are no-ops)
-            out = out.filter(F.col("hits") >= mincount)
-        if limit is not None:
-            if sort == "count":
-                out = out.orderBy(F.desc("hits"), F.asc(field)).limit(limit)
-            elif sort == "index":
-                out = out.orderBy(F.asc(field)).limit(limit)
-            else:
-                raise UnsupportedQuery(f"facet.sort={sort!r} (count|index)")
-        return out
+        return self._facet_agg(src, field, limit, sort, mincount, prefix,
+                               missing)
 
     def facet_fields(self, q, fields: list, limit: int | None = None,
                      sort: str = "count", mincount: int = 0,
-                     prefix: str | None = None, with_hits: bool = False):
+                     prefix: str | None = None, with_hits: bool = False,
+                     missing: bool = False):
         """Multi-field facets over ONE evaluation of the match set
         (round-5): ``facet.field=a&facet.field=b`` used to re-run the
         whole search kernel once per field through the facade's loop —
@@ -2511,21 +2586,8 @@ class Searcher:
             hits = matched.count() if with_hits else None
             out: dict = {}
             for f in fields:
-                src = matched if prefix is None else \
-                    matched.filter(F.col(f).startswith(prefix))
-                agg = src.groupBy(f).agg(
-                    F.count(F.lit(1)).alias("hits"))
-                if mincount > 1:
-                    agg = agg.filter(F.col("hits") >= mincount)
-                if limit is not None:
-                    if sort == "count":
-                        agg = agg.orderBy(F.desc("hits"),
-                                          F.asc(f)).limit(limit)
-                    elif sort == "index":
-                        agg = agg.orderBy(F.asc(f)).limit(limit)
-                    else:
-                        raise UnsupportedQuery(
-                            f"facet.sort={sort!r} (count|index)")
+                agg = self._facet_agg(matched, f, limit, sort, mincount,
+                                      prefix, missing)
                 out[f] = [(r[0], r["hits"]) for r in agg.collect()]
             return (out, hits) if with_hits else out
         finally:
@@ -2536,7 +2598,8 @@ class Searcher:
                            start: int = 0, sort: str | None = None,
                            facet_limit: int | None = None,
                            facet_sort: str = "count", mincount: int = 0,
-                           prefix: str | None = None):
+                           prefix: str | None = None,
+                           missing: bool = False):
         """Ranked page + field facets + numFound from ONE evaluation of
         the match set (round-6): Solr's commonest request shape
         (``q`` + ``facet.field`` + rows>0) used to cost two kernel
@@ -2599,21 +2662,8 @@ class Searcher:
                     [], self._OUT_SCHEMA)
             facets: dict = {}
             for f in fields:
-                src_f = matched if prefix is None else \
-                    matched.filter(F.col(f).startswith(prefix))
-                agg = src_f.groupBy(f).agg(
-                    F.count(F.lit(1)).alias("hits"))
-                if mincount > 1:
-                    agg = agg.filter(F.col("hits") >= mincount)
-                if facet_limit is not None:
-                    if facet_sort == "count":
-                        agg = agg.orderBy(F.desc("hits"),
-                                          F.asc(f)).limit(facet_limit)
-                    elif facet_sort == "index":
-                        agg = agg.orderBy(F.asc(f)).limit(facet_limit)
-                    else:
-                        raise UnsupportedQuery(
-                            f"facet.sort={facet_sort!r} (count|index)")
+                agg = self._facet_agg(matched, f, facet_limit, facet_sort,
+                                      mincount, prefix, missing)
                 facets[f] = [(r[0], r["hits"]) for r in agg.collect()]
             return page, num_found, facets
         finally:
