@@ -75,10 +75,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
     # ---- index-build plane (I1-I5) ----
-    q["scan_project"] = lambda spark, sf: synth_corpus(spark, sf).select(
-        "repo", "path", "commit", "lang",
-        F.length("content").cast("long").alias("n_chars"))
-
+    # (`scan_project` retired round-6 for the 50-row cap: convert_fields
+    # reads the same scan and projects a superset — I1 stays covered by
+    # that row + the pytest ring; its slot goes to `topk_recency`.)
     q["convert_fields"] = lambda spark, sf: convert_fields(
         synth_corpus(spark, sf)).withColumn(
             "n_chars", F.col("n_chars").cast("long"))
@@ -181,6 +180,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select(F.row_number().over(w).cast("long").alias("rank"),
                           "doc_id")
     q["boosted_or"] = boosted_or
+
+    def topk_recency(spark, sf):
+        from pyspark.sql import Window
+
+        _cat, s = _index(spark, sf)
+        # round-6: Solr {!boost b=recip(ms(NOW,ts),m,a,b)} — BM25 ×
+        # recency over the typed ts field, NOW pinned for determinism
+        out = s.search_boosted("spark", k=10,
+                               boost="recip(ms(NOW,ts),1e-9,1,1)",
+                               now="2021-06-01T00:00:00Z")
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return out.select(F.row_number().over(w).cast("long").alias("rank"),
+                          "doc_id")
+    q["topk_recency"] = topk_recency
 
     def topk_bm25(spark, sf):
         from pyspark.sql import Window
@@ -633,9 +646,21 @@ FROM sims ORDER BY cos DESC, vec_id LIMIT {k}"""
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
 
-    o["scan_project"] = f"""{_BASE}
-SELECT repo, path, "commit", lang, length(content)::BIGINT AS n_chars
-FROM corpus"""
+    # NOW=2021-06-01T00:00:00Z → 1622505600000 epoch ms; multiplier =
+    # a/(m·(NOW_ms − ts_ms)+b) with Solr recip semantics (ms(NOW,ts))
+    o["topk_recency"] = f"""{_BASE},
+scored AS (
+  SELECT tf.doc_id, {_SCORE} AS score
+  FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats st
+  WHERE tf.term = 'spark'),
+boosted AS (
+  SELECT s.doc_id,
+         s.score * (1.0 / (1e-9 * (1622505600000.0 - i.ts_s * 1000.0)
+                           + 1.0)) AS score
+  FROM scored s JOIN ids i USING (doc_id))
+SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+       doc_id
+FROM boosted ORDER BY score DESC, doc_id LIMIT 10"""
 
     o["convert_fields"] = f"""{_BASE}
 SELECT repo, path, "commit", lang, sha256(content) AS content_sha256,

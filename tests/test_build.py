@@ -13,7 +13,8 @@ from zsolr.docids import assign_doc_ids
 
 
 def test_corpus_shape_and_sha(spark, corpus_df):
-    assert corpus_df.columns == ["repo", "path", "commit", "lang", "content"]
+    assert corpus_df.columns == ["repo", "path", "commit", "lang",
+                                 "content", "ts"]
     rows = corpus_df.orderBy("repo", "path").limit(5).collect()
     for r in rows:
         exp = hashlib.sha256(

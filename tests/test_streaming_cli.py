@@ -31,7 +31,8 @@ def test_streaming_incremental_index(tmp_path, spark, corpus_df):
     extra = spark.createDataFrame(
         [(f"srcS", f"s/new_{i}.py", "e" * 40, "en",
           f"streamed doc {i} spark stream zzstreamterm") for i in range(3)],
-        "repo string, path string, commit string, lang string, content string")
+        "repo string, path string, commit string, lang string, content string"
+    ).withColumn("ts", F.to_timestamp(F.lit("2020-07-01 00:00:00")))
     base.unionByName(extra).coalesce(1).write.mode("overwrite").parquet(
         f"{drop}/snap1")
 

@@ -133,3 +133,49 @@ def test_ts_pushdown_reaches_scan(searcher):
     scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
     assert any("ts#" in ln and "2020-02-01" in ln for ln in scan_lines), \
         scan_lines
+
+
+def test_facet_range_date_brute_force(searcher):
+    """+30DAYS buckets over [2020-01-01, 2021-01-01) vs a driver-side
+    recount from the doc store."""
+    rows = searcher.facet_range_date(
+        "spark", "ts", "2020-01-01T00:00:00Z", "2021-01-01T00:00:00Z",
+        "+7DAYS").collect()
+    got = {r["bucket_start"]: r["hits"] for r in rows}
+
+    matched = (searcher.search("spark", k=None, wand=False)
+               .select("doc_id")
+               .join(searcher.docs.select("doc_id", "ts"), "doc_id")
+               .collect())
+    s_ep = int(datetime(2020, 1, 1, tzinfo=timezone.utc).timestamp())
+    e_ep = int(datetime(2021, 1, 1, tzinfo=timezone.utc).timestamp())
+    gap = 7 * 86400
+    exp: dict = {}
+    for r in matched:
+        ep = int(r["ts"].replace(tzinfo=timezone.utc).timestamp())
+        if not (s_ep <= ep < e_ep):
+            continue
+        b = s_ep + ((ep - s_ep) // gap) * gap
+        key = datetime.fromtimestamp(b, tz=timezone.utc).strftime(
+            "%Y-%m-%dT%H:%M:%SZ")
+        exp[key] = exp.get(key, 0) + 1
+    assert got == exp and len(got) > 3   # ts strides 8761s/doc -> ~8 weekly buckets
+
+
+def test_facet_range_date_guards(searcher):
+    with pytest.raises(UnsupportedQuery):   # calendar gaps vary in length
+        searcher.facet_range_date("spark", "ts", ISO_LO, ISO_HI, "+1MONTH")
+    with pytest.raises(UnsupportedQuery):   # malformed bound
+        searcher.facet_range_date("spark", "ts", "2020-1-1", ISO_HI, "+1DAY")
+
+
+def test_facet_range_date_window_filters(searcher):
+    """Buckets outside [start, end) never appear, and hour gaps render
+    with the time component."""
+    rows = searcher.facet_range_date(
+        "[* TO *]", "ts", "2020-01-01T00:00:00Z", "2020-01-02T00:00:00Z",
+        "+6HOURS").collect()
+    starts = sorted(r["bucket_start"] for r in rows)
+    assert all(s.startswith("2020-01-01T") for s in starts)
+    assert set(starts) <= {"2020-01-01T00:00:00Z", "2020-01-01T06:00:00Z",
+                           "2020-01-01T12:00:00Z", "2020-01-01T18:00:00Z"}

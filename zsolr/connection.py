@@ -122,7 +122,8 @@ class SolrConnection:
                facet_missing: bool = False,
                hl: bool = False, hl_snippets: int = 3,
                spellcheck: bool = False,
-               cursor_mark: str | None = None) -> Results:
+               cursor_mark: str | None = None,
+               boost: str | None = None, now=None) -> Results:
         """Solr ``/select``: returns :class:`Results`.
 
         ``rows=0`` is the Solr count-only idiom (numFound, no docs).
@@ -143,6 +144,44 @@ class SolrConnection:
                   else list(facet_field)) if facet_field else []
         facets: dict = {}
         next_mark = None
+        if boost is not None:
+            # Solr {!boost b=...}: function-query boosted ranking — the
+            # boost defeats block-max pruning (per-doc multiplier), so
+            # the engine scores exhaustively; cursors over a
+            # function-rank are not a Solr shape either
+            if cursor_mark is not None or sort is not None or hl \
+                    or spellcheck:
+                raise UnsupportedQuery(
+                    "boost= composes with rows/start/fl/fq/facets, not"
+                    " with cursorMark, a sort override, hl, or"
+                    " spellcheck")
+            df, hits = self._searcher.search_boosted(
+                ast, k=max(rows, 1), start=start, boost=boost, now=now,
+                with_count=True)
+            docs = [r.asDict() for r in df.collect()] if rows > 0 else []
+            if fields:
+                ranked = self._searcher.facet_fields(
+                    ast, fields, limit=facet_limit,
+                    mincount=facet_mincount, prefix=facet_prefix,
+                    missing=facet_missing)
+                facets["facet_fields"] = {
+                    fld: {v: h for v, h in rows_}
+                    for fld, rows_ in ranked.items()}
+            if facet_query:
+                fqs_ = ([facet_query] if isinstance(facet_query, str)
+                        else list(facet_query))
+                facets["facet_queries"] = self._searcher.facet_query(
+                    ast, fqs_)
+            if fl:
+                want = [c.strip() for c in fl.split(",") if c.strip()]
+                bad = [c for c in want if c not in
+                       ("doc_id", "repo", "path", "commit", "score")]
+                if bad:
+                    raise UnsupportedQuery(f"unknown fl fields: {bad}")
+                docs = [{c: d[c] for c in want} for d in docs]
+            res = Results(docs, hits, facets, {}, nextCursorMark=None)
+            res.spellcheck = {}
+            return res
         # facet-only request (rows=0 + facet.field — the classic UI
         # pattern): numFound rides the SAME persisted match set the
         # facets aggregate (facet_fields with_hits), so the request

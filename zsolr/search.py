@@ -71,6 +71,33 @@ def _parse_ts_bound(field: str, val: str):
     return dt
 
 
+# Solr boost-function subset: ``recip(ms(NOW,<field>),m,a,b)`` — THE
+# canonical news-corpus ranking shape (zeit.solr boosts recent articles;
+# Solr docs use recip(ms(NOW,date_last_published),3.16e-11,1,1), where
+# 3.16e-11 ≈ 1/ms-per-year).  m/a/b are numeric literals.
+_RECIP_BOOST_RE = re.compile(
+    r"recip\(ms\(NOW,([A-Za-z_]\w*)\),"
+    r"([-+0-9.eE]+),([-+0-9.eE]+),([-+0-9.eE]+)\)$")
+
+
+def parse_boost_function(boost: str):
+    """Parse a Solr boost-function string into ``(field, m, a, b)`` with
+    multiplier semantics ``a / (m * ms(NOW, field) + b)``.  Only the
+    ``recip(ms(NOW,field),m,a,b)`` form is supported — anything else
+    RAISES (Q17's guard principle: never silently rank by the wrong
+    function)."""
+    mt = _RECIP_BOOST_RE.match(boost.replace(" ", ""))
+    if not mt:
+        raise UnsupportedQuery(
+            f"unsupported boost function {boost!r} — expected"
+            f" recip(ms(NOW,field),m,a,b)")
+    field, m_, a_, b_ = mt.groups()
+    try:
+        return field, float(m_), float(a_), float(b_)
+    except ValueError as e:
+        raise UnsupportedQuery(f"bad boost constant in {boost!r}: {e}")
+
+
 class UnsupportedQuery(ValueError):
     """Planner restriction: bounded ranges must be top-level conjuncts on
     metadata fields; metadata equality on non-field-indexed columns
@@ -1450,6 +1477,71 @@ class Searcher:
         return self._search_uncached(q, None, 0, None, False, False,
                                      raw=True)
 
+    def search_boosted(self, q, k: int = 10, start: int = 0,
+                       boost: str = "recip(ms(NOW,ts),3.17e-11,1,1)",
+                       now=None, with_count: bool = False):
+        """Function-query boosted ranking (Solr ``{!boost b=...}`` /
+        edismax ``boost=``): final score = BM25 × ``recip(ms(NOW,field),
+        m,a,b)`` — the zeit.solr shape, a news corpus boosting recent
+        articles (SURVEY §2.4b round-6).  ``now`` pins Solr's NOW for
+        reproducibility: an ISO-8601 string, epoch seconds, or a
+        datetime; ``None`` = wall clock (production default — tests and
+        oracles always pin it).
+
+        Execution: the per-doc multiplier varies with the doc's date, so
+        static block-max bounds can't rank-prune — scoring is exhaustive
+        (``match_scores``, the same bulk kernel facets/grouping use; the
+        Lucene alternative — FeatureField impacts baking the boost into
+        the index — is a format change not warranted here).  One
+        doc_id-keyed join against the doc store, then a TakeOrdered cut:
+        O(start+k) driver rows regardless of match-set size.
+
+        → top-k (doc_id, repo, path, commit, score) by boosted score
+        desc, doc_id asc; ``(df, num_found)`` when ``with_count``."""
+        from datetime import datetime, timezone
+
+        field, m_, a_, b_ = parse_boost_function(boost)
+        dtypes = dict(self.docs.dtypes)
+        if dtypes.get(field) != "timestamp":
+            raise UnsupportedQuery(
+                f"boost field {field!r} is not a timestamp doc-store"
+                f" column (have: {dtypes.get(field)})")
+        if now is None:
+            now_ms = int(datetime.now(timezone.utc).timestamp() * 1000)
+        elif isinstance(now, str):
+            now_ms = int(_parse_ts_bound(field, now).timestamp() * 1000)
+        elif isinstance(now, datetime):
+            now_ms = int(now.timestamp() * 1000)
+        else:
+            now_ms = int(now) * 1000
+        # ms(NOW, field): epoch-ms difference, positive for past docs
+        x_ms = (F.lit(float(now_ms))
+                - F.unix_timestamp(F.col(field)).cast("double") * 1000.0)
+        mult = F.lit(a_) / (F.lit(m_) * x_ms + F.lit(b_))
+        scored = self.match_scores(q)
+        if with_count:
+            # count and page share ONE evaluation of the match set (the
+            # round-5/6 no-double-kernel rule)
+            scored = scored.persist()
+        try:
+            j = scored.join(
+                self.docs.select("doc_id", "repo", "path", "commit",
+                                 field),
+                "doc_id")
+            boosted = j.select("doc_id", "repo", "path", "commit",
+                               (F.col("score") * mult).alias("score"))
+            rows = (boosted.orderBy(F.desc("score"), F.asc("doc_id"))
+                    .limit(start + k).collect())[start:]
+            df = self.spark.createDataFrame(rows, self._OUT_SCHEMA) \
+                if rows else self.spark.createDataFrame([],
+                                                        self._OUT_SCHEMA)
+            if with_count:
+                return df, scored.count()
+            return df
+        finally:
+            if with_count:
+                scored.unpersist()
+
     def search_after(self, q, k: int = 10, after: tuple | None = None,
                      wand: bool = True, with_count: bool = False,
                      sort: str | None = None, as_rows: bool = False):
@@ -2328,6 +2420,47 @@ class Searcher:
         return (matched.filter((v >= start) & (v < end))
                 .groupBy((F.lit(start) + bucket * F.lit(gap))
                          .cast("long").alias("bucket_start"))
+                .agg(F.count(F.lit(1)).alias("hits")))
+
+    # Solr date-math gaps: fixed-duration units only — calendar units
+    # (+1MONTH/+1YEAR) are variable-length and would need per-bucket
+    # calendar arithmetic; the engine raises on them rather than
+    # approximating (Q17's guard principle)
+    _DATE_GAP_RE = re.compile(r"\+(\d+)(SECONDS?|MINUTES?|HOURS?|DAYS?)$")
+    _GAP_SECONDS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
+
+    def facet_range_date(self, q, field: str, start: str, end: str,
+                         gap: str) -> DataFrame:
+        """Solr date-range facet over the typed ``ts`` field:
+        ``facet.range=ts&facet.range.start=<ISO>&facet.range.end=<ISO>&
+        facet.range.gap=+1DAY`` — bucket = floor((ts − start)/gap) over
+        [start, end), bucket starts rendered ISO-8601Z (Solr's date
+        rendering; sessions pin ``spark.sql.session.timeZone=UTC``).
+        Same single hash-agg shape as the numeric ``facet_range``; the
+        [start, end) filter on the timestamp column pushes to the
+        parquet scan for match-all/filter-only queries.
+        → (bucket_start ISO string, hits)."""
+        sdt = _parse_ts_bound(field, start)
+        edt = _parse_ts_bound(field, end)
+        m = self._DATE_GAP_RE.match(gap.strip().upper())
+        if not m:
+            raise UnsupportedQuery(
+                f"unsupported facet.range.gap {gap!r} — expected"
+                f" +N(SECONDS|MINUTES|HOURS|DAYS); calendar units vary"
+                f" in length")
+        secs = int(m.group(1)) * self._GAP_SECONDS[m.group(2).rstrip("S")]
+        s_ep = int(sdt.timestamp())
+        matched = self._matched_docs(q)
+        v = F.unix_timestamp(F.col(field))
+        bucket_ep = (F.lit(s_ep)
+                     + F.floor((v - F.lit(s_ep)) / F.lit(secs))
+                     * F.lit(secs))
+        return (matched.filter((F.col(field) >= F.lit(sdt))
+                               & (F.col(field) < F.lit(edt)))
+                .groupBy(F.concat(
+                    F.date_format(F.timestamp_seconds(bucket_ep),
+                                  "yyyy-MM-dd'T'HH:mm:ss"),
+                    F.lit("Z")).alias("bucket_start"))
                 .agg(F.count(F.lit(1)).alias("hits")))
 
     # -- Solr result grouping (top-1 per group) ---------------------------------
