@@ -62,6 +62,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="Solr facet.missing: NULL-field bucket per facet")
     se.add_argument("--cursor-mark", default=None,
                     help="'*' to start; pass nextCursorMark to continue")
+    se.add_argument("--boost", default=None,
+                    help="Solr boost function, e.g."
+                         " 'recip(ms(NOW,ts),3.16e-11,1,1)'")
+    se.add_argument("--now", default=None,
+                    help="pin Solr NOW (ISO-8601) for --boost")
 
     fc = sub.add_parser("facet", help="field / range facets over a query")
     fc.add_argument("query")
@@ -188,7 +193,8 @@ def main(argv: list[str] | None = None) -> int:
                           facet_mincount=args.facet_mincount,
                           facet_prefix=args.facet_prefix,
                           facet_missing=args.facet_missing,
-                          cursor_mark=args.cursor_mark)
+                          cursor_mark=args.cursor_mark,
+                          boost=args.boost, now=args.now)
         out = {"responseHeader": {"status": 0},
                "response": {"numFound": res.hits, "start": args.start,
                             "docs": res.docs}}
