@@ -128,3 +128,54 @@ def test_group_topn_multi_matches_single(ns, monkeypatch):
         got = [tuple(r) for r in multi[f]
                .orderBy("group_val", "rank").collect()]
         assert got == single[f], f
+
+
+def test_facade_grouping_section(spark, null_index, ns):
+    """Solr group=true&group.field=lang&group.field=repo&group.limit=2:
+    one kernel wave, per-field `grouped` sections, group order = best
+    doc's (score desc, doc_id), NULL lang is a real group."""
+    from zsolr.connection import SolrConnection
+
+    conn = SolrConnection(spark, null_index)
+    res = conn.search("spark", group_field=["lang", "repo"],
+                      group_limit=2, group_ngroups=True)
+    assert res.docs == []  # grouped replaces the flat response
+    n_matches = ns.match_scores("spark").count()
+    assert res.hits == n_matches
+
+    for fld in ("lang", "repo"):
+        sec = res.grouped[fld]
+        assert sec["matches"] == n_matches
+        eng = ns.group_topn("spark", fld, n=2).collect()
+        by_g: dict = {}
+        for r in sorted(eng, key=lambda r: r["rank"]):
+            by_g.setdefault(r["group_val"], []).append(r)
+        assert sec["ngroups"] == len(by_g)
+        exp_order = sorted(by_g, key=lambda g: (-by_g[g][0]["score"],
+                                                by_g[g][0]["doc_id"]))
+        assert [g["groupValue"] for g in sec["groups"]] == exp_order
+        for g in sec["groups"]:
+            exp_rows = by_g[g["groupValue"]]
+            assert g["doclist"]["numFound"] == exp_rows[0]["hits"]
+            assert [d["doc_id"] for d in g["doclist"]["docs"]] == \
+                [r["doc_id"] for r in exp_rows]
+            assert all({"doc_id", "repo", "path", "commit", "score"}
+                       == set(d) for d in g["doclist"]["docs"])
+    # NULL lang docs form a real group (nulled fixture guarantees some)
+    assert None in {g["groupValue"] for g in res.grouped["lang"]["groups"]}
+
+
+def test_facade_grouping_guards(spark, null_index):
+    from zsolr.connection import SolrConnection
+    from zsolr.search import UnsupportedQuery
+
+    conn = SolrConnection(spark, null_index)
+    with pytest.raises(UnsupportedQuery):
+        conn.search("spark", group_field="lang", facet_field="repo")
+    with pytest.raises(UnsupportedQuery):
+        conn.search("spark", group_field="lang", group_limit=0)
+    # fl subsets the doclist docs
+    res = conn.search("spark", group_field="lang", fl="doc_id,score")
+    docs0 = res.grouped["lang"]["groups"][0]["doclist"]["docs"]
+    assert docs0 and all(set(d) == {"doc_id", "score"} for d in docs0)
+    assert "ngroups" not in res.grouped["lang"]

@@ -37,12 +37,14 @@ class Results:
     def __init__(self, docs: list[dict], hits: int,
                  facets: dict | None = None,
                  highlighting: dict | None = None,
-                 nextCursorMark: str | None = None):
+                 nextCursorMark: str | None = None,
+                 grouped: dict | None = None):
         self.docs = docs
         self.hits = hits
         self.facets = facets or {}
         self.highlighting = highlighting or {}
         self.nextCursorMark = nextCursorMark
+        self.grouped = grouped or {}
 
     def __len__(self):
         return len(self.docs)
@@ -123,7 +125,10 @@ class SolrConnection:
                hl: bool = False, hl_snippets: int = 3,
                spellcheck: bool = False,
                cursor_mark: str | None = None,
-               boost: str | None = None, now=None) -> Results:
+               boost: str | None = None, now=None,
+               group_field: str | list[str] | None = None,
+               group_limit: int = 1,
+               group_ngroups: bool = False) -> Results:
         """Solr ``/select``: returns :class:`Results`.
 
         ``rows=0`` is the Solr count-only idiom (numFound, no docs).
@@ -144,6 +149,75 @@ class SolrConnection:
                   else list(facet_field)) if facet_field else []
         facets: dict = {}
         next_mark = None
+        if group_field is not None:
+            # Solr result grouping (group=true&group.field=F&group.limit=n
+            # &group.ngroups=true): the response's `grouped` section, one
+            # entry per field.  N fields share ONE kernel evaluation
+            # (group_topn_multi); group order = the sort of each group's
+            # best doc (Solr default: score desc, uniqueKey asc); the doc
+            # fetch is one isin-pruned scan over all group heads.
+            if cursor_mark is not None or sort is not None or hl \
+                    or spellcheck or boost is not None or fields:
+                raise UnsupportedQuery(
+                    "group= composes with fq/fl/group.limit/group.ngroups,"
+                    " not with cursorMark, sort, hl, spellcheck, boost,"
+                    " or facet.field")
+            if group_limit < 1:
+                raise UnsupportedQuery("group.limit must be >= 1")
+            gfields = ([group_field] if isinstance(group_field, str)
+                       else list(group_field))
+            gdfs = self._searcher.group_topn_multi(ast, gfields,
+                                                   n=group_limit)
+            grows = {fld: gdf.collect() for fld, gdf in gdfs.items()}
+            ids = sorted({r["doc_id"] for rows_ in grows.values()
+                          for r in rows_})
+            meta = {}
+            if ids:
+                meta = {r["doc_id"]: r.asDict() for r in
+                        self._searcher.docs
+                        .filter(F.col("doc_id").isin(ids))
+                        .select("doc_id", "repo", "path", "commit")
+                        .collect()}
+            want = None
+            if fl:
+                want = [c.strip() for c in fl.split(",") if c.strip()]
+                bad = [c for c in want if c not in
+                       ("doc_id", "repo", "path", "commit", "score")]
+                if bad:
+                    raise UnsupportedQuery(f"unknown fl fields: {bad}")
+            grouped: dict = {}
+            matches = 0
+            for fld, rows_ in grows.items():
+                by_group: dict = {}
+                for r in sorted(rows_, key=lambda r: r["rank"]):
+                    by_group.setdefault(r["group_val"], []).append(r)
+                matches = int(sum(g[0]["hits"]
+                                  for g in by_group.values()))
+                heads = sorted(
+                    by_group.items(),
+                    key=lambda kv: (-kv[1][0]["score"],
+                                    kv[1][0]["doc_id"]))
+                groups = []
+                for gval, members in heads:
+                    dl = []
+                    for r in members:
+                        d = dict(meta[r["doc_id"]])
+                        d["score"] = r["score"]
+                        if want:
+                            d = {c: d[c] for c in want}
+                        dl.append(d)
+                    groups.append({"groupValue": gval,
+                                   "doclist": {
+                                       "numFound": int(members[0]["hits"]),
+                                       "docs": dl}})
+                entry = {"matches": matches, "groups": groups}
+                if group_ngroups:
+                    entry["ngroups"] = len(by_group)
+                grouped[fld] = entry
+            res = Results([], matches, {}, {}, nextCursorMark=None,
+                          grouped=grouped)
+            res.spellcheck = {}
+            return res
         if boost is not None:
             # Solr {!boost b=...}: function-query boosted ranking — the
             # boost defeats block-max pruning (per-doc multiplier), so

@@ -178,8 +178,17 @@ def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     edges = (e.unionByName(e.select(F.col("dst").alias("src"),
                                     F.col("src").alias("dst"))).distinct()
              .persist())
-    labels = (edges.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node")).localCheckpoint())
+    # seed labels with the closed-neighborhood minimum (= the identity
+    # init's first propagation step, folded into ONE aggregation on the
+    # already-persisted edges): every call saves a full loop round — two
+    # localCheckpoints and a join — which at candidate-pair scale is a
+    # round of shuffles and at fixture scale is the dominant driver
+    # latency (round-6; the round-5 doubling regression's remainder)
+    labels = (edges.groupBy("src")
+              .agg(F.min("dst").alias("nbr"))
+              .select(F.col("src").alias("node"),
+                      F.least("src", "nbr").alias("label"))
+              .localCheckpoint())
     converged = False
     for it in range(max_iter):
         nbr_min = (edges.join(labels.withColumnRenamed("node", "dst"),
