@@ -126,6 +126,8 @@ def main():
                 "dedup_components": lambda: zops.dedup_components(
                     zops.minhash_lsh_pairs(
                         docs.filter("doc_id % 10 = 0"))).count(),
+                "dedup_embedding_cosine": lambda:
+                    zops.dedup_embedding_cosine(emb).count(),
             }
             for name, fn in ops_runs.items():
                 t0 = time.time()

@@ -625,6 +625,107 @@ def token_count_bpe(docs: DataFrame, text_col: str = "text",
         .cast("long").alias("n_bpe_tokens"))
 
 
+def token_budget_cut(docs: DataFrame, budget: int,
+                     id_col: str = "doc_id",
+                     tok_col: str = "n_bpe_tokens") -> DataFrame:
+    """Deterministic token-budget cut: keep the ``id_col``-ascending
+    prefix of docs whose cumulative ``tok_col`` stays ≤ ``budget`` —
+    the "stop at N tokens" step every pretraining-corpus build ends
+    with.
+
+    Scale shape: a global ordered cumulative sum via window would
+    serialize the corpus into ONE task; this reuses the docids.py
+    prefix-sum pattern instead — range-shuffle on id, O(partitions)
+    per-partition sums to the driver, broadcast offsets, then a
+    streaming per-batch cumsum inside ``mapInPandas`` (Arrow batches
+    arrive in partition order, so the running total is exact)."""
+    import pyarrow  # noqa: F401  (Arrow path; baked in)
+
+    spark = docs.sparkSession
+    num_partitions = spark.sparkContext.defaultParallelism * 2
+    part = (docs.repartitionByRange(num_partitions, F.col(id_col))
+            .sortWithinPartitions(id_col)
+            .persist())
+    sums = (part.select(F.spark_partition_id().alias("pid"),
+                        F.col(tok_col))
+            .groupBy("pid").agg(F.sum(tok_col).alias("s")).collect())
+    by_pid = {r["pid"]: int(r["s"] or 0) for r in sums}
+    offsets: dict = {}
+    acc = 0
+    for pid in range(num_partitions):
+        offsets[pid] = acc
+        acc += by_pid.get(pid, 0)
+    bc = spark.sparkContext.broadcast(offsets)
+    schema = part.schema
+
+    def cut(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        if pid not in bc.value:
+            raise RuntimeError(
+                f"token_budget_cut executed in a renumbered stage "
+                f"(pid={pid}) — the range partitioning was lost")
+        run = bc.value[pid]
+        for pdf in batches:
+            csum = run + pdf[tok_col].cumsum()
+            run += int(pdf[tok_col].sum())
+            yield pdf[csum <= budget]
+
+    return part.mapInPandas(cut, schema)
+
+
+def build_training_set(docs: DataFrame, *, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       lang: str | None = None,
+                       max_stop_ratio: float | None = None,
+                       min_tokens: int | None = None,
+                       near_dup: bool = True,
+                       minhash_kwargs: dict | None = None,
+                       token_budget: int | None = None) -> DataFrame:
+    """The end-to-end curation pipeline a pretraining corpus runs,
+    composed from this module's operators:
+
+    1. exact dedup (content-sha groupBy, keep the min-id copy),
+    2. near-dup clustering keep (MinHash-LSH pairs → connected
+       components → drop non-canonical members),
+    3. language ID + filter (``lang=``),
+    4. quality filters (``max_stop_ratio`` / ``min_tokens``),
+    5. deterministic token-budget cut (``token_budget``).
+
+    Returns the curated docs with ``pred_lang`` / ``stop_ratio`` /
+    ``n_bpe_tokens`` columns attached.  The deduped frame persists once
+    and every feature derivation joins against the cache (the standard
+    materialize-between-stages shape — recomputing the dedup lineage per
+    feature would triple the pipeline); all joins are id-keyed and
+    co-partition after the first shuffle, and the budget cut is the
+    distributed prefix sum above, so no stage funnels into one task."""
+    keepers = dedup_exact(docs, text_col, id_col).select(
+        F.col("keeper").alias(id_col))
+    out = docs.join(keepers, id_col, "left_semi")
+    if near_dup:
+        pairs = minhash_lsh_pairs(out, text_col, id_col,
+                                  **(minhash_kwargs or {}))
+        out = dedup_keep(out, pairs, id_col)
+    out = out.persist()
+    feats = (lang_id_ngram(out, text_col, id_col)
+             .select("doc_id", "pred_lang")
+             .join(quality_score(out, text_col, id_col)
+                   .select("doc_id", "stop_ratio"), "doc_id")
+             .join(token_count_bpe(out, text_col, id_col), "doc_id")
+             .withColumnRenamed("doc_id", id_col))
+    out = out.join(feats, id_col)
+    if lang is not None:
+        out = out.filter(F.col("pred_lang") == lang)
+    if max_stop_ratio is not None:
+        out = out.filter(F.col("stop_ratio") <= max_stop_ratio)
+    if min_tokens is not None:
+        out = out.filter(F.col("n_bpe_tokens") >= min_tokens)
+    if token_budget is not None:
+        out = token_budget_cut(out, token_budget, id_col)
+    return out
+
+
 FP_MOD = (1 << 31) - 1   # Mersenne prime: (acc*BASE + h) < 2^51 stays in i64
 FP_BASE = 1_000_003
 
