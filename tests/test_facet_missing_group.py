@@ -179,3 +179,40 @@ def test_facade_grouping_guards(spark, null_index):
     docs0 = res.grouped["lang"]["groups"][0]["doclist"]["docs"]
     assert docs0 and all(set(d) == {"doc_id", "score"} for d in docs0)
     assert "ngroups" not in res.grouped["lang"]
+
+
+def test_facet_stats_buckets(ns):
+    """json.facet bucket aggregations: one hash agg computes hits + every
+    nested stat; brute-forced from the doc store."""
+    rows = ns.facet_stats("spark", "lang",
+                          {"avg_len": ("avg", "doc_len"),
+                           "max_len": ("max", "doc_len")},
+                          limit=10).collect()
+    matched = (ns.search("spark", k=None, wand=False).select("doc_id")
+               .join(ns.docs.select("doc_id", "lang", "doc_len"), "doc_id")
+               .collect())
+    exp: dict = {}
+    for r in matched:
+        g = exp.setdefault(r["lang"], [0, 0, None])
+        g[0] += 1
+        g[1] += r["doc_len"]
+        g[2] = r["doc_len"] if g[2] is None else max(g[2], r["doc_len"])
+    exp.pop(None, None)   # NULL bucket excluded (Solr: facet.missing only)
+    assert len(rows) == len(exp) > 1
+    for r in rows:
+        hits, s, mx = exp[r["lang"]]
+        assert r["hits"] == hits
+        assert r["avg_len"] == pytest.approx(s / hits, rel=1e-12)
+        assert r["max_len"] == mx
+    # ranked under the classic facet order
+    pairs = [(r["hits"], r["lang"]) for r in rows]
+    assert pairs == sorted(pairs, key=lambda t: (-t[0], t[1]))
+
+
+def test_facet_stats_guards(ns):
+    from zsolr.search import UnsupportedQuery
+
+    with pytest.raises(UnsupportedQuery):
+        ns.facet_stats("spark", "lang", {"x": ("median", "doc_len")})
+    with pytest.raises(UnsupportedQuery):
+        ns.facet_stats("spark", "lang", {}, limit=5, sort="weird")

@@ -2559,6 +2559,44 @@ class Searcher:
         finally:
             j.unpersist()
 
+    _FACET_STAT_FNS = {"avg": F.avg, "sum": F.sum, "min": F.min,
+                       "max": F.max, "count": F.count}
+
+    def facet_stats(self, q, field: str, stats: dict,
+                    limit: int | None = None,
+                    sort: str = "count", mincount: int = 0) -> DataFrame:
+        """Solr ``json.facet`` bucket aggregations: per facet bucket, the
+        hit count PLUS nested numeric stats — e.g. ``{"avg_len":
+        ("avg", "doc_len")}`` ↔ ``{type:terms, field:lang, facet:
+        {avg_len:"avg(doc_len)"}}``.  ONE hash aggregation over the
+        match set computes every stat (map-side partials; adding stats
+        adds columns, never passes); ``limit``/``sort``/``mincount``
+        follow the classic facet semantics (engine-side TakeOrdered,
+        O(limit) driver rows).  Unknown stat functions raise.
+        → (field, hits, <stat columns…>)."""
+        aggs = [F.count(F.lit(1)).alias("hits")]
+        for name, (fn, col) in stats.items():
+            if fn not in self._FACET_STAT_FNS:
+                raise UnsupportedQuery(
+                    f"facet stat {fn!r} (supported:"
+                    f" {sorted(self._FACET_STAT_FNS)})")
+            aggs.append(self._FACET_STAT_FNS[fn](col).alias(name))
+        # NULL-field docs are excluded like classic facets exclude them
+        # (Solr counts them only under facet.missing / missing:true)
+        out = (self._matched_docs(q)
+               .filter(F.col(field).isNotNull())
+               .groupBy(field).agg(*aggs))
+        if mincount > 1:
+            out = out.filter(F.col("hits") >= mincount)
+        if limit is not None:
+            if sort == "count":
+                out = out.orderBy(F.desc("hits"), F.asc(field)).limit(limit)
+            elif sort == "index":
+                out = out.orderBy(F.asc(field)).limit(limit)
+            else:
+                raise UnsupportedQuery(f"facet.sort={sort!r} (count|index)")
+        return out
+
     def facet_query(self, q, facet_queries: list) -> dict:
         """Solr ``facet.query``: exact hit count of each subquery
         intersected with the main query — ALL subqueries in one batch
