@@ -216,3 +216,47 @@ def test_facet_stats_guards(ns):
         ns.facet_stats("spark", "lang", {"x": ("median", "doc_len")})
     with pytest.raises(UnsupportedQuery):
         ns.facet_stats("spark", "lang", {}, limit=5, sort="weird")
+
+
+def test_field_sort_cursor_null_value_raises(ns):
+    """A cursor page ending on a NULL sort value must RAISE, not let the
+    next page come back silently empty (NULL strictly-after predicates
+    are vacuously false) — round-6 review."""
+    from zsolr.search import UnsupportedQuery
+
+    n_null = ns.docs.filter(F.col("lang").isNull()).count()
+    assert n_null > 1
+    with pytest.raises(UnsupportedQuery, match="NULL sort value"):
+        # asc puts NULLs first; a page smaller than the null run ends on
+        # a NULL lang → cursor construction must refuse
+        ns.search_after("[* TO *]", k=1, sort="lang asc")
+    # an incoming corrupt cursor with a NULL component is refused too
+    with pytest.raises(UnsupportedQuery, match="NULL sort value"):
+        ns.search_after("[* TO *]", k=5, sort="lang asc",
+                        after=(None, 3))
+
+
+def test_facade_boost_with_facets_one_wave(spark, null_index, ns,
+                                           monkeypatch):
+    """boost + facet.field shares ONE kernel evaluation (round-6
+    review: it used to run facet_fields as a second wave)."""
+    from zsolr.connection import SolrConnection
+
+    conn = SolrConnection(spark, null_index)
+    exp = _brute(ns, "spark", "lang")
+    calls = []
+    orig = Searcher._postings_scan
+
+    def counting(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(Searcher, "_postings_scan", counting)
+    res = conn.search("spark", rows=5, facet_field="lang",
+                      facet_missing=True,
+                      boost="recip(ms(NOW,ts),1e-9,1,1)",
+                      now="2021-06-01T00:00:00Z")
+    assert len(calls) == 1, f"{len(calls)} kernel waves for boost+facets"
+    assert res.facets["facet_fields"]["lang"][None] == exp[None]
+    assert res.hits == sum(exp.values())
+    assert len(res.docs) == 5

@@ -256,3 +256,34 @@ def test_compact_layout_merges_dirs(tmp_path, spark, corpus_df):
                 for r in s2.search(q, k=10).collect()]
             for q in pre}
     assert pre == post
+
+
+def test_rejected_delta_commits_nothing(tmp_path, spark, corpus_df):
+    """An incremental_add delta carrying an unknown doc-store column is
+    refused BEFORE any table append commits — a rejected delta must not
+    orphan tfs rows that a later compact would resurrect (round-6
+    review)."""
+    from pyspark.sql import functions as F
+
+    from zsolr.build import BuildConfig, IndexBuilder
+    from zsolr.catalog import ManifestParquetCatalog
+    from zsolr.lifecycle import _append_partial_index
+
+    cat = ManifestParquetCatalog(str(tmp_path / "idx"))
+    builder = IndexBuilder(cat, BuildConfig(n_buckets=4))
+    # legacy index: built from a corpus WITHOUT the typed ts column
+    builder.build(spark, "m", corpus_df=corpus_df.limit(40).drop("ts"))
+    before = {t: len(cat.current_snapshot(t)["data_dirs"])
+              for t in ("tfs", "docs", "postings")}
+    n_tfs = cat.read(spark, "tfs").count()
+
+    # a ts-bearing delta would EXPAND the committed doc-store schema —
+    # refused; corpus_to_tokd whitelists meta columns, so ts is the one
+    # schema-expanding column reachable through the append
+    with pytest.raises(ValueError, match="ts"):
+        _append_partial_index(spark, cat, builder, corpus_df.limit(5),
+                              1000)
+    after = {t: len(cat.current_snapshot(t)["data_dirs"])
+             for t in ("tfs", "docs", "postings")}
+    assert after == before
+    assert cat.read(spark, "tfs").count() == n_tfs

@@ -179,3 +179,16 @@ def test_facet_range_date_window_filters(searcher):
     assert all(s.startswith("2020-01-01T") for s in starts)
     assert set(starts) <= {"2020-01-01T00:00:00Z", "2020-01-01T06:00:00Z",
                            "2020-01-01T12:00:00Z", "2020-01-01T18:00:00Z"}
+
+
+def test_cli_jdump_renders_ts_iso():
+    """CLI row output must survive the typed ts column (datetime is not
+    JSON-serializable; Solr renders dates ISO-8601Z) — round-6 review."""
+    import json
+
+    from zsolr.cli import _jdump
+
+    out = json.loads(_jdump({
+        "group_val": datetime(2020, 7, 1, 12, 30, tzinfo=timezone.utc),
+        "hits": 3}))
+    assert out == {"group_val": "2020-07-01T12:30:00Z", "hits": 3}

@@ -21,6 +21,16 @@ import sys
 import time
 
 
+def _jdump(obj) -> str:
+    """json.dumps with ISO rendering for the typed ts date values that
+    facet/group/select rows can carry (datetime is not JSON-serializable;
+    Solr renders dates ISO-8601Z)."""
+    def _default(v):
+        iso = getattr(v, "isoformat", None)
+        return (iso().replace("+00:00", "") + "Z") if iso else str(v)
+    return json.dumps(obj, default=_default)
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="zsolr")
     p.add_argument("--master", default=None)
@@ -182,7 +192,7 @@ def main(argv: list[str] | None = None) -> int:
                                    sort=args.sort,
                                    wand=not args.no_wand).collect()
         for r in rows:
-            print(json.dumps(r.asDict()))
+            print(_jdump(r.asDict()))
     elif args.cmd == "select":
         from zsolr.connection import SolrConnection
         conn = SolrConnection(spark, cat)
@@ -202,7 +212,7 @@ def main(argv: list[str] | None = None) -> int:
             out["facet_counts"] = res.facets
         if res.nextCursorMark is not None:
             out["nextCursorMark"] = res.nextCursorMark
-        print(json.dumps(out))
+        print(_jdump(out))
     elif args.cmd in ("facet", "suggest", "stats", "group", "mlt",
                       "spellcheck", "explain"):
         from zsolr.search import Searcher
@@ -232,7 +242,7 @@ def main(argv: list[str] | None = None) -> int:
             df = None
             for fld, gdf in grouped.items():
                 for r in gdf.collect():
-                    print(json.dumps({"group.field": fld, **r.asDict()}))
+                    print(_jdump({"group.field": fld, **r.asDict()}))
         elif args.limit > 1:
             df = searcher.group_topn(args.query, args.fields[0],
                                      n=args.limit)
@@ -240,14 +250,14 @@ def main(argv: list[str] | None = None) -> int:
             df = searcher.group_top1(args.query, args.fields[0])
         if df is not None:
             for r in df.collect():
-                print(json.dumps(r.asDict()))
+                print(_jdump(r.asDict()))
     elif args.cmd == "batch":
         from zsolr.search import Searcher
         searcher = Searcher(spark, cat)
         for q, df in zip(args.queries,
                          searcher.search_batch(list(args.queries), k=args.k)):
             for r in df.collect():
-                print(json.dumps({"query": q, **r.asDict()}))
+                print(_jdump({"query": q, **r.asDict()}))
     elif args.cmd == "delete":
         from zsolr.lifecycle import delete_by_ids, delete_by_query
         if args.query:

@@ -56,6 +56,22 @@ class Results:
         return f"<Results: {self.hits} hits, {len(self.docs)} docs>"
 
 
+_FL_FIELDS = ("doc_id", "repo", "path", "commit", "score")
+
+
+def _apply_fl(docs: list[dict], fl: str | None) -> list[dict]:
+    """Solr ``fl`` projection over returned doc dicts — ONE definition
+    (round-6 review: the grouped/boosted/plain paths each carried a
+    copy, so extending the returnable fields needed three edits)."""
+    if not fl:
+        return docs
+    want = [c.strip() for c in fl.split(",") if c.strip()]
+    bad = [c for c in want if c not in _FL_FIELDS]
+    if bad:
+        raise UnsupportedQuery(f"unknown fl fields: {bad}")
+    return [{c: d[c] for c in want} for d in docs]
+
+
 def _fq_conjuncts(fq: str) -> tuple:
     """Parse one fq into conjuncts that can be ANDed into the main query
     without adding score: meta equalities stay bare (the planner lowers
@@ -164,6 +180,7 @@ class SolrConnection:
                     " or facet.field")
             if group_limit < 1:
                 raise UnsupportedQuery("group.limit must be >= 1")
+            _apply_fl([], fl)   # validate fl upfront (zero-group case)
             gfields = ([group_field] if isinstance(group_field, str)
                        else list(group_field))
             gdfs = self._searcher.group_topn_multi(ast, gfields,
@@ -178,13 +195,6 @@ class SolrConnection:
                         .filter(F.col("doc_id").isin(ids))
                         .select("doc_id", "repo", "path", "commit")
                         .collect()}
-            want = None
-            if fl:
-                want = [c.strip() for c in fl.split(",") if c.strip()]
-                bad = [c for c in want if c not in
-                       ("doc_id", "repo", "path", "commit", "score")]
-                if bad:
-                    raise UnsupportedQuery(f"unknown fl fields: {bad}")
             grouped: dict = {}
             matches = 0
             for fld, rows_ in grows.items():
@@ -199,13 +209,9 @@ class SolrConnection:
                                     kv[1][0]["doc_id"]))
                 groups = []
                 for gval, members in heads:
-                    dl = []
-                    for r in members:
-                        d = dict(meta[r["doc_id"]])
-                        d["score"] = r["score"]
-                        if want:
-                            d = {c: d[c] for c in want}
-                        dl.append(d)
+                    dl = [dict(meta[r["doc_id"]], score=r["score"])
+                          for r in members]
+                    dl = _apply_fl(dl, fl)
                     groups.append({"groupValue": gval,
                                    "doclist": {
                                        "numFound": int(members[0]["hits"]),
@@ -229,30 +235,29 @@ class SolrConnection:
                     "boost= composes with rows/start/fl/fq/facets, not"
                     " with cursorMark, a sort override, hl, or"
                     " spellcheck")
-            df, hits = self._searcher.search_boosted(
-                ast, k=max(rows, 1), start=start, boost=boost, now=now,
-                with_count=True)
-            docs = [r.asDict() for r in df.collect()] if rows > 0 else []
             if fields:
-                ranked = self._searcher.facet_fields(
-                    ast, fields, limit=facet_limit,
-                    mincount=facet_mincount, prefix=facet_prefix,
-                    missing=facet_missing)
+                # page + numFound + every facet from ONE persisted
+                # boosted match set (round-6 review: this used to run
+                # facet_fields as a second kernel wave)
+                df, hits, ranked = self._searcher.search_boosted(
+                    ast, k=max(rows, 1), start=start, boost=boost,
+                    now=now, with_count=True, facet_fields=fields,
+                    facet_limit=facet_limit, facet_mincount=facet_mincount,
+                    facet_prefix=facet_prefix, facet_missing=facet_missing)
                 facets["facet_fields"] = {
                     fld: {v: h for v, h in rows_}
                     for fld, rows_ in ranked.items()}
+            else:
+                df, hits = self._searcher.search_boosted(
+                    ast, k=max(rows, 1), start=start, boost=boost,
+                    now=now, with_count=True)
+            docs = [r.asDict() for r in df.collect()] if rows > 0 else []
             if facet_query:
                 fqs_ = ([facet_query] if isinstance(facet_query, str)
                         else list(facet_query))
                 facets["facet_queries"] = self._searcher.facet_query(
                     ast, fqs_)
-            if fl:
-                want = [c.strip() for c in fl.split(",") if c.strip()]
-                bad = [c for c in want if c not in
-                       ("doc_id", "repo", "path", "commit", "score")]
-                if bad:
-                    raise UnsupportedQuery(f"unknown fl fields: {bad}")
-                docs = [{c: d[c] for c in want} for d in docs]
+            docs = _apply_fl(docs, fl)
             res = Results(docs, hits, facets, {}, nextCursorMark=None)
             res.spellcheck = {}
             return res
@@ -315,13 +320,7 @@ class SolrConnection:
             df, hits = self._searcher.search(ast, k=k, start=start,
                                              sort=sort, with_count=True)
             docs = [r.asDict() for r in df.collect()] if rows > 0 else []
-        if fl:
-            want = [c.strip() for c in fl.split(",") if c.strip()]
-            bad = [c for c in want if c not in
-                   ("doc_id", "repo", "path", "commit", "score")]
-            if bad:
-                raise UnsupportedQuery(f"unknown fl fields: {bad}")
-            docs = [{c: d[c] for c in want} for d in docs]
+        docs = _apply_fl(docs, fl)
         if fields and "facet_fields" not in facets:
             # (cursorMark requests only — plain ranked requests share
             # the kernel wave above, rows=0 took the facet-only path)

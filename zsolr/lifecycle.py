@@ -229,13 +229,17 @@ def _append_partial_index(spark: SparkSession, cat: ManifestParquetCatalog,
         "doc_id", F.col("doc_id") + F.lit(id_offset))
     tokd = corpus_to_tokd(with_ids, cfg.tokenizer)
     tf = tokd_to_tf(tokd, cfg.n_buckets, positions=cfg.positions)
-    cat.write(tf, "tfs", mode="append")
     docs = tokd.drop("toks")
-    # align the delta to the doc store's committed schema: a column the
-    # store has but the delta lacks (e.g. a delta without the typed ts
-    # date field) appends as typed NULL — exactly the docs facet.missing
-    # then counts; a column the store has never seen is refused (doc-store
-    # schema evolution is a rebuild decision, not an append side effect)
+    # align the delta to the doc store's committed schema BEFORE any
+    # append commits: a column the store has but the delta lacks (e.g. a
+    # delta without the typed ts date field) appends as typed NULL —
+    # exactly the docs facet.missing then counts; a column the store has
+    # never seen is refused (doc-store schema evolution is a rebuild
+    # decision, not an append side effect).  Validation-first ordering
+    # matters: a rejected delta must leave ZERO committed snapshots —
+    # writing tfs first would orphan tf rows for doc_ids that exist
+    # nowhere else, and a later compact would resurrect ghost docs
+    # (round-6 review).
     existing = {f.name: f.dataType
                 for f in cat.read(spark, "docs").schema.fields}
     unknown = [c for c in docs.columns if c not in existing]
@@ -247,6 +251,7 @@ def _append_partial_index(spark: SparkSession, cat: ManifestParquetCatalog,
         F.col(c).alias(c) if c in docs.columns
         else F.lit(None).cast(t).alias(c)
         for c, t in existing.items()])
+    cat.write(tf, "tfs", mode="append")
     cat.write(docs, "docs", mode="append")
     # read the delta back from the committed snapshot rather than
     # recomputing the docid lineage (its cache is cleared below)

@@ -1479,7 +1479,12 @@ class Searcher:
 
     def search_boosted(self, q, k: int = 10, start: int = 0,
                        boost: str = "recip(ms(NOW,ts),3.17e-11,1,1)",
-                       now=None, with_count: bool = False):
+                       now=None, with_count: bool = False,
+                       facet_fields: list | None = None,
+                       facet_limit: int | None = 100,
+                       facet_mincount: int = 0,
+                       facet_prefix: str | None = None,
+                       facet_missing: bool = False):
         """Function-query boosted ranking (Solr ``{!boost b=...}`` /
         edismax ``boost=``): final score = BM25 × ``recip(ms(NOW,field),
         m,a,b)`` — the zeit.solr shape, a news corpus boosting recent
@@ -1519,9 +1524,12 @@ class Searcher:
                 - F.unix_timestamp(F.col(field)).cast("double") * 1000.0)
         mult = F.lit(a_) / (F.lit(m_) * x_ms + F.lit(b_))
         scored = self.match_scores(q)
-        if with_count:
-            # count and page share ONE evaluation of the match set (the
-            # round-5/6 no-double-kernel rule)
+        share = with_count or bool(facet_fields)
+        if share:
+            # count, page, and facets share ONE evaluation of the match
+            # set (the round-5/6 no-double-kernel rule; round-6 review:
+            # the facade used to run facet_fields as a second wave on
+            # boosted+faceted requests)
             scored = scored.persist()
         try:
             j = scored.join(
@@ -1535,11 +1543,30 @@ class Searcher:
             df = self.spark.createDataFrame(rows, self._OUT_SCHEMA) \
                 if rows else self.spark.createDataFrame([],
                                                         self._OUT_SCHEMA)
+            facets = None
+            if facet_fields:
+                fcols = list(dict.fromkeys(facet_fields))
+                matched = (self.docs.select("doc_id", *fcols)
+                           .join(scored.select("doc_id"), "doc_id")
+                           .persist())
+                try:
+                    facets = {}
+                    for f in fcols:
+                        agg = self._facet_agg(matched, f, facet_limit,
+                                              "count", facet_mincount,
+                                              facet_prefix, facet_missing)
+                        facets[f] = [(r[0], r["hits"])
+                                     for r in agg.collect()]
+                finally:
+                    matched.unpersist()
+            nf = scored.count() if with_count else None
+            if facet_fields:
+                return df, nf, facets
             if with_count:
-                return df, scored.count()
+                return df, nf
             return df
         finally:
-            if with_count:
+            if share:
                 scored.unpersist()
 
     def search_after(self, q, k: int = 10, after: tuple | None = None,
@@ -1584,6 +1611,18 @@ class Searcher:
         elif eff:
             last = rows[-1]
             nxt = tuple(last[f] for f, _d in eff) + (int(last["doc_id"]),)
+            if any(v is None for v in nxt[:-1]):
+                # a NULL sort value cannot form a strictly-after
+                # predicate (NULL comparisons are neither before nor
+                # after), so the next page would silently come back
+                # empty and the walk would drop every remaining doc
+                # (round-6 review: NULL ts rows are reachable via
+                # schema-aligned delta appends).  Raise instead.
+                raise UnsupportedQuery(
+                    f"cursor paging over sort {sort!r} hit a NULL sort"
+                    f" value — exclude unfielded docs (e.g. fq"
+                    f" '{eff[0][0]}:[* TO *]') or sort on a NULL-free"
+                    f" field")
         else:
             nxt = (float(rows[-1]["score"]), int(rows[-1]["doc_id"]))
         page = [{"doc_id": int(r["doc_id"]), "repo": r["repo"],
@@ -1658,6 +1697,12 @@ class Searcher:
                     raise UnsupportedQuery(
                         "cursor arity must match the sort spec"
                         " (sort values… + doc_id)")
+                if any(v is None for v in after):
+                    # NULL comparisons make the Catalyst strictly-after
+                    # predicate vacuously false — the walk would end
+                    # silently mid-export (round-6 review)
+                    raise UnsupportedQuery(
+                        "cursor contains a NULL sort value")
             if plan.exclude_ast is not None:
                 # match-all minus exclusions: anti-join the inner match set
                 inner = self.match_scores(plan.exclude_ast).select("doc_id")
@@ -1677,6 +1722,11 @@ class Searcher:
             raise UnsupportedQuery(
                 "cursor arity must match the sort spec"
                 " (sort values… + doc_id)")
+        if after is not None and any(v is None for v in after):
+            # a NULL cursor component makes the strictly-after predicate
+            # vacuously false (NULL comparison) — the page would come
+            # back silently empty (round-6 review)
+            raise UnsupportedQuery("cursor contains a NULL sort value")
 
         # ---- path selection ------------------------------------------------
         # fast path: only the query terms' postings move (norms decode from
