@@ -191,8 +191,7 @@ class SolrConnection:
             meta = {}
             if ids:
                 meta = {r["doc_id"]: r.asDict() for r in
-                        self._searcher.docs
-                        .filter(F.col("doc_id").isin(ids))
+                        self._searcher._fetch_by_ids(ids)
                         .select("doc_id", "repo", "path", "commit")
                         .collect()}
             grouped: dict = {}

@@ -1131,6 +1131,21 @@ class Searcher:
     # so the driver only ever collects O(start+k) rows per query.
     COLLECT_CAP = 2_000_000
 
+    def _fetch_by_ids(self, ids: list) -> DataFrame:
+        """Doc-store source pruned to ``ids`` — the ONE definition of the
+        isin-vs-broadcast choice (round-6 review: four call sites carried
+        copies of the cap heuristic).  An In-list keeps parquet row-group
+        pruning but grows the plan linearly, so past ISIN_FETCH_CAP the
+        id set rides a broadcast join instead: plan size O(1), same
+        pruning-free scan AQE would pick at that width."""
+        if len(ids) <= self.ISIN_FETCH_CAP:
+            self._last_fetch_strategy = "isin"
+            return self.docs.filter(F.col("doc_id").isin(list(ids)))
+        ids_df = self.spark.createDataFrame(
+            [(int(i),) for i in ids], "doc_id long")
+        self._last_fetch_strategy = "broadcast_join"
+        return self.docs.join(F.broadcast(ids_df), "doc_id")
+
     # fan-in of the batch big-path per-query cut: level 1 cuts per
     # (qid, doc_id % CUT_FANIN) — spreading one query's candidates over
     # CUT_FANIN tasks — so the final per-qid cut sees ≤ CUT_FANIN·fetch
@@ -1888,22 +1903,12 @@ class Searcher:
                 return (empty, num_found) if with_count else empty
             ids = [h[0] for h in hits]
             score_by_id = dict(hits)
-            # doc fetch: an In-list keeps parquet row-group pruning but the
-            # sort-override path carries UNCUT candidates (≤ fetch·shards
-            # ids — at 125k shards a ~10^6-element predicate blows up the
-            # plan; round-2 verdict #6), so past the cap the id set rides
-            # a broadcast join instead: plan size O(1), same pruning-free
-            # scan AQE would pick anyway at that width.
-            if len(ids) <= self.ISIN_FETCH_CAP:
-                fetch_src = self.docs.filter(F.col("doc_id").isin(ids))
-                self._last_fetch_strategy = "isin"
-            else:
-                ids_df = self.spark.createDataFrame(
-                    [(int(i),) for i in ids], "doc_id long")
-                fetch_src = self.docs.join(F.broadcast(ids_df), "doc_id")
-                self._last_fetch_strategy = "broadcast_join"
-            sel = fetch_src.select("doc_id", "repo", "path", "commit",
-                                   *extra)
+            # doc fetch: the sort-override path carries UNCUT candidates
+            # (≤ fetch·shards ids — at 125k shards a ~10^6-element In
+            # predicate blows up the plan; round-2 verdict #6) — see
+            # _fetch_by_ids for the isin/broadcast choice.
+            sel = self._fetch_by_ids(ids).select(
+                "doc_id", "repo", "path", "commit", *extra)
             if eff_sort:
                 # cut to start+k INSIDE the job (executor-side sort of the
                 # ≤ fetch·shards candidates) — the driver only ever
@@ -2100,16 +2105,10 @@ class Searcher:
                 need_ids.update(h[0] for h in hits)
             meta: dict[int, dict] = {}
             if need_ids:
-                ids = sorted(need_ids)
-                if len(ids) <= self.ISIN_FETCH_CAP:
-                    src = self.docs.filter(F.col("doc_id").isin(ids))
-                else:
-                    ids_df = self.spark.createDataFrame(
-                        [(int(x),) for x in ids], "doc_id long")
-                    src = self.docs.join(F.broadcast(ids_df), "doc_id")
                 meta = {r["doc_id"]: r for r in
-                        src.select("doc_id", "repo", "path",
-                                   "commit").collect()}
+                        self._fetch_by_ids(sorted(need_ids))
+                        .select("doc_id", "repo", "path",
+                                "commit").collect()}
             for j, i in enumerate(order):
                 out = [(d, meta[d]["repo"], meta[d]["path"],
                         meta[d]["commit"], s) for d, s in finals[j]]
@@ -2867,15 +2866,10 @@ class Searcher:
                            for r in cut}
             out = []
             if ids:
-                if len(ids) <= self.ISIN_FETCH_CAP:
-                    src = self.docs.filter(F.col("doc_id").isin(ids))
-                else:
-                    ids_df = self.spark.createDataFrame(
-                        [(i,) for i in ids], "doc_id long")
-                    src = self.docs.join(F.broadcast(ids_df), "doc_id")
                 meta = {r["doc_id"]: r for r in
-                        src.select("doc_id", "repo", "path",
-                                   "commit").collect()}
+                        self._fetch_by_ids(ids)
+                        .select("doc_id", "repo", "path",
+                                "commit").collect()}
                 out = [(d, meta[d]["repo"], meta[d]["path"],
                         meta[d]["commit"], score_by_id[d]) for d in ids]
             page = self.spark.createDataFrame(out, self._OUT_SCHEMA) \
