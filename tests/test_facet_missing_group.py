@@ -137,8 +137,9 @@ def test_facade_grouping_section(spark, null_index, ns):
     from zsolr.connection import SolrConnection
 
     conn = SolrConnection(spark, null_index)
+    # rows here = group-page size (Solr grouped paging); large → all groups
     res = conn.search("spark", group_field=["lang", "repo"],
-                      group_limit=2, group_ngroups=True)
+                      group_limit=2, group_ngroups=True, rows=10_000)
     assert res.docs == []  # grouped replaces the flat response
     n_matches = ns.match_scores("spark").count()
     assert res.hits == n_matches
@@ -171,7 +172,7 @@ def test_facade_grouping_guards(spark, null_index):
 
     conn = SolrConnection(spark, null_index)
     with pytest.raises(UnsupportedQuery):
-        conn.search("spark", group_field="lang", facet_field="repo")
+        conn.search("spark", group_field="lang", sort="doc_len asc")
     with pytest.raises(UnsupportedQuery):
         conn.search("spark", group_field="lang", group_limit=0)
     # fl subsets the doclist docs
@@ -179,6 +180,81 @@ def test_facade_grouping_guards(spark, null_index):
     docs0 = res.grouped["lang"]["groups"][0]["doclist"]["docs"]
     assert docs0 and all(set(d) == {"doc_id", "score"} for d in docs0)
     assert "ngroups" not in res.grouped["lang"]
+
+
+def test_grouped_page_is_paged(ns):
+    """The grouped response is PAGED (round-6 verdict #1 — the last
+    unbounded driver collect): `rows` caps the returned groups via an
+    engine-side TakeOrdered over the rank-1 heads, members come back
+    only for surviving groups (O(rows·n) driver rows), and the
+    surviving groups are exactly the first `rows` heads of the unpaged
+    ordering.  `matches`/`ngroups` stay full-match-set values."""
+    full = ns.group_topn("spark", "path", n=2)  # high-cardinality group
+    frows = full.collect()
+    heads = sorted((r for r in frows if r["rank"] == 1),
+                   key=lambda r: (-r["score"], r["doc_id"]))
+    assert len(heads) > 3  # fixture really has more groups than rows
+    gdfs, matches, ngs, _ = ns.grouped_page(
+        "spark", ["path"], n=2, rows=3, ngroups=True)
+    page = gdfs["path"].collect()
+    assert len(page) <= 3 * 2  # O(rows·group_limit), not O(#groups)
+    exp_groups = {r["group_val"] for r in heads[:3]}
+    assert {r["group_val"] for r in page} == exp_groups
+    exp = sorted(tuple(r) for r in frows if r["group_val"] in exp_groups)
+    assert sorted(tuple(r) for r in page) == exp
+    assert matches == ns.match_scores("spark").count()
+    assert ngs["path"] == len(heads)
+    # NULL group survives the null-safe head join (lang fixture has one)
+    gdfs2, _, _, _ = ns.grouped_page("spark", ["lang"], n=2, rows=100)
+    got = {tuple(r) for r in gdfs2["lang"].collect()}
+    exp2 = {tuple(r)
+            for r in ns.group_topn("spark", "lang", n=2).collect()}
+    assert got == exp2
+    assert None in {r[0] for r in got}
+
+
+def test_facade_grouping_paged_rows(spark, null_index):
+    from zsolr.connection import SolrConnection
+
+    conn = SolrConnection(spark, null_index)
+    res = conn.search("spark", group_field="path", group_limit=1, rows=3,
+                      group_ngroups=True)
+    sec = res.grouped["path"]
+    assert len(sec["groups"]) == 3
+    full = conn.search("spark", group_field="path", group_limit=1,
+                       rows=10_000, group_ngroups=True)
+    fsec = full.grouped["path"]
+    assert sec["groups"] == fsec["groups"][:3]
+    assert sec["matches"] == fsec["matches"]
+    assert sec["ngroups"] == fsec["ngroups"] > 3
+
+
+def test_facade_grouping_composes_with_facets(spark, null_index,
+                                              monkeypatch):
+    """group= + facet.field in ONE request (the grouped-UI pattern,
+    round-6 verdict next #4): grouped section == group-only request,
+    facet section == facet-only request, ONE kernel wave for both."""
+    from zsolr.connection import SolrConnection
+
+    conn = SolrConnection(spark, null_index)
+    calls = []
+    orig = Searcher._postings_scan
+
+    def counting(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(Searcher, "_postings_scan", counting)
+    res = conn.search("spark", group_field="lang", group_limit=2,
+                      facet_field="repo", facet_limit=5, rows=10_000)
+    assert len(calls) == 1, f"{len(calls)} kernel waves for group+facets"
+    monkeypatch.setattr(Searcher, "_postings_scan", orig)
+    g_only = conn.search("spark", group_field="lang", group_limit=2,
+                         rows=10_000)
+    f_only = conn.search("spark", rows=0, facet_field="repo",
+                         facet_limit=5)
+    assert res.grouped == g_only.grouped
+    assert res.facets["facet_fields"] == f_only.facets["facet_fields"]
 
 
 def test_facet_stats_buckets(ns):

@@ -287,3 +287,84 @@ def test_rejected_delta_commits_nothing(tmp_path, spark, corpus_df):
              for t in ("tfs", "docs", "postings")}
     assert after == before
     assert cat.read(spark, "tfs").count() == n_tfs
+
+
+def test_delta_crash_windows_atomic(tmp_path, spark, corpus_df,
+                                    monkeypatch):
+    """The multi-table delta append is ATOMIC (round-6 verdict #2): kill
+    it (a) before the transaction-intent file → zero tables advance and
+    compact resurrects nothing; (b) between per-table pointer flips →
+    the next catalog access rolls the transaction FORWARD and all three
+    tables publish together.  Either way no ghost docs exist after
+    crash + compact."""
+    import os
+
+    from zsolr.lifecycle import _append_partial_index
+
+    cat = ManifestParquetCatalog(str(tmp_path / "idx"))
+    builder = IndexBuilder(cat, BuildConfig(n_buckets=4))
+    builder.build(spark, "m", corpus_df=corpus_df.limit(40))
+    delta = spark.createDataFrame(
+        [{"repo": "srcNEW", "path": f"d/f{i}.py", "commit": "e" * 40,
+          "lang": "en", "content": f"zzzghost delta doc {i} spark"}
+         for i in range(5)],
+        "repo string, path string, commit string, lang string,"
+        " content string")
+    before = {t: len(cat.current_snapshot(t)["data_dirs"])
+              for t in ("tfs", "docs", "postings")}
+    base_hits = Searcher(spark, cat).search(
+        "spark", k=1, with_count=True)[1]
+
+    # (a) crash BEFORE the commit point: the 3rd snapshot write dies —
+    # no intent file, no pointer moves, staging left as orphans
+    calls = {"n": 0}
+    orig_ws = ManifestParquetCatalog._write_snapshot
+
+    def boom_ws(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("crash before commit point")
+        return orig_ws(self, *a, **kw)
+
+    monkeypatch.setattr(ManifestParquetCatalog, "_write_snapshot", boom_ws)
+    with pytest.raises(RuntimeError, match="before commit"):
+        _append_partial_index(spark, cat, builder, delta, 40)
+    monkeypatch.setattr(ManifestParquetCatalog, "_write_snapshot", orig_ws)
+    after = {t: len(cat.current_snapshot(t)["data_dirs"])
+             for t in ("tfs", "docs", "postings")}
+    assert after == before
+    s = Searcher(spark, cat)
+    assert s.search("zzzghost", k=5, with_count=True)[1] == 0
+    compact(spark, cat)
+    s = Searcher(spark, cat)
+    assert s.search("zzzghost", k=5, with_count=True)[1] == 0  # no ghosts
+    assert s.search("spark", k=1, with_count=True)[1] == base_hits
+
+    # (b) crash BETWEEN pointer flips (after the intent): recovery on
+    # the next access publishes ALL THREE tables together
+    flips = {"n": 0}
+    orig_fp = ManifestParquetCatalog._flip_pointer
+
+    def boom_fp(self, table, snap_id):
+        flips["n"] += 1
+        if flips["n"] == 2:
+            raise RuntimeError("crash between pointer flips")
+        return orig_fp(self, table, snap_id)
+
+    monkeypatch.setattr(ManifestParquetCatalog, "_flip_pointer", boom_fp)
+    with pytest.raises(RuntimeError, match="between pointer"):
+        _append_partial_index(spark, cat, builder, delta, 40)
+    monkeypatch.setattr(ManifestParquetCatalog, "_flip_pointer", orig_fp)
+    assert os.listdir(cat._txn_dir())          # intent survived the crash
+    s = Searcher(spark, cat)                   # any access rolls forward
+    assert s.search("zzzghost", k=10, with_count=True)[1] == 5
+    assert not os.listdir(cat._txn_dir())      # transaction resolved
+    for t in ("tfs", "docs", "postings"):
+        assert len(cat.current_snapshot(t)["data_dirs"]) == before[t] + 1
+    compact(spark, cat)
+    s = Searcher(spark, cat)
+    assert s.search("zzzghost", k=10, with_count=True)[1] == 5
+    assert s.search("spark", k=1, with_count=True)[1] >= base_hits
+    assert cat.read(spark, "docs").count() == 45
+    ids = cat.read(spark, "docs").select("doc_id").collect()
+    assert len({r["doc_id"] for r in ids}) == 45  # no duplicate docs

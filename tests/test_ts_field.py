@@ -163,10 +163,78 @@ def test_facet_range_date_brute_force(searcher):
 
 
 def test_facet_range_date_guards(searcher):
-    with pytest.raises(UnsupportedQuery):   # calendar gaps vary in length
-        searcher.facet_range_date("spark", "ts", ISO_LO, ISO_HI, "+1MONTH")
     with pytest.raises(UnsupportedQuery):   # malformed bound
         searcher.facet_range_date("spark", "ts", "2020-1-1", ISO_HI, "+1DAY")
+    with pytest.raises(UnsupportedQuery):   # bogus unit
+        searcher.facet_range_date("spark", "ts", ISO_LO, ISO_HI, "+1WEEK")
+    with pytest.raises(UnsupportedQuery):   # calendar bucket-count bound
+        searcher.facet_range_date("spark", "ts", "1000-01-01T00:00:00Z",
+                                  "3000-01-01T00:00:00Z", "+1MONTH")
+    with pytest.raises(UnsupportedQuery):   # start must precede end
+        searcher.facet_range_date("spark", "ts", ISO_HI, ISO_LO, "+1MONTH")
+
+
+def _addm(dt, n):
+    """Independent clamped month add (the test's own oracle arithmetic)."""
+    import calendar
+
+    y = dt.year + (dt.month - 1 + n) // 12
+    m = (dt.month - 1 + n) % 12 + 1
+    return dt.replace(year=y, month=m,
+                      day=min(dt.day, calendar.monthrange(y, m)[1]))
+
+
+def test_facet_range_date_calendar_months(searcher):
+    """+1MONTH buckets (round-6 verdict next #6): exact Solr
+    DateMathParser semantics — the gap applies to each bucket's low
+    bound in turn, month add clamps day-of-month (Jan 31 06:00 →
+    Feb 29 06:00 → Mar 29 06:00 in 2020) — vs a driver-side recount."""
+    start, end = "2020-01-31T06:00:00Z", "2020-07-01T00:00:00Z"
+    rows = searcher.facet_range_date("spark", "ts", start, end,
+                                     "+1MONTH").collect()
+    got = {r["bucket_start"]: r["hits"] for r in rows}
+
+    sdt = datetime(2020, 1, 31, 6, tzinfo=timezone.utc)
+    edt = datetime(2020, 7, 1, tzinfo=timezone.utc)
+    bounds = []
+    cur = sdt
+    while cur < edt:
+        bounds.append(cur)
+        cur = _addm(cur, 1)
+    # leap-year clamp sticks (Solr's iterative add): 31 → 29 → 29 …
+    assert [b.day for b in bounds[:3]] == [31, 29, 29]
+    matched = (searcher.search("spark", k=None, wand=False)
+               .select("doc_id")
+               .join(searcher.docs.select("doc_id", "ts"), "doc_id")
+               .collect())
+    exp: dict = {}
+    for r in matched:
+        ts = r["ts"].replace(tzinfo=timezone.utc)
+        if not (sdt <= ts < edt):
+            continue
+        b = max(b for b in bounds if b <= ts)
+        key = b.strftime("%Y-%m-%dT%H:%M:%SZ")
+        exp[key] = exp.get(key, 0) + 1
+    assert exp, "fixture ts range must overlap the facet window"
+    assert got == exp
+
+
+def test_facet_range_date_calendar_years(searcher):
+    """+1YEAR gap over [2020, 2021): one calendar bucket, hits = the
+    exact in-window recount."""
+    rows = searcher.facet_range_date(
+        "spark", "ts", "2020-01-01T00:00:00Z", "2021-01-01T00:00:00Z",
+        "+1YEAR").collect()
+    matched = (searcher.search("spark", k=None, wand=False)
+               .select("doc_id")
+               .join(searcher.docs.select("doc_id", "ts"), "doc_id")
+               .collect())
+    lo = datetime(2020, 1, 1, tzinfo=timezone.utc)
+    hi = datetime(2021, 1, 1, tzinfo=timezone.utc)
+    n = sum(1 for r in matched
+            if lo <= r["ts"].replace(tzinfo=timezone.utc) < hi)
+    assert {r["bucket_start"]: r["hits"] for r in rows} == \
+        ({"2020-01-01T00:00:00Z": n} if n else {})
 
 
 def test_facet_range_date_window_filters(searcher):

@@ -117,6 +117,16 @@ class ManifestParquetCatalog:
     def _commit_locked(self, table: str, data_dirs: list[str],
                        parent: str | None, meta: dict | None,
                        schema_json: str | None) -> str:
+        snap_id = self._write_snapshot(table, data_dirs, parent, meta,
+                                       schema_json)
+        self._flip_pointer(table, snap_id)
+        return snap_id
+
+    def _write_snapshot(self, table: str, data_dirs: list[str],
+                        parent: str | None, meta: dict | None,
+                        schema_json: str | None) -> str:
+        """Durably write a snapshot manifest WITHOUT referencing it —
+        visible only once the ``_CURRENT`` pointer flips to it."""
         snap_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         snap = {
             "snapshot_id": snap_id,
@@ -136,13 +146,127 @@ class ManifestParquetCatalog:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._snap_path(table, snap_id))
+        return snap_id
+
+    def _flip_pointer(self, table: str, snap_id: str):
         ptmp = self._pointer(table) + f".tmp-{uuid.uuid4().hex[:8]}"
         with open(ptmp, "w") as f:
             f.write(snap_id)
             f.flush()
             os.fsync(f.fileno())
         os.replace(ptmp, self._pointer(table))
-        return snap_id
+
+    # -- cross-table transactions --------------------------------------------
+    def _txn_dir(self) -> str:
+        return os.path.join(self.root, "_TXN")
+
+    def stage(self, df: DataFrame, table: str,
+              partition_by: list[str] | None = None) -> dict:
+        """Write a data dir for ``table`` WITHOUT committing a snapshot —
+        input to :meth:`commit_multi`.  An abandoned staged dir is
+        unreferenced and ages out via ``expire_snapshots``' orphan
+        grace."""
+        data_dir = os.path.join(self._tdir(table), "data",
+                                uuid.uuid4().hex[:12])
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(data_dir)
+        return {"table": table, "data_dir": data_dir,
+                "schema": df.schema.json()}
+
+    def commit_multi(self, staged: list[dict], mode: str = "append",
+                     meta: dict | None = None) -> dict:
+        """Cross-table atomic commit: every staged table becomes visible
+        together or not at all (Iceberg-style multi-table transaction —
+        the single-table CAS can't protect a delta that spans
+        tfs/docs/postings; a crash between per-table commits would
+        orphan rows a later ``compact()`` resurrects as ghost docs,
+        round-6 verdict #2).
+
+        Protocol: (1) take every table's commit lock in sorted order
+        (deadlock-free); (2) durably write each new snapshot manifest —
+        still unreferenced; (3) fsync ONE transaction-intent file
+        listing {table: (parent, snapshot_id)} — THE commit point;
+        (4) flip each ``_CURRENT`` pointer; (5) delete the intent file.
+        Crash before (3): no pointer moved, staging ages out as
+        orphans.  Crash after (3): :meth:`_recover_txns` — run by every
+        reader/writer entry — rolls the transaction FORWARD, flipping
+        the remaining pointers.  Readers between flips resolve each
+        table's old-or-new snapshot, never a torn one (each table is
+        itself snapshot-isolated; the delta's doc_ids only become
+        queryable when ALL tables have flipped or recovery completes).
+        → {table: snapshot_id}."""
+        import contextlib
+
+        assert mode in ("overwrite", "append")
+        tables = [s["table"] for s in staged]
+        assert len(set(tables)) == len(tables), "one staged dir per table"
+        self._recover_txns()     # never start a txn over a pending one
+        with contextlib.ExitStack() as stack:
+            for t in sorted(tables):
+                stack.enter_context(self._lock(t))
+            snap_ids, parents = {}, {}
+            for s in staged:
+                t = s["table"]
+                cur = self.current_snapshot(t)
+                parents[t] = cur["snapshot_id"] if cur else None
+                dirs = (cur["data_dirs"] + [s["data_dir"]]
+                        if (mode == "append" and cur is not None)
+                        else [s["data_dir"]])
+                snap_ids[t] = self._write_snapshot(
+                    t, dirs, parents[t], meta, s["schema"])
+            os.makedirs(self._txn_dir(), exist_ok=True)
+            txn_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+            txn_path = os.path.join(self._txn_dir(), f"{txn_id}.json")
+            tmp = txn_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"tables": {t: {"parent": parents[t],
+                                          "snapshot": snap_ids[t]}
+                                      for t in tables}}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, txn_path)      # ← the commit point
+            for t in tables:
+                self._flip_pointer(t, snap_ids[t])
+            os.unlink(txn_path)
+            return snap_ids
+
+    def _recover_txns(self):
+        """Roll forward any transaction that crashed between its commit
+        point and its last pointer flip.  Runs at every read/write entry
+        (cheap: one isdir test when no transaction is pending).  A
+        pointer is flipped only if it still names the transaction's
+        recorded parent — a table some later writer advanced is left
+        alone (that writer could only have seen a recovered-or-original
+        state)."""
+        import contextlib
+
+        tdir = self._txn_dir()
+        if not os.path.isdir(tdir):
+            return
+        for fn in sorted(os.listdir(tdir)):
+            if not fn.endswith(".json"):
+                continue
+            path = os.path.join(tdir, fn)
+            try:
+                with open(path) as f:
+                    txn = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue     # deleted by the committer mid-listing
+            for t, rec in txn["tables"].items():
+                with self._lock(t):
+                    ptr = self._pointer(t)
+                    cur = None
+                    if os.path.exists(ptr):
+                        with open(ptr) as f:
+                            cur = f.read().strip()
+                    if (cur == rec["parent"]
+                            and os.path.exists(
+                                self._snap_path(t, rec["snapshot"]))):
+                        self._flip_pointer(t, rec["snapshot"])
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(path)
 
     # -- write/read ---------------------------------------------------------
     def write(self, df: DataFrame, table: str, mode: str = "overwrite",
@@ -150,6 +274,7 @@ class ManifestParquetCatalog:
               meta: dict | None = None, expected_parent=_ANY) -> str:
         """Stage parquet into a fresh data dir, then commit a snapshot."""
         assert mode in ("overwrite", "append")
+        self._recover_txns()
         data_dir = os.path.join(self._tdir(table), "data", uuid.uuid4().hex[:12])
         w = df.write.mode("overwrite")
         if partition_by:
@@ -161,6 +286,7 @@ class ManifestParquetCatalog:
 
     def read(self, spark: SparkSession, table: str,
              snapshot_id: str | None = None) -> DataFrame:
+        self._recover_txns()
         if snapshot_id is None:
             snap = self.current_snapshot(table)
             if snap is None:
@@ -200,6 +326,7 @@ class ManifestParquetCatalog:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
+        self._recover_txns()
         data_dir = os.path.join(self._tdir(table), "data", uuid.uuid4().hex[:12])
         os.makedirs(data_dir, exist_ok=True)
         pq.write_table(pa.table(columns),
@@ -221,6 +348,7 @@ class ManifestParquetCatalog:
         advice).  Time travel to expired snapshots is gone."""
         import shutil
 
+        self._recover_txns()
         with self._lock(table):
             sdir = os.path.join(self._tdir(table), "_snapshots")
             if not os.path.isdir(sdir):
@@ -271,6 +399,7 @@ class ManifestParquetCatalog:
         """Row count from parquet footers — no Spark job."""
         import pyarrow.parquet as pq
 
+        self._recover_txns()
         snap = self.current_snapshot(table)
         if snap is None:
             return 0
@@ -284,6 +413,7 @@ class ManifestParquetCatalog:
         return total
 
     def exists(self, table: str) -> bool:
+        self._recover_txns()
         return os.path.exists(self._pointer(table))
 
     def meta(self, table: str) -> dict:

@@ -251,13 +251,18 @@ def _append_partial_index(spark: SparkSession, cat: ManifestParquetCatalog,
         F.col(c).alias(c) if c in docs.columns
         else F.lit(None).cast(t).alias(c)
         for c, t in existing.items()])
-    cat.write(tf, "tfs", mode="append")
-    cat.write(docs, "docs", mode="append")
-    # read the delta back from the committed snapshot rather than
+    # ONE cross-table transaction (round-6 verdict #2): tfs, docs and
+    # postings are STAGED (data on disk, no snapshot visible), then
+    # commit_multi publishes all three atomically — a crash anywhere in
+    # between leaves zero committed deltas (staged dirs age out as
+    # orphans), so a later compact() can never resurrect ghost docs
+    # from tf rows whose doc/posting halves were lost.
+    staged_tf = cat.stage(tf, "tfs")
+    staged_docs = cat.stage(docs, "docs")
+    # read the delta back from the staged parquet rather than
     # recomputing the docid lineage (its cache is cleared below)
-    delta_tf = spark.read.parquet(
-        cat.current_snapshot("tfs")["data_dirs"][-1])
-    n_added = cat.row_count("docs", last_dir_only=True)
+    delta_tf = spark.read.parquet(staged_tf["data_dir"])
+    n_added = _dir_row_count(staged_docs["data_dir"])
     spark.catalog.clearCache()
     width = int(cat.read(spark, "index_stats").collect()[0]["shard_width"])
     encode = builder._encode_mapper(width)
@@ -266,10 +271,26 @@ def _append_partial_index(spark: SparkSession, cat: ManifestParquetCatalog,
               .mapInArrow(encode, POSTINGS_SCHEMA)
               .repartition(cfg.n_buckets, "bucket")
               .sortWithinPartitions("term", "first_doc"))
-    cat.write(blocks, "postings", mode="append", partition_by=["bucket"])
+    staged_blocks = cat.stage(blocks, "postings", partition_by=["bucket"])
+    cat.commit_multi([staged_tf, staged_docs, staged_blocks],
+                     mode="append")
     builder._manifest_append(spark, [
         (f"u{int(time.time() * 1000)}", "incremental", 0,
          cfg.fingerprint("incremental"), n_added, 0, 0, "committed")])
+
+
+def _dir_row_count(d: str) -> int:
+    """Row count of a staged (uncommitted) parquet dir, from footers."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _dd, files in os.walk(d):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(root, f)).num_rows
+    return total
 
 
 def compact_layout(spark: SparkSession, cat: ManifestParquetCatalog):
