@@ -130,17 +130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .agg(F.sum("n_docs").alias("df")))
     q["postings_roundtrip"] = postings_roundtrip
 
-    def term_df_quantiles(spark, sf):
-        # I11's planning statistic: exact df quantiles over content terms
-        cat, _s = _index(spark, sf)
-        stats = (cat.read(spark, "term_stats")
-                 .filter(~F.col("term").contains("=")
-                         & ~F.col("term").startswith("\x00")))
-        return stats.agg(
-            F.expr("percentile(df, 0.5)").alias("df_p50"),
-            F.expr("percentile(df, 0.9)").alias("df_p90"),
-            F.max("df").cast("double").alias("df_max"))
-    q["term_df_quantiles"] = term_df_quantiles
+    # round-7 rotation: term_df_quantiles (I11 planning statistic) and
+    # semi_anti_join retire to the pytest ring under the driver's 50-row
+    # cap, making room for the round-6/7 grouping + json.facet surface
+    # (round-6 verdict next #7)
 
     # ---- query plane (Q2-Q11) ----
     def filter_lang(spark, sf):
@@ -453,15 +446,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the driver caps CORRECTNESS at 50 rows and every §2-relevant entry
     # must get one (round-2 verdict #5); semi+anti merge into one entry
     # exercising both join types.
-    def semi_anti_join(spark, sf):
-        c = spark.read.parquet(f"{sf}/customer.parquet")
-        o = spark.read.parquet(f"{sf}/orders.parquet")
-        semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
-            "c_custkey", F.lit("semi").alias("tag"))
-        anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-            "c_custkey", F.lit("anti").alias("tag"))
-        return semi.unionByName(anti)
-    q["semi_anti_join"] = semi_anti_join
+    # round-7: multi-field result grouping (Q41) — repeated group.field
+    # params share ONE kernel evaluation; per-field two-level salted
+    # top-n cut (score dropped like group_topn: rank encodes the order)
+    def group_topn_multi_q(spark, sf):
+        _cat, s = _index(spark, sf)
+        multi = s.group_topn_multi("spark", ["lang", "repo"], n=2)
+        out = None
+        for fld in ("lang", "repo"):
+            part = multi[fld].select(
+                F.lit(fld).alias("gfield"),
+                F.col("group_val").cast("string").alias("group_val"),
+                "rank", "doc_id", "hits")
+            out = part if out is None else out.unionByName(part)
+        return out
+    q["group_topn_multi"] = group_topn_multi_q
+
+    # round-7: json.facet bucket stats (Q42) — per-bucket hit count plus
+    # nested numeric aggregations in ONE hash agg (integer-exact stats so
+    # the driver value-hash is summation-order-independent)
+    def facet_stats_q(spark, sf):
+        _cat, s = _index(spark, sf)
+        return s.facet_stats("spark", "lang",
+                             {"sum_len": ("sum", "doc_len"),
+                              "max_len": ("max", "doc_len")})
+    q["facet_stats"] = facet_stats_q
 
     def asof_join_events(spark, sf):
         """As-of join (Spark has no native one — SURVEY §2.4): for every
@@ -688,10 +697,6 @@ SELECT doc_id, tf FROM tf WHERE term = 'spark'"""
     o["postings_roundtrip"] = f"""{_BASE}
 SELECT term, df FROM tdf"""
 
-    o["term_df_quantiles"] = f"""{_BASE}
-SELECT quantile_cont(df, 0.5) AS df_p50, quantile_cont(df, 0.9) AS df_p90,
-       max(df)::DOUBLE AS df_max
-FROM tdf"""
 
     o["filter_lang"] = f"""{_BASE}
 SELECT doc_id, repo, path FROM ids WHERE lang = 'en'"""
@@ -1033,12 +1038,40 @@ FROM sims ORDER BY cos DESC, vec_id LIMIT 10"""
     o["ann_ivf_trained"] = _ann_ivf_oracle(k=5, n_cells=8, nprobe=2,
                                            cents=_trained_cents())
 
-    o["semi_anti_join"] = """
-SELECT c_custkey, 'semi' AS tag FROM customer
-WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    # round-7: multi-field grouping — one window cut per group field over
+    # the same scored match set, UNION ALL tagged by field
+    o["group_topn_multi"] = f"""{_BASE},
+scored AS (
+  SELECT tf.doc_id, {_SCORE} AS score
+  FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats st
+  WHERE tf.term = 'spark'),
+rl AS (
+  SELECT 'lang' AS gfield, i.lang AS group_val, s.doc_id,
+         row_number() OVER (PARTITION BY i.lang
+                            ORDER BY s.score DESC, s.doc_id) AS rn,
+         count(*) OVER (PARTITION BY i.lang) AS hits
+  FROM scored s JOIN ids i USING (doc_id)),
+rr AS (
+  SELECT 'repo' AS gfield, i.repo AS group_val, s.doc_id,
+         row_number() OVER (PARTITION BY i.repo
+                            ORDER BY s.score DESC, s.doc_id) AS rn,
+         count(*) OVER (PARTITION BY i.repo) AS hits
+  FROM scored s JOIN ids i USING (doc_id))
+SELECT gfield, group_val, rn::BIGINT AS rank, doc_id, hits::BIGINT AS hits
+FROM rl WHERE rn <= 2
 UNION ALL
-SELECT c_custkey, 'anti' AS tag FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)"""
+SELECT gfield, group_val, rn::BIGINT AS rank, doc_id, hits::BIGINT AS hits
+FROM rr WHERE rn <= 2"""
+
+    # round-7: json.facet bucket stats — hits + nested integer aggs per
+    # non-null lang bucket over the match set
+    o["facet_stats"] = f"""{_BASE},
+matches AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark')
+SELECT i.lang, count(*)::BIGINT AS hits,
+       sum(d.doc_len)::BIGINT AS sum_len, max(d.doc_len)::BIGINT AS max_len
+FROM matches JOIN ids i USING (doc_id) JOIN dl d USING (doc_id)
+WHERE i.lang IS NOT NULL
+GROUP BY i.lang"""
 
     o["asof_join_events"] = """
 WITH clicks AS (SELECT event_id, user_id, ts FROM events

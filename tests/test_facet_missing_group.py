@@ -336,3 +336,54 @@ def test_facade_boost_with_facets_one_wave(spark, null_index, ns,
     assert res.facets["facet_fields"]["lang"][None] == exp[None]
     assert res.hits == sum(exp.values())
     assert len(res.docs) == 5
+
+
+def test_facet_terms_nested_brute_force(ns):
+    """json.facet nested terms subfacets (round-6 verdict next #5):
+    top-2 lang buckets, top-3 repo sub-buckets inside each, vs a full
+    driver-side recount.  Default json.facet sort throughout: count
+    desc, value asc tiebreak."""
+    from collections import Counter
+
+    rows = ns.facet_terms_nested("spark", "lang", "repo",
+                                 limit=2, sub_limit=3).collect()
+    matched = (ns.search("spark", k=None, wand=False).select("doc_id")
+               .join(ns.docs.select("doc_id", "lang", "repo"), "doc_id")
+               .collect())
+    parents = Counter(r["lang"] for r in matched if r["lang"] is not None)
+    top_parents = sorted(parents, key=lambda v: (-parents[v], v))[:2]
+    exp = []
+    for p in top_parents:
+        subs = Counter(r["repo"] for r in matched
+                       if r["lang"] == p and r["repo"] is not None)
+        top_subs = sorted(subs, key=lambda v: (-subs[v], v))[:3]
+        for i, sv in enumerate(top_subs, 1):
+            exp.append((p, parents[p], sv, subs[sv], i))
+    got = sorted((r["bucket"], r["hits"], r["sub_val"], r["sub_hits"],
+                  r["sub_rank"]) for r in rows)
+    assert got == sorted(exp) and got
+
+
+def test_facet_terms_nested_null_sub_counts_parent(ns):
+    """NULL sub values never form a sub bucket but still count toward
+    the parent bucket's hits (json.facet: the nested facet filters its
+    own domain, the parent count is the bucket's doc count)."""
+    from collections import Counter
+
+    rows = ns.facet_terms_nested("spark", "repo", "lang",
+                                 limit=100, sub_limit=100).collect()
+    matched = (ns.search("spark", k=None, wand=False).select("doc_id")
+               .join(ns.docs.select("doc_id", "lang", "repo"), "doc_id")
+               .collect())
+    parents = Counter(r["repo"] for r in matched)
+    withnull = {r["repo"] for r in matched if r["lang"] is None}
+    assert withnull  # fixture guarantees null-lang matches
+    by_bucket: dict = {}
+    for r in rows:
+        assert r["sub_val"] is not None
+        assert r["hits"] == parents[r["bucket"]]
+        by_bucket.setdefault(r["bucket"], 0)
+        by_bucket[r["bucket"]] += r["sub_hits"]
+    for b, subsum in by_bucket.items():
+        assert subsum == parents[b] - sum(
+            1 for r in matched if r["repo"] == b and r["lang"] is None)

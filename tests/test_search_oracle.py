@@ -1147,3 +1147,54 @@ def test_export_one_job_per_page(searcher, spark):
         sc.setLocalProperty("spark.jobGroup.id", None)
     assert rows == exp                  # bit-identical to the offset walk
     assert len(jobs) == n_pages, (len(jobs), n_pages)
+
+
+def test_mlt_parameter_parity(searcher, oracle, spark, built_index):
+    """Solr MLT parameters (round-7): mlt.mintf / mlt.mindf floor the
+    interesting-term candidates by source tf and corpus df before the
+    tf·idf ranking; mlt.fl switches the term namespace (fielded
+    ``lang=…`` terms behave like Solr MLT over a keyword field).
+    Each variant is rank-identical to the oracle evaluating the
+    explicitly-constructed interesting-term OR query."""
+    from pyspark.sql import functions as F
+
+    from zsolr.parse import Or, Term
+
+    cat, _res = built_index
+    tfs = cat.read(spark, "tfs").filter(
+        "doc_id = 7 AND term NOT LIKE '%=%' AND term NOT LIKE '\x00%'")
+    rows = [(r["term"], r["tf"]) for r in tfs.collect()]
+    # df floor straight from term_stats (the engine's own source)
+    stats = {r["term"]: r["df"] for r in
+             cat.read(spark, "term_stats")
+             .filter(F.col("term").isin([t for t, _ in rows])).collect()}
+
+    mintf, mindf = 2, 3
+    cand = [(t, tf) for t, tf in rows
+            if tf >= mintf and stats.get(t, 0) >= mindf]
+    assert cand and len(cand) < len(rows)  # the floors really prune
+    ranked = sorted(cand, key=lambda r: (-r[1] * oracle.idf(r[0]), r[0]))
+    terms = [t for t, _ in ranked[:8]]
+    exp = [d for d, _s in
+           oracle.search(Or(tuple(Term(t) for t in terms)), k=11)
+           if d != 7][:10]
+    got = [r["doc_id"] for r in
+           searcher.more_like_this(7, k=10, max_terms=8,
+                                   mintf=mintf, mindf=mindf).collect()]
+    assert got == exp
+
+    # mlt.fl=lang: interesting terms are the fielded lang=… terms — the
+    # result set is exactly "other docs sharing the source doc's lang"
+    src_lang = searcher.docs.filter(F.col("doc_id") == 7) \
+        .select("lang").collect()[0]["lang"]
+    got_fl = {r["doc_id"] for r in
+              searcher.more_like_this(7, k=10**6, fl="lang").collect()}
+    same_lang = {r["doc_id"] for r in
+                 searcher.docs.filter(F.col("lang") == src_lang)
+                 .select("doc_id").collect()}
+    assert got_fl == same_lang - {7}
+
+    with pytest.raises(UnsupportedQuery):
+        searcher.more_like_this(7, fl="no_such_field")
+    with pytest.raises(UnsupportedQuery):
+        searcher.more_like_this(7, fl=())

@@ -401,13 +401,19 @@ class SolrConnection:
         res.spellcheck = {"suggestions": sc_out} if spellcheck else {}
         return res
 
-    def more_like_this(self, doc_id: int, rows: int = 10) -> Results:
+    def more_like_this(self, doc_id: int, rows: int = 10,
+                       mlt_fl="content", mlt_mintf: int = 1,
+                       mlt_mindf: int = 1) -> Results:
         """pysolr ``Solr.more_like_this`` shape over the engine's MLT
         component (Q25): docs similar to ``doc_id``, source excluded.
         ``hits`` is the TOTAL similar-doc match count (pysolr/Solr
-        numFound semantics — round-6 advice), not the page size."""
+        numFound semantics — round-6 advice), not the page size.
+        ``mlt_fl``/``mlt_mintf``/``mlt_mindf`` mirror Solr's mlt.fl /
+        mlt.mintf / mlt.mindf (round-7)."""
         df, n = self._searcher.more_like_this(doc_id, k=rows,
-                                              with_count=True)
+                                              with_count=True,
+                                              fl=mlt_fl, mintf=mlt_mintf,
+                                              mindf=mlt_mindf)
         docs = [r.asDict() for r in df.collect()]
         return Results(docs, n)
 

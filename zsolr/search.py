@@ -2350,22 +2350,59 @@ class Searcher:
 
     # -- Solr MoreLikeThis component -------------------------------------------
     def more_like_this(self, doc_id: int, k: int = 10,
-                       max_terms: int = 8, with_count: bool = False):
+                       max_terms: int = 8, with_count: bool = False,
+                       fl=("content",), mintf: int = 1, mindf: int = 1):
         """Solr MoreLikeThis: the source doc's top tf·idf content terms
         ("interesting terms") form an OR query; the source doc itself is
         excluded from the results.  Term selection reads the tfs table
         with a doc_id parquet predicate — at 10^12 docs the deployment
         answer is a doc-keyed forward index (the same tfs rows re-sorted
         by doc_id → one row-group per doc); ranking and execution are
-        unchanged.  Ties rank lexicographically for determinism."""
+        unchanged.  Ties rank lexicographically for determinism.
+
+        Solr MLT parameter parity (round-6 verdict stretch #8):
+        ``fl`` (mlt.fl) names the term namespaces interesting terms come
+        from — ``content`` = the tokenized content terms, any field in
+        ``build.FIELD_TERMS`` = its exact-value fielded terms
+        (``field=value``, which score like ordinary terms);
+        ``mintf`` (mlt.mintf) drops source terms below a term-frequency
+        floor; ``mindf`` (mlt.mindf) drops terms below a corpus
+        document-frequency floor (df from the same pruned term_stats
+        lookup that prices idf — no extra scan).  Neutral defaults
+        (content, 1, 1) preserve classic behavior; Solr's own defaults
+        are mintf=2, mindf=5."""
+        from .build import FIELD_TERMS
+
+        if isinstance(fl, str):
+            fl = tuple(s.strip() for s in fl.split(",") if s.strip())
+        if not fl:
+            raise UnsupportedQuery("mlt.fl must name at least one field")
+        cond = None
+        for f in fl:
+            if f == "content":
+                c = (~F.col("term").contains("=")
+                     & ~F.col("term").startswith("\x00"))
+            elif f in FIELD_TERMS:
+                c = F.col("term").startswith(f + "=")
+            else:
+                raise UnsupportedQuery(
+                    f"mlt.fl field {f!r} (indexed fields:"
+                    f" content, {', '.join(FIELD_TERMS)})")
+            cond = c if cond is None else (cond | c)
         rows = (self.cat.read(self.spark, "tfs")
-                .filter((F.col("doc_id") == doc_id)
-                        & ~F.col("term").contains("=")
-                        & ~F.col("term").startswith("\x00"))
+                .filter((F.col("doc_id") == doc_id) & cond
+                        & (F.col("tf") >= int(mintf)))
                 .select("term", "tf").collect())
         if not rows:
             raise ValueError(f"doc {doc_id} not in index (or has no terms)")
         idf_map = self._idf_map([r["term"] for r in rows])
+        if mindf > 1:
+            # _idf_map just filled the df cache for every candidate term
+            rows = [r for r in rows if self._df_cache[r["term"]] >= mindf]
+            if not rows:
+                raise ValueError(
+                    f"doc {doc_id}: no interesting terms survive"
+                    f" mlt.mindf={mindf}")
         ranked = sorted(rows, key=lambda r: (-r["tf"] * idf_map[r["term"]],
                                              r["term"]))
         terms = [r["term"] for r in ranked[:max_terms]]
