@@ -236,6 +236,67 @@ def main():
          f"{'✅' if page_ok else '❌'} search_boosted returns the k-page"],
         ltxt[:4000] + "\n"))
 
+    # 14. round-7: grouped_page — the group page is a TakeOrdered over
+    # rank-1 heads broadcast back onto the cut (O(rows·n) driver rows,
+    # never one row per group); replicate the lazy shape the eager
+    # method executes over its persisted match set
+    scored7 = s.match_scores("spark")
+    j7 = scored7.join(s.docs.select("doc_id", "lang"), "doc_id")
+    cut7 = s._group_cut(j7, "lang", 2)
+    heads7 = (cut7.filter(F.col("rank") == 1)
+              .orderBy(F.desc("score"), F.asc("doc_id")).limit(3)
+              .select(F.col("group_val").alias("_gv")))
+    page7 = cut7.join(F.broadcast(heads7),
+                      F.col("group_val").eqNullSafe(F.col("_gv")))
+    ptxt = explain_str(page7)
+    head_cut_ok = "TakeOrderedAndProject" in ptxt
+    bcast_ok = "BroadcastHashJoin" in ptxt or "BroadcastNestedLoop" in ptxt
+    sections.append((
+        "Grouped-page cut (Q41, round-7): TakeOrdered heads + broadcast"
+        " member fetch",
+        [f"{'✅' if head_cut_ok else '❌'} TakeOrderedAndProject over the"
+         " rank-1 group heads (no global sort, O(rows) survivors)",
+         f"{'✅' if bcast_ok else '❌'} surviving heads broadcast back"
+         " (null-safe equi-join, never a shuffle of the cut)"],
+        ptxt[:4000] + "\n"))
+
+    # 15. round-7: calendar date-range facet — O(1) per-row bucket
+    # assignment (element_at into literal boundary arrays), zero Python
+    # in the plan, one hash aggregation
+    cal = s.facet_range_date("[* TO *]", "ts", "2020-01-31T06:00:00Z",
+                             "2020-07-01T00:00:00Z", "+1MONTH")
+    ctxt = explain_str(cal)
+    no_py = ("BatchEvalPython" not in ctxt
+             and "ArrowEvalPython" not in ctxt
+             and "FlatMapGroupsInPandas" not in ctxt)
+    one_agg = "HashAggregate" in ctxt
+    sections.append((
+        "Calendar date facet (round-7): codegen bucket assignment",
+        [f"{'✅' if no_py else '❌'} no Python eval nodes — boundary"
+         " lookup is element_at over literal arrays",
+         f"{'✅' if one_agg else '❌'} single hash aggregation"],
+        ctxt[:4000] + "\n"))
+
+    # 16. round-7: json.facet nested terms — parent page broadcast onto
+    # the pair frame, salted two-level sub cut (production persists the
+    # pair frame so the scoring kernel runs once; audited lazily here)
+    pairs7 = (s._matched_docs("spark")
+              .filter(F.col("lang").isNotNull())
+              .groupBy("lang", "repo")
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    parents7 = (pairs7.groupBy("lang").agg(F.sum("cnt").alias("hits"))
+                .orderBy(F.desc("hits"), F.asc("lang")).limit(2)
+                .select(F.col("lang").alias("_pv"), "hits"))
+    sub7 = (pairs7.filter(F.col("repo").isNotNull())
+            .join(F.broadcast(parents7), F.col("lang") == F.col("_pv")))
+    ntxt = explain_str(sub7)
+    nb_ok = "BroadcastHashJoin" in ntxt
+    sections.append((
+        "json.facet nested terms (round-7): broadcast parent page",
+        [f"{'✅' if nb_ok else '❌'} ≤limit parent buckets broadcast onto"
+         " the pair frame (sub-bucket work only for survivors)"],
+        ntxt[:4000] + "\n"))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# Physical plans — pushdown/pruning/codegen audit\n\n"

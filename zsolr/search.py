@@ -2816,43 +2816,53 @@ class Searcher:
         but NULL-sub docs still count toward the parent's hits).
 
         Scale shape: ONE two-key hash aggregation (map-side partials)
-        builds the (A, B, cnt) pair frame; parent totals are a second
-        tiny agg over it, the parent page an engine-side TakeOrdered
+        builds the (A, B, cnt) pair frame, which PERSISTS so the match
+        set is scored exactly once (the lazy two-branch plan re-executed
+        the scoring kernel per branch — Catalyst only reuses the deeper
+        shard exchange, measured round-7); parent totals are a tiny agg
+        over the cache, the parent page an engine-side TakeOrdered
         (O(limit)), broadcast back onto the pair frame so sub-bucket
         work happens only for surviving parents; the per-parent sub cut
         is the salted two-level window (a parent bucket at 10^12-doc
         scale can hold millions of distinct sub values — one window per
         parent would funnel each into a single task, the round-2
-        group_top1 lesson).  Catalyst reuses the pair-frame exchange
-        across the two branches, so the match set evaluates once.
+        group_top1 lesson).  Returns a driver-local DataFrame of
+        O(limit · sub_limit) rows, the json.facet response size.
         → (bucket, hits, sub_val, sub_hits, sub_rank)."""
         from pyspark.sql import Window as _W
 
         pairs = (self._matched_docs(q)
                  .filter(F.col(field).isNotNull())
                  .groupBy(field, sub_field)
-                 .agg(F.count(F.lit(1)).alias("cnt")))
-        parents = (pairs.groupBy(field)
-                   .agg(F.sum("cnt").alias("hits"))
-                   .orderBy(F.desc("hits"), F.asc(field))
-                   .limit(limit)
-                   .select(F.col(field).alias("_pv"), "hits"))
-        okeys = (F.desc("cnt"), F.asc(sub_field))
-        w1 = _W.partitionBy(field, "salt").orderBy(*okeys)
-        w2 = _W.partitionBy(field).orderBy(*okeys)
-        return (pairs.filter(F.col(sub_field).isNotNull())
-                .join(F.broadcast(parents), F.col(field) == F.col("_pv"))
-                .withColumn("salt",
-                            F.pmod(F.xxhash64(F.col(sub_field)),
-                                   F.lit(self.CUT_FANIN)).cast("int"))
-                .withColumn("rn", F.row_number().over(w1))
-                .filter(F.col("rn") <= sub_limit)
-                .withColumn("sub_rank", F.row_number().over(w2))
-                .filter(F.col("sub_rank") <= sub_limit)
-                .select(F.col(field).alias("bucket"), "hits",
-                        F.col(sub_field).alias("sub_val"),
-                        F.col("cnt").alias("sub_hits"),
-                        F.col("sub_rank").cast("long").alias("sub_rank")))
+                 .agg(F.count(F.lit(1)).alias("cnt"))
+                 .persist())
+        try:
+            parents = (pairs.groupBy(field)
+                       .agg(F.sum("cnt").alias("hits"))
+                       .orderBy(F.desc("hits"), F.asc(field))
+                       .limit(limit)
+                       .select(F.col(field).alias("_pv"), "hits"))
+            okeys = (F.desc("cnt"), F.asc(sub_field))
+            w1 = _W.partitionBy(field, "salt").orderBy(*okeys)
+            w2 = _W.partitionBy(field).orderBy(*okeys)
+            cut = (pairs.filter(F.col(sub_field).isNotNull())
+                   .join(F.broadcast(parents),
+                         F.col(field) == F.col("_pv"))
+                   .withColumn("salt",
+                               F.pmod(F.xxhash64(F.col(sub_field)),
+                                      F.lit(self.CUT_FANIN)).cast("int"))
+                   .withColumn("rn", F.row_number().over(w1))
+                   .filter(F.col("rn") <= sub_limit)
+                   .withColumn("sub_rank", F.row_number().over(w2))
+                   .filter(F.col("sub_rank") <= sub_limit)
+                   .select(F.col(field).alias("bucket"), "hits",
+                           F.col(sub_field).alias("sub_val"),
+                           F.col("cnt").alias("sub_hits"),
+                           F.col("sub_rank").cast("long")
+                           .alias("sub_rank")))
+            return self.spark.createDataFrame(cut.collect(), cut.schema)
+        finally:
+            pairs.unpersist()
 
     def facet_query(self, q, facet_queries: list) -> dict:
         """Solr ``facet.query``: exact hit count of each subquery
