@@ -387,3 +387,74 @@ def test_facet_terms_nested_null_sub_counts_parent(ns):
     for b, subsum in by_bucket.items():
         assert subsum == parents[b] - sum(
             1 for r in matched if r["repo"] == b and r["lang"] is None)
+
+
+def test_json_facet_api(spark, null_index, ns):
+    """Solr JSON Facet API facade (round-7): terms / terms+stats /
+    nested terms / calendar date-range entries in one request dict,
+    each section equal to its engine kernel; guards raise on
+    unsupported shapes."""
+    from zsolr.connection import SolrConnection
+    from zsolr.search import UnsupportedQuery
+
+    conn = SolrConnection(spark, null_index)
+    res = conn.json_facet("spark", {
+        "langs": {"type": "terms", "field": "lang", "limit": 3},
+        "lens": {"type": "terms", "field": "lang", "limit": 2,
+                 "facet": {"sum_len": "sum(doc_len)",
+                           "max_len": "max(doc_len)"}},
+        "lang_repos": {"type": "terms", "field": "lang", "limit": 2,
+                       "facet": {"repos": {"type": "terms",
+                                           "field": "repo", "limit": 3}}},
+        "months": {"type": "range", "field": "ts",
+                   "start": "2020-01-01T00:00:00Z",
+                   "end": "2021-01-01T00:00:00Z", "gap": "+1MONTH"},
+    })
+    assert res["count"] == ns.match_scores("spark").count()
+
+    exp_f = [(r[0], r["hits"])
+             for r in ns.facet("spark", "lang", limit=3).collect()]
+    assert [(b["val"], b["count"])
+            for b in res["langs"]["buckets"]] == exp_f
+
+    exp_s = ns.facet_stats("spark", "lang",
+                           {"sum_len": ("sum", "doc_len"),
+                            "max_len": ("max", "doc_len")},
+                           limit=2).collect()
+    assert [(b["val"], b["count"], b["sum_len"], b["max_len"])
+            for b in res["lens"]["buckets"]] == \
+        [(r["lang"], r["hits"], r["sum_len"], r["max_len"])
+         for r in exp_s]
+
+    nrows = ns.facet_terms_nested("spark", "lang", "repo",
+                                  limit=2, sub_limit=3).collect()
+    exp_n: dict = {}
+    for r in sorted(nrows, key=lambda r: r["sub_rank"]):
+        exp_n.setdefault(r["bucket"], (r["hits"], []))[1].append(
+            (r["sub_val"], r["sub_hits"]))
+    got_n = {b["val"]: (b["count"],
+                        [(sb["val"], sb["count"])
+                         for sb in b["repos"]["buckets"]])
+             for b in res["lang_repos"]["buckets"]}
+    assert got_n == exp_n
+    # parent buckets render in (count desc, value asc) order
+    order = [b["val"] for b in res["lang_repos"]["buckets"]]
+    assert order == sorted(exp_n, key=lambda b: (-exp_n[b][0], b))
+
+    drows = ns.facet_range_date("spark", "ts", "2020-01-01T00:00:00Z",
+                                "2021-01-01T00:00:00Z",
+                                "+1MONTH").collect()
+    assert [(b["val"], b["count"]) for b in res["months"]["buckets"]] \
+        == sorted(((r["bucket_start"], r["hits"]) for r in drows))
+
+    with pytest.raises(UnsupportedQuery):
+        conn.json_facet("spark", {"x": {"type": "terms", "field": "lang",
+                                        "facet": {"bad": "median(doc_len)"}}})
+    with pytest.raises(UnsupportedQuery):
+        conn.json_facet("spark", {"x": {"type": "heatmap",
+                                        "field": "lang"}})
+    with pytest.raises(UnsupportedQuery):
+        conn.json_facet("spark", {"x": {
+            "type": "terms", "field": "lang",
+            "facet": {"s": "sum(doc_len)",
+                      "t": {"type": "terms", "field": "repo"}}}})

@@ -401,6 +401,127 @@ class SolrConnection:
         res.spellcheck = {"suggestions": sc_out} if spellcheck else {}
         return res
 
+    _JSON_AGG_RE = None   # compiled lazily (module keeps imports light)
+
+    def json_facet(self, q, facet: dict,
+                   fq: str | list[str] | None = None) -> dict:
+        """Solr JSON Facet API (the ``json.facet`` request body):
+        interprets the spec dict and returns the response's ``facets``
+        section — ``{"count": numFound, <name>: {"buckets": [{"val": …,
+        "count": …, <stat>: … | <subname>: {"buckets": […]}}]}}``.
+
+        Supported per named entry (unknown shapes raise — the engine's
+        guard principle, never silent approximation):
+
+        * ``{"type": "terms", "field": F, "limit": n, "mincount": m,
+          "sort": "count"|"index"}`` — classic terms buckets; an
+          optional ``"facet"`` sub-dict holds EITHER numeric agg strings
+          (``{"avg_len": "avg(doc_len)"}`` → ONE hash agg via
+          ``facet_stats``) OR exactly one nested ``{"type": "terms"}``
+          subfacet (``facet_terms_nested`` — top-n sub-buckets inside
+          each surviving parent, one scoring wave).
+        * ``{"type": "range", "field": "ts", "start": …, "end": …,
+          "gap": …}`` — ISO string bounds run the date-range kernel
+          (incl. calendar ``+1MONTH``/``+1YEAR`` gaps), numeric bounds
+          the numeric one; buckets render in range order.
+
+        Driver volume is O(limit · sub_limit) per entry — every cut is
+        engine-side."""
+        import re as _re
+
+        if SolrConnection._JSON_AGG_RE is None:
+            SolrConnection._JSON_AGG_RE = _re.compile(
+                r"^(avg|sum|min|max|count)\((\w+)\)$")
+        agg_re = SolrConnection._JSON_AGG_RE
+        ast = parse(q) if isinstance(q, str) else q
+        if fq:
+            fqs = [fq] if isinstance(fq, str) else list(fq)
+            extra: tuple = ()
+            for f_ in fqs:
+                extra = extra + _fq_conjuncts(f_)
+            base = tuple(ast.children) if isinstance(ast, And) else (ast,)
+            ast = And(base + extra)
+        s = self._searcher
+        out: dict = {"count": int(s._matched_docs(ast).count())}
+        for name, spec in facet.items():
+            ftype = spec.get("type", "terms")
+            fld = spec["field"]
+            if ftype == "range":
+                if isinstance(spec["start"], str):
+                    rows_ = s.facet_range_date(
+                        ast, fld, spec["start"], spec["end"],
+                        spec["gap"]).collect()
+                else:
+                    rows_ = s.facet_range(
+                        ast, fld, spec["start"], spec["end"],
+                        spec["gap"]).collect()
+                out[name] = {"buckets": [
+                    {"val": r["bucket_start"], "count": int(r["hits"])}
+                    for r in sorted(rows_,
+                                    key=lambda r: r["bucket_start"])]}
+                continue
+            if ftype != "terms":
+                raise UnsupportedQuery(
+                    f"json.facet type {ftype!r} (terms|range)")
+            limit = int(spec.get("limit", 10))
+            mincount = int(spec.get("mincount", 0))
+            sort = spec.get("sort", "count")
+            sub = spec.get("facet") or {}
+            nested = {k: v for k, v in sub.items() if isinstance(v, dict)}
+            aggs = {k: v for k, v in sub.items() if isinstance(v, str)}
+            if nested and aggs:
+                raise UnsupportedQuery(
+                    "json.facet: mix of stat and terms subfacets in one"
+                    " bucket is unsupported")
+            if nested:
+                if len(nested) > 1:
+                    raise UnsupportedQuery(
+                        "json.facet: one nested terms subfacet per"
+                        " bucket")
+                if mincount or sort != "count":
+                    raise UnsupportedQuery(
+                        "json.facet: nested terms subfacets support the"
+                        " default count sort, mincount=0")
+                (subname, subspec), = nested.items()
+                if subspec.get("type", "terms") != "terms":
+                    raise UnsupportedQuery(
+                        "json.facet: nested subfacet must be terms")
+                rows_ = s.facet_terms_nested(
+                    ast, fld, subspec["field"], limit=limit,
+                    sub_limit=int(subspec.get("limit", 10))).collect()
+                by_b: dict = {}
+                for r in sorted(rows_, key=lambda r: r["sub_rank"]):
+                    by_b.setdefault(r["bucket"],
+                                    (int(r["hits"]), []))[1].append(
+                        {"val": r["sub_val"],
+                         "count": int(r["sub_hits"])})
+                order = sorted(by_b, key=lambda b: (-by_b[b][0], b))
+                out[name] = {"buckets": [
+                    {"val": b, "count": by_b[b][0],
+                     subname: {"buckets": by_b[b][1]}} for b in order]}
+            elif aggs:
+                stats = {}
+                for sname, expr in aggs.items():
+                    m = agg_re.match(expr.replace(" ", ""))
+                    if not m:
+                        raise UnsupportedQuery(
+                            f"json.facet stat {expr!r} — expected"
+                            f" fn(column), fn in avg|sum|min|max|count")
+                    stats[sname] = (m.group(1), m.group(2))
+                rows_ = s.facet_stats(ast, fld, stats, limit=limit,
+                                      sort=sort,
+                                      mincount=mincount).collect()
+                out[name] = {"buckets": [
+                    dict({"val": r[0], "count": int(r["hits"])},
+                         **{k: r[k] for k in stats}) for r in rows_]}
+            else:
+                rows_ = s.facet(ast, fld, limit=limit, sort=sort,
+                                mincount=mincount).collect()
+                out[name] = {"buckets": [
+                    {"val": r[0], "count": int(r["hits"])}
+                    for r in rows_]}
+        return out
+
     def more_like_this(self, doc_id: int, rows: int = 10,
                        mlt_fl="content", mlt_mintf: int = 1,
                        mlt_mindf: int = 1) -> Results:
