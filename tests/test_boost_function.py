@@ -123,3 +123,40 @@ def test_facade_boost(spark, built_index, searcher):
     with pytest.raises(UnsupportedQuery):
         conn.search("spark", boost="recip(ms(NOW,ts),1e-9,1,1)",
                     now=NOW, sort="path asc")
+
+
+def test_boosted_grouping_matches_brute_force(spark, built_index, searcher):
+    """group= + {!boost}= in one request (round-7): group heads and
+    member ranks follow the BOOSTED score; matches/ngroups unchanged;
+    equal to a driver-side regroup of the brute-force boosted scores."""
+    from zsolr.connection import SolrConnection
+
+    m, a, b = 1e-9, 1.0, 1.0
+    boosted = dict(_brute_topk(searcher, "spark", m, a, b, k=10**9))
+    lang = {r["doc_id"]: r["lang"] for r in
+            searcher.docs.select("doc_id", "lang").collect()}
+    by_g: dict = {}
+    for d, s in boosted.items():
+        by_g.setdefault(lang[d], []).append((d, s))
+    exp_groups = {}
+    for g, ds in by_g.items():
+        ds.sort(key=lambda t: (-t[1], t[0]))
+        exp_groups[g] = [d for d, _ in ds[:2]]
+    heads = sorted(by_g, key=lambda g: (-by_g[g][0][1], by_g[g][0][0]))
+
+    conn = SolrConnection(spark, built_index[0])
+    res = conn.search("spark", group_field="lang", group_limit=2,
+                      rows=3, group_ngroups=True,
+                      boost=f"recip(ms(NOW,ts),{m},{a},{b})", now=NOW)
+    sec = res.grouped["lang"]
+    assert [g["groupValue"] for g in sec["groups"]] == heads[:3]
+    for g in sec["groups"]:
+        assert [d["doc_id"] for d in g["doclist"]["docs"]] == \
+            exp_groups[g["groupValue"]]
+        assert g["doclist"]["numFound"] == len(by_g[g["groupValue"]])
+    assert sec["matches"] == len(boosted)
+    assert sec["ngroups"] == len(by_g)
+    # scores in the doclist are the boosted scores
+    for g in sec["groups"]:
+        for d in g["doclist"]["docs"]:
+            assert abs(d["score"] - boosted[d["doc_id"]]) < 1e-9

@@ -177,11 +177,11 @@ class SolrConnection:
             # persisted evaluation of the match set (grouped_page).  The
             # doc fetch is one isin-pruned scan over surviving heads.
             if cursor_mark is not None or sort is not None or hl \
-                    or spellcheck or boost is not None:
+                    or spellcheck:
                 raise UnsupportedQuery(
-                    "group= composes with fq/fl/rows/facet.field/"
+                    "group= composes with fq/fl/rows/boost/facet.field/"
                     "facet.query/group.limit/group.ngroups, not with"
-                    " cursorMark, sort, hl, spellcheck, or boost")
+                    " cursorMark, sort, hl, or spellcheck")
             if group_limit < 1:
                 raise UnsupportedQuery("group.limit must be >= 1")
             _apply_fl([], fl)   # validate fl upfront (zero-group case)
@@ -191,7 +191,8 @@ class SolrConnection:
                 ast, gfields, n=group_limit, rows=rows,
                 ngroups=group_ngroups, facet_fields=fields,
                 facet_limit=facet_limit, facet_mincount=facet_mincount,
-                facet_prefix=facet_prefix, facet_missing=facet_missing)
+                facet_prefix=facet_prefix, facet_missing=facet_missing,
+                boost=boost, now=now)
             if fields:
                 facets["facet_fields"] = {
                     fld: {v: h for v, h in rows_}

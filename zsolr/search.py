@@ -1492,6 +1492,31 @@ class Searcher:
         return self._search_uncached(q, None, 0, None, False, False,
                                      raw=True)
 
+    def _boost_mult(self, boost: str, now):
+        """Lower a Solr ``recip(ms(NOW,field),m,a,b)`` boost into
+        (field, multiplier Column over the doc-store ts column) —
+        shared by ``search_boosted`` and boosted grouping."""
+        from datetime import datetime, timezone
+
+        field, m_, a_, b_ = parse_boost_function(boost)
+        dtypes = dict(self.docs.dtypes)
+        if dtypes.get(field) != "timestamp":
+            raise UnsupportedQuery(
+                f"boost field {field!r} is not a timestamp doc-store"
+                f" column (have: {dtypes.get(field)})")
+        if now is None:
+            now_ms = int(datetime.now(timezone.utc).timestamp() * 1000)
+        elif isinstance(now, str):
+            now_ms = int(_parse_ts_bound(field, now).timestamp() * 1000)
+        elif isinstance(now, datetime):
+            now_ms = int(now.timestamp() * 1000)
+        else:
+            now_ms = int(now) * 1000
+        # ms(NOW, field): epoch-ms difference, positive for past docs
+        x_ms = (F.lit(float(now_ms))
+                - F.unix_timestamp(F.col(field)).cast("double") * 1000.0)
+        return field, F.lit(a_) / (F.lit(m_) * x_ms + F.lit(b_))
+
     def search_boosted(self, q, k: int = 10, start: int = 0,
                        boost: str = "recip(ms(NOW,ts),3.17e-11,1,1)",
                        now=None, with_count: bool = False,
@@ -1518,26 +1543,7 @@ class Searcher:
 
         → top-k (doc_id, repo, path, commit, score) by boosted score
         desc, doc_id asc; ``(df, num_found)`` when ``with_count``."""
-        from datetime import datetime, timezone
-
-        field, m_, a_, b_ = parse_boost_function(boost)
-        dtypes = dict(self.docs.dtypes)
-        if dtypes.get(field) != "timestamp":
-            raise UnsupportedQuery(
-                f"boost field {field!r} is not a timestamp doc-store"
-                f" column (have: {dtypes.get(field)})")
-        if now is None:
-            now_ms = int(datetime.now(timezone.utc).timestamp() * 1000)
-        elif isinstance(now, str):
-            now_ms = int(_parse_ts_bound(field, now).timestamp() * 1000)
-        elif isinstance(now, datetime):
-            now_ms = int(now.timestamp() * 1000)
-        else:
-            now_ms = int(now) * 1000
-        # ms(NOW, field): epoch-ms difference, positive for past docs
-        x_ms = (F.lit(float(now_ms))
-                - F.unix_timestamp(F.col(field)).cast("double") * 1000.0)
-        mult = F.lit(a_) / (F.lit(m_) * x_ms + F.lit(b_))
+        field, mult = self._boost_mult(boost, now)
         scored = self.match_scores(q)
         share = with_count or bool(facet_fields)
         if share:
@@ -2689,7 +2695,8 @@ class Searcher:
                      facet_limit: int | None = None,
                      facet_sort: str = "count", facet_mincount: int = 0,
                      facet_prefix: str | None = None,
-                     facet_missing: bool = False):
+                     facet_missing: bool = False,
+                     boost: str | None = None, now=None):
         """The full Solr grouped request from ONE evaluation of the match
         set: per group field a PAGED grouped section (``rows`` groups in
         group-head order — Solr applies the request's ``rows`` to groups
@@ -2717,9 +2724,20 @@ class Searcher:
         ffields = list(dict.fromkeys(facet_fields or []))
         cols = [f for f in dict.fromkeys(gfields + ffields)
                 if f != "doc_id"]
+        mult = bfield = None
+        if boost is not None:
+            # boosted grouping ({!boost b=…} + group=): group heads rank
+            # by BM25 × recency multiplier — exhaustive scoring like
+            # search_boosted (per-doc multipliers defeat static bounds),
+            # applied after the doc join so the ts column is in scope
+            bfield, mult = self._boost_mult(boost, now)
         scored = self.match_scores(q)
-        j = scored.join(self.docs.select("doc_id", *cols), "doc_id") \
-            .persist()
+        jcols = (cols + [bfield]
+                 if bfield is not None and bfield not in cols else cols)
+        j = scored.join(self.docs.select("doc_id", *jcols), "doc_id")
+        if mult is not None:
+            j = j.withColumn("score", F.col("score") * mult)
+        j = j.persist()
         try:
             aggs = [F.count(F.lit(1)).alias("_m")]
             if ngroups:
