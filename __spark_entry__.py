@@ -46,6 +46,22 @@ def _index(spark: SparkSession, sf_dir: str) -> tuple:
     return _IDX_CACHE[key]
 
 
+def _index_dismax(spark: SparkSession, sf_dir: str) -> tuple:
+    """Index with path as a second scored field (edismax schema, Q44) —
+    built once per sf_dir, separate from the classic index so every
+    other driver row keeps its exact historical plan/bytes."""
+    key = f"{sf_dir.rstrip('/')}#dismax"
+    if key not in _IDX_CACHE:
+        root = tempfile.mkdtemp(prefix="zsolr-idx-dm-")
+        cat = ManifestParquetCatalog(root)
+        corpus = synth_corpus(spark, sf_dir)
+        IndexBuilder(cat, BuildConfig(
+            n_buckets=16, scored_fields=("content", "path"))).build(
+            spark, f"{key}/corpus", corpus_df=corpus)
+        _IDX_CACHE[key] = (cat, Searcher(spark, cat))
+    return _IDX_CACHE[key]
+
+
 def _docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -321,10 +337,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.facet_range("spark", "doc_len", 0, 200, 25)
     q["facet_range_doclen"] = facet_range_doclen
 
-    def group_top1_lang(spark, sf):
-        _cat, s = _index(spark, sf)
-        return s.group_top1("spark", "lang")
-    q["group_top1_lang"] = group_top1_lang
+    def topk_dismax(spark, sf):
+        # Q44 — edismax qf multi-field ranking: per-field BM25 (content
+        # vs path, each with its own df/dl/avgdl + per-field norms
+        # sidecar) combined per term as DisjunctionMaxQuery, summed over
+        # the OR.  Separate index build (scored_fields schema knob);
+        # cached per sf like _index.  (group_top1_lang rotated to the
+        # pytest ring under the 50-row cap — subsumed by group_topn /
+        # group_topn_multi rows.)
+        _cat, s = _index_dismax(spark, sf)
+        out = s.search_dismax("dir3 OR spark",
+                              qf={"path": 2.0, "content": 1.0},
+                              tie=0.3, k=10)
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return (out.withColumn("rank", F.row_number().over(w))
+                .select(F.col("rank").cast("long").alias("rank"),
+                        "doc_id"))
+    q["topk_dismax"] = topk_dismax
 
     # round-3: batched execution — 3 queries in ONE kernel wave + ONE doc
     # fetch (search_batch), bit-identical to serial search()
@@ -917,19 +948,47 @@ t2 AS (
   FROM s2 ORDER BY score DESC, doc_id LIMIT 10)
 SELECT * FROM t0 UNION ALL SELECT * FROM t1 UNION ALL SELECT * FROM t2"""
 
-    o["group_top1_lang"] = f"""{_BASE},
-scored AS (
-  SELECT tf.doc_id, {_SCORE} AS score
+    # Q44 edismax twin: per-field BM25 (path tokenized with the same
+    # normative analyzer; per-field df/dl/avgdl) combined per (doc, term)
+    # as greatest + tie·(sum − greatest) — 0-filled contributions are
+    # sound because BM25 parts are non-negative — then summed over the OR
+    o["topk_dismax"] = f"""{_BASE},
+pt AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(path), '[^a-z0-9]+'),
+                     x -> x <> '') AS pts
+  FROM ids),
+ptf AS (
+  SELECT doc_id, t.term AS term, count(*)::BIGINT AS tf
+  FROM pt, unnest(pts) AS t(term) GROUP BY doc_id, t.term),
+pdl AS (SELECT doc_id, len(pts)::BIGINT AS doc_len FROM pt),
+pstats AS (
+  SELECT (SELECT count(*) FROM ids)::DOUBLE AS n,
+         (SELECT avg(len(pts)) FROM pt)::DOUBLE AS avgdl),
+ptdf AS (SELECT term, count(*)::BIGINT AS df FROM ptf GROUP BY term),
+cpart AS (
+  SELECT tf.doc_id, tf.term, {_SCORE} AS sc
   FROM tf JOIN tdf USING (term) JOIN dl USING (doc_id) CROSS JOIN stats st
-  WHERE tf.term = 'spark'),
-ranked AS (
-  SELECT i.lang, s.doc_id,
-         row_number() OVER (PARTITION BY i.lang
-                            ORDER BY s.score DESC, s.doc_id) AS rn,
-         count(*) OVER (PARTITION BY i.lang) AS hits
-  FROM scored s JOIN ids i USING (doc_id))
-SELECT lang AS group_val, hits::BIGINT AS hits, doc_id AS top_doc_id
-FROM ranked WHERE rn = 1"""
+  WHERE tf.term IN ('dir3', 'spark')),
+ppart AS (
+  SELECT ptf.doc_id, ptf.term,
+         2.0 * ln(1 + (st.n - ptdf.df + 0.5)/(ptdf.df + 0.5)) * ptf.tf
+             * (1.2 + 1.0)
+             / (ptf.tf + 1.2 * (1 - 0.75 + 0.75 * pdl.doc_len / st.avgdl))
+           AS sc
+  FROM ptf JOIN ptdf USING (term) JOIN pdl USING (doc_id)
+       CROSS JOIN pstats st
+  WHERE ptf.term IN ('dir3', 'spark')),
+parts AS (
+  SELECT doc_id, COALESCE(c.sc, 0) AS c, COALESCE(p.sc, 0) AS p
+  FROM cpart c FULL OUTER JOIN ppart p USING (doc_id, term)),
+scored AS (
+  SELECT doc_id,
+         sum(greatest(c, p) + 0.3 * (c + p - greatest(c, p))) AS score
+  FROM parts GROUP BY doc_id)
+SELECT row_number() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rank,
+       doc_id
+FROM scored ORDER BY score DESC, doc_id LIMIT 10"""
 
     o["delete_antijoin"] = """
 SELECT doc_id FROM documents WHERE doc_id NOT IN (

@@ -75,6 +75,39 @@ FIELD_TERMS = ("lang", "repo")
 # in analyzed tokens.
 NORMS_TERM = "\x00norms"
 
+
+# -- multi-field scored schema (edismax qf support, SURVEY §2 Q44) -----------
+# A second ANALYZED+SCORED field (Lucene per-field terms + per-field norms):
+# its tokens are namespaced with '\x01' (impossible in analyzed output, and
+# distinct from the '=' metadata namespace), and its doc lengths ride in a
+# per-field norms sidecar — so BM25 over field f uses (tf_f, dl_f, avgdl_f)
+# exactly as Lucene scores multi-field documents.  'content' stays the
+# default unnamespaced field so single-field indexes are byte-identical to
+# every prior round.
+def scored_term(field: str, tok: str) -> str:
+    """Index term key for an analyzed token of a scored field."""
+    return tok if field == "content" else f"\x01{field}\x01{tok}"
+
+
+def field_norms_term(field: str) -> str:
+    """Norms-sidecar term key for a scored field.
+
+    NOT ``\\x00norms\\x01{field}``: pandas' object-dtype groupby hashes
+    strings as NUL-terminated C strings (khash), so every key starting
+    with ``\\x00`` collides with the content sidecar inside the kernel's
+    ``blocks.groupby("term")``.  Putting the field namespace BEFORE the
+    NUL gives each sidecar a unique C-string prefix (``\\x01path\\x01``),
+    distinct from every analyzed path token and from the content sidecar
+    (whose C-string form is empty)."""
+    return NORMS_TERM if field == "content" else f"\x01{field}\x01\x00norms"
+
+
+def term_scored_field(term: str) -> str:
+    """Inverse of :func:`scored_term` — which field a term key belongs to."""
+    if term.startswith("\x01"):
+        return term[1:].split("\x01", 1)[0]
+    return "content"
+
 MANIFEST_SCHEMA = StructType([
     StructField("build_id", StringType()),
     StructField("stage", StringType()),
@@ -104,25 +137,39 @@ def term_bucket(term: str, n_buckets: int) -> int:
     return zlib.crc32(term.encode("utf-8")) % n_buckets
 
 
-def corpus_to_tokd(with_ids: DataFrame, tokenizer: str = "codegen") -> DataFrame:
+def corpus_to_tokd(with_ids: DataFrame, tokenizer: str = "codegen",
+                   scored_fields: tuple = ("content",)) -> DataFrame:
     """corpus+doc_id → (doc_id, meta, content_sha256, toks, doc_len).
     A typed ``ts`` date column (optional — legacy corpora lack it) rides
     into the doc store so date-range filters hit a real timestamp with
-    parquet min/max pushdown."""
-    toks = (tokenize_arrow(F.col("content")) if tokenizer == "arrow"
-            else tokenize_codegen(F.col("content")))
+    parquet min/max pushdown.
+
+    Extra ``scored_fields`` beyond ``content`` (e.g. ``path`` — the
+    edismax ``qf=path^2 content`` schema) are analyzed with the SAME
+    normative tokenizer and carried as ``{f}_toks`` / ``{f}_len``
+    columns; ``tokd_to_tf`` turns them into namespaced per-field terms
+    plus a per-field norms sidecar."""
+    tok = tokenize_arrow if tokenizer == "arrow" else tokenize_codegen
     meta = ["doc_id", "repo", "path", "commit", "lang"]
     if "ts" in with_ids.columns:
         meta.append("ts")
-    return with_ids.select(
+    out = with_ids.select(
         *meta,
         F.sha2(F.col("content"), 256).alias("content_sha256"),
-        toks.alias("toks"),
+        tok(F.col("content")).alias("toks"),
     ).withColumn("doc_len", F.size("toks").cast("long"))
+    for fld in scored_fields:
+        if fld == "content":
+            continue
+        out = (out.withColumn(f"{fld}_toks", tok(F.col(fld)))
+               .withColumn(f"{fld}_len",
+                           F.size(f"{fld}_toks").cast("long")))
+    return out
 
 
 def tokd_to_tf(tokd: DataFrame, n_buckets: int,
-               positions: bool = True) -> DataFrame:
+               positions: bool = True,
+               scored_fields: tuple = ("content",)) -> DataFrame:
     """tokd → tf(term, doc_id, tf, positions, bucket): analyzed tokens
     (with in-doc token positions for PhraseQuery) + zero-scored field terms
     + the norms sidecar (tf := doc_len; no positions).
@@ -159,6 +206,37 @@ def tokd_to_tf(tokd: DataFrame, n_buckets: int,
                         "doc_id", F.lit(1).cast("long").alias("tf"),
                         empty_pos.alias("positions")))
         extra = extra.unionByName(part)
+    for fld in scored_fields:
+        # extra ANALYZED+SCORED fields (edismax qf): namespaced per-field
+        # terms + a per-field norms sidecar, so field-f BM25 sees
+        # (tf_f, dl_f).  Short fields (path ≈ 4 tokens/doc) add a few
+        # per-doc rows to the tf shuffle — negligible next to content.
+        if fld == "content":
+            continue
+        pfx = scored_term(fld, "")
+        if positions:
+            fpart = (
+                tokd.select("doc_id",
+                            F.posexplode(f"{fld}_toks").alias("pos", "ftok"))
+                .groupBy("ftok", "doc_id")
+                .agg(F.count(F.lit(1)).alias("tf"),
+                     F.sort_array(F.collect_list(F.col("pos").cast("int")))
+                     .alias("positions"))
+            )
+        else:
+            fpart = (
+                tokd.select("doc_id", F.explode(f"{fld}_toks").alias("ftok"))
+                .groupBy("ftok", "doc_id")
+                .agg(F.count(F.lit(1)).alias("tf"))
+                .withColumn("positions", empty_pos)
+            )
+        fpart = fpart.select(
+            F.concat(F.lit(pfx), F.col("ftok")).alias("term"),
+            "doc_id", "tf", "positions")
+        fnorms = tokd.select(
+            F.lit(field_norms_term(fld)).alias("term"), "doc_id",
+            F.col(f"{fld}_len").alias("tf"), empty_pos.alias("positions"))
+        extra = extra.unionByName(fpart).unionByName(fnorms)
     return tok_tf.unionByName(extra).withColumn(
         "bucket", F.pmod(F.crc32(F.col("term")), F.lit(n_buckets)).cast("int"))
 
@@ -176,14 +254,19 @@ class BuildConfig:
     shard_width: int | None = None      # None = compute_shard_width(n, par)
     positions: bool = True              # Lucene IndexOptions: DOCS_AND_FREQS
     #                                     (False) vs ..._AND_POSITIONS (True)
+    scored_fields: tuple = ("content",)  # analyzed+BM25-scored fields (the
+    #                                      Solr schema's indexed text fields);
+    #                                      add "path" for edismax qf support
     fail_after_group: int | None = None  # test hook: simulate mid-build kill
 
     def fingerprint(self, corpus_location: str) -> str:
         # resume_groups is part of the key: resuming under a different
         # group count would remap committed group ids to different bucket
         # sets and silently skip never-encoded buckets (round-1 advice)
+        extra = ("" if tuple(self.scored_fields) == ("content",)
+                 else f"|sf={','.join(self.scored_fields)}")
         key = (f"{corpus_location}|nb={self.n_buckets}|bs={self.block_size}"
-               f"|codec={self.codec}|tok={self.tokenizer}"
+               f"|codec={self.codec}|tok={self.tokenizer}{extra}"
                f"|rg={self.resume_groups}|sw={self.shard_width}"
                f"|pos={int(self.positions)}")
         return hashlib.sha256(key.encode()).hexdigest()[:16]
@@ -259,10 +342,13 @@ class IndexBuilder:
         # doc-store access at query time — Lucene-norms design), and
         # zero-scored field terms (`lang=en`) make metadata filters pure
         # posting intersections.
-        tokd = corpus_to_tokd(with_ids, cfg.tokenizer)
-        tf = tokd_to_tf(tokd, cfg.n_buckets, positions=cfg.positions)
+        tokd = corpus_to_tokd(with_ids, cfg.tokenizer,
+                              scored_fields=cfg.scored_fields)
+        tf = tokd_to_tf(tokd, cfg.n_buckets, positions=cfg.positions,
+                        scored_fields=cfg.scored_fields)
         self.cat.write(tf, "tfs", mode="overwrite")
-        docs = tokd.drop("toks")
+        docs = tokd.drop("toks", *[f"{f}_toks" for f in cfg.scored_fields
+                                   if f != "content"])
         self.cat.write(docs, "docs", mode="overwrite")
         spark.catalog.clearCache()  # drop the docID range-partition cache
         wall = int((time.time() - t0) * 1000)
@@ -455,15 +541,17 @@ class IndexBuilder:
         )
         self.cat.write(term_stats, "term_stats", mode="overwrite")
         docs = self.cat.read(spark, "docs")
+        extra_scored = [f for f in self.cfg.scored_fields if f != "content"]
         agg = docs.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.avg("doc_len").alias("avgdl"),
+            *[F.avg(f"{f}_len").alias(f"avgdl_{f}") for f in extra_scored],
         ).collect()[0]
         import pyarrow as pa
 
         width = self.cfg.shard_width or compute_shard_width(
             int(agg["n_docs"]), spark.sparkContext.defaultParallelism)
-        self.cat.write_small({
+        stats_cols = {
             "n_docs": pa.array([int(agg["n_docs"])], pa.int64()),
             "avgdl": pa.array([float(agg["avgdl"] or 0.0)], pa.float64()),
             "n_buckets": pa.array([self.cfg.n_buckets], pa.int32()),
@@ -471,7 +559,13 @@ class IndexBuilder:
             "codec": pa.array([self.cfg.codec], pa.int32()),
             "shard_width": pa.array([width], pa.int64()),
             "positions": pa.array([int(self.cfg.positions)], pa.int32()),
-        }, "index_stats", mode="overwrite")
+        }
+        for f in extra_scored:
+            # per-field avgdl (Lucene per-field similarity stats); absent
+            # for single-field indexes, so legacy stats stay byte-identical
+            stats_cols[f"avgdl_{f}"] = pa.array(
+                [float(agg[f"avgdl_{f}"] or 0.0)], pa.float64())
+        self.cat.write_small(stats_cols, "index_stats", mode="overwrite")
         wall = int((time.time() - t0) * 1000)
         self._manifest_append(spark, [
             (build_id, "stats", 0, fp, int(agg["n_docs"]), 0, wall, "committed"),

@@ -88,6 +88,25 @@ def _fq_conjuncts(fq: str) -> tuple:
     return tuple(out)
 
 
+def _parse_qf(qf) -> dict:
+    """Solr ``qf`` string (``"path^2 content"``) → {field: weight};
+    dicts pass through.  Weightless fields default to 1.0."""
+    if qf is None:
+        return {"content": 1.0}
+    if isinstance(qf, dict):
+        return dict(qf)
+    out: dict = {}
+    for part in str(qf).split():
+        if "^" in part:
+            f, w = part.split("^", 1)
+            out[f] = float(w)
+        else:
+            out[part] = 1.0
+    if not out:
+        raise UnsupportedQuery("qf must name at least one field")
+    return out
+
+
 def _encode_mark(after: tuple) -> str:
     import base64
     import json
@@ -144,7 +163,10 @@ class SolrConnection:
                boost: str | None = None, now=None,
                group_field: str | list[str] | None = None,
                group_limit: int = 1,
-               group_ngroups: bool = False) -> Results:
+               group_ngroups: bool = False,
+               def_type: str | None = None,
+               qf: str | dict | None = None,
+               tie: float = 0.0) -> Results:
         """Solr ``/select``: returns :class:`Results`.
 
         ``rows=0`` is the Solr count-only idiom (numFound, no docs).
@@ -152,8 +174,22 @@ class SolrConnection:
         and ``doc_id`` are always available.  ``fq`` filter queries
         restrict matches without contributing score.  ``cursor_mark``
         (``"*"`` to start) pages without the deep-offset cost; iterate
-        until ``nextCursorMark`` stops changing (Solr protocol)."""
+        until ``nextCursorMark`` stops changing (Solr protocol).
+
+        ``def_type="edismax"`` + ``qf="path^2 content"`` (+ ``tie``)
+        scores every query term per field and combines as
+        DisjunctionMaxQuery (SURVEY §2 Q44).  The rewrite happens at the
+        AST level BEFORE the request is planned, so edismax composes
+        with the whole surface — fq, facets, grouping, cursors, boost —
+        at zero extra kernel cost.  ``qf`` does NOT apply to ``fq``
+        (Solr: filter queries use the lucene parser)."""
         ast = parse(q) if isinstance(q, str) else q
+        if def_type not in (None, "lucene", "edismax"):
+            raise UnsupportedQuery(f"unknown defType {def_type!r}")
+        if def_type == "edismax":
+            ast = self._searcher.dismax_ast(ast, _parse_qf(qf), tie)
+        elif qf is not None:
+            raise UnsupportedQuery("qf requires defType='edismax'")
         if fq:
             fqs = [fq] if isinstance(fq, str) else list(fq)
             extra: tuple = ()

@@ -99,6 +99,20 @@ class Boost:
 
 
 @dataclass(frozen=True)
+class DisMax:
+    """Lucene DisjunctionMaxQuery — the edismax ``qf`` expansion shape
+    (Solr DisMaxQParser).  Matches the UNION of its children; a doc's
+    score is ``max(child scores) + tie * (sum of the other children)``
+    with ``tie`` ∈ [0, 1] (Solr's tiebreaker).  Children are typically
+    the same analyzed user term re-fielded per qf entry (each wrapped in
+    :class:`Boost` for its qf weight).  Constructed by the planner
+    (``Searcher.search_dismax``), never by the query parser — edismax is
+    a request-time rewrite, not query syntax."""
+    children: tuple
+    tie: float = 0.0
+
+
+@dataclass(frozen=True)
 class And:
     children: tuple
 

@@ -38,10 +38,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import BM25_B, BM25_K1, codec
-from .build import NORMS_TERM, term_bucket
+from .build import (NORMS_TERM, field_norms_term, scored_term, term_bucket,
+                    term_scored_field)
 from .catalog import ManifestParquetCatalog
-from .parse import (And, Boost, Contains, Fuzzy, Not, Or, Phrase, Prefix,
-                    Range, Term, Wildcard, parse)
+from .parse import (And, Boost, Contains, DisMax, Fuzzy, Not, Or, Phrase,
+                    Prefix, Range, Term, Wildcard, parse)
 
 DOC_META_FIELDS = ("repo", "path", "commit", "lang", "ts")
 
@@ -143,7 +144,7 @@ def _collect_terms(node, out: list[str]):
         out.append(node.term)
     elif isinstance(node, Phrase):
         out.extend(node.terms)
-    elif isinstance(node, (And, Or)):
+    elif isinstance(node, (And, Or, DisMax)):
         for c in node.children:
             _collect_terms(c, out)
     elif isinstance(node, Not):
@@ -158,7 +159,7 @@ def _collect_terms(node, out: list[str]):
 def _collect_phrase_terms(node, out: set):
     if isinstance(node, Phrase):
         out.update(node.terms)
-    elif isinstance(node, (And, Or)):
+    elif isinstance(node, (And, Or, DisMax)):
         for c in node.children:
             _collect_phrase_terms(c, out)
     elif isinstance(node, (Not, Boost)):
@@ -205,6 +206,9 @@ def _rewrite_nested(node):
         return node
     if isinstance(node, Boost):
         return Boost(_rewrite_nested(node.child), node.weight)
+    if isinstance(node, DisMax):
+        return DisMax(tuple(_rewrite_nested(c) for c in node.children),
+                      node.tie)
     if isinstance(node, And):
         return And(tuple(_rewrite_nested(c) for c in node.children))
     if isinstance(node, Or):
@@ -228,6 +232,8 @@ def _needs_universe(node) -> bool:
                 or any(_needs_universe(c) for c in node.children))
     if isinstance(node, (Not, Boost)):
         return _needs_universe(node.child)
+    if isinstance(node, DisMax):
+        return any(_needs_universe(c) for c in node.children)
     return False
 
 
@@ -237,7 +243,9 @@ def _boost_mults(node, acc: dict, mult: float = 1.0):
     boosts: UB_w = w·UB ≥ w·score for every w ≤ the max multiplier."""
     if isinstance(node, Term):
         acc[node.term] = max(acc.get(node.term, 1.0), mult)
-    elif isinstance(node, (And, Or)):
+    elif isinstance(node, (And, Or, DisMax)):
+        # DisMax: max + tie·rest ≤ sum of the (boost-scaled) children, so
+        # per-child UBs summed by the WAND bound stay safe
         for c in node.children:
             _boost_mults(c, acc, mult)
     elif isinstance(node, Not):
@@ -467,6 +475,21 @@ def _eval_ast(node, per_term, allowed_ids, env=None):
         ids = np.unique(np.concatenate(
             [per_term[t][0] for t in node.terms]))
         return ids, np.zeros(len(ids))
+    if isinstance(node, DisMax):
+        # Lucene DisjunctionMaxQuery: match = union of children; score =
+        # max(child) + tie·(sum of the others).  Children carry their qf
+        # weights as Boost wrappers, so per-child scores arrive pre-scaled.
+        parts = [_eval_ast(c, per_term, allowed_ids, env)
+                 for c in node.children]
+        ids = np.unique(np.concatenate([p[0] for p in parts]))
+        mx = np.zeros(len(ids))
+        sm = np.zeros(len(ids))
+        for pids, psc in parts:
+            contrib = np.zeros(len(ids))
+            contrib[np.searchsorted(ids, pids)] = psc
+            sm += contrib
+            np.maximum(mx, contrib, out=mx)
+        return ids, mx + node.tie * (sm - mx)
     if isinstance(node, Or):
         parts = []
         for c in node.children:
@@ -679,7 +702,8 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                        boost_mult: dict | None = None,
                        k1: float = BM25_K1, b: float = BM25_B,
                        after: tuple | None = None,
-                       block_acc: tuple | None = None):
+                       block_acc: tuple | None = None,
+                       avgdl_by_field: dict | None = None):
     """Build the per-shard kernel (two wire-ups, same body):
 
     * fast path (``cogroup=False``): ``groupBy(shard)`` over posting blocks
@@ -712,6 +736,17 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
     prunable = (pos_terms - neg_terms) - zero_terms - phrase_terms
     deleted_sorted = np.sort(deleted) if deleted is not None and len(deleted) \
         else None
+    # per-field norms sidecars (Lucene per-field similarity): content uses
+    # the classic NORMS_TERM; each extra scored field in play adds its own
+    # sidecar term.  Single-field queries keep the exact prior shape.
+    norm_term_of_field = {"content": NORMS_TERM}
+    for t in all_terms:
+        fld = term_scored_field(t)
+        if fld != "content":
+            norm_term_of_field[fld] = field_norms_term(fld)
+    _sidecar_terms = set(norm_term_of_field.values())
+    avgdl_of = dict(avgdl_by_field or {})
+    avgdl_of.setdefault("content", avgdl)
 
     def kernel(key, blocks: pd.DataFrame, docs: pd.DataFrame | None = None):
         if docs is not None and len(docs) == 0:
@@ -735,26 +770,38 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
 
         by_term_all = {t: g.sort_values("first_doc")
                        for t, g in blocks.groupby("term")} if len(blocks) else {}
-        by_term = {t: g for t, g in by_term_all.items() if t != NORMS_TERM}
+        by_term = {t: g for t, g in by_term_all.items()
+                   if t not in _sidecar_terms}
         per_term: dict[str, tuple] = {}
 
-        # norms sidecar: per-doc lengths for this shard (Lucene norms)
-        nrows = by_term_all.get(NORMS_TERM)
-        if nrows is not None:
-            norm_ids, norm_vals = decode_raw(
-                nrows, np.ones(len(nrows), bool), mask=False)
-        else:
-            norm_ids = np.empty(0, dtype=np.int64)
-            norm_vals = np.empty(0)
+        # norms sidecars: per-doc lengths for this shard, one per scored
+        # field in play (Lucene per-field norms)
+        norm_data: dict[str, tuple] = {}
+        for fld, nterm in norm_term_of_field.items():
+            nrows = by_term_all.get(nterm)
+            if nrows is not None:
+                norm_data[fld] = decode_raw(
+                    nrows, np.ones(len(nrows), bool), mask=False)
+            else:
+                norm_data[fld] = (np.empty(0, dtype=np.int64), np.empty(0))
+        norm_ids, norm_vals = norm_data["content"]
 
         def decode_term(t: str, rows: pd.DataFrame, keep: np.ndarray):
             """Decode kept blocks of one term → (sorted ids, scores)."""
             ids, tfs = decode_raw(rows, keep, mask=True)
             if t in zero_terms or not len(ids):
                 return ids, np.zeros(len(ids))
-            dls = norm_vals[np.searchsorted(norm_ids, ids)]
+            fld = term_scored_field(t)
+            n_ids, n_vals = norm_data[fld]
+            if not len(n_ids):
+                raise RuntimeError(
+                    f"norms sidecar for field {fld!r} missing in shard"
+                    f" {shard} while scoring term {t!r} (norms present:"
+                    f" { {f: len(v[0]) for f, v in norm_data.items()} })")
+            dls = n_vals[np.searchsorted(n_ids, ids)]
+            a = avgdl_of.get(fld, avgdl)
             idf_t = idf_map[t]
-            sc = idf_t * tfs * (k1 + 1.0) / (tfs + k1 * (1 - b + b * dls / avgdl))
+            sc = idf_t * tfs * (k1 + 1.0) / (tfs + k1 * (1 - b + b * dls / a))
             return ids, sc
 
         def decode_positions(rows: pd.DataFrame):
@@ -808,7 +855,10 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                 rows = by_term.get(t)
                 if rows is None:
                     continue
-                if len(norm_ids):
+                t_fld = term_scored_field(t)
+                t_nids, t_nvals = norm_data[t_fld]
+                t_avgdl = avgdl_of.get(t_fld, avgdl)
+                if len(t_nids):
                     # per-block dl_min over the block's docID RANGE
                     # (round-5): the norms sidecar is already decoded
                     # per shard, so each block's minimum doc length over
@@ -819,16 +869,16 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
                     # vendored/minified/generated files).
                     fd = rows["first_doc"].to_numpy(np.int64)
                     ld = rows["last_doc"].to_numpy(np.int64)
-                    lo = np.searchsorted(norm_ids, fd)
-                    hi = np.searchsorted(norm_ids, ld, side="right")
+                    lo = np.searchsorted(t_nids, fd)
+                    hi = np.searchsorted(t_nids, ld, side="right")
                     dl_min = np.maximum(np.array(
-                        [norm_vals[a:z].min() if z > a else 1.0
+                        [t_nvals[a:z].min() if z > a else 1.0
                          for a, z in zip(lo, hi)]), 1.0)
                 else:
                     dl_min = 1.0
                 ub = _term_ub(idf_map[t],
                               rows["block_max_tf"].to_numpy(np.float64),
-                              k1, b, avgdl, dl_min)
+                              k1, b, t_avgdl, dl_min)
                 ub = ub * (boost_mult or {}).get(t, 1.0)
                 if t in prunable:
                     ubs[t] = ub
@@ -1167,6 +1217,12 @@ class Searcher:
         self.n_docs_total = int(st["n_docs"])
         self.avgdl = float(st["avgdl"]) or 1.0
         self.n_buckets = int(st["n_buckets"])
+        # per-field avgdl for extra scored fields (edismax qf) — absent on
+        # classic single-field indexes
+        self.field_avgdl = {"content": self.avgdl}
+        for key, val in st.asDict().items():
+            if key.startswith("avgdl_") and val is not None:
+                self.field_avgdl[key[len("avgdl_"):]] = float(val) or 1.0
         self.docs = cat.read(spark, "docs")
         # tombstones: a live-docs-style exclusion set.  Small (pre-compaction
         # deltas) → broadcast into the fast kernel as a numpy array; past the
@@ -1256,7 +1312,7 @@ class Searcher:
         if isinstance(node, Term):
             if under_not:
                 acc.add(node.term)
-        elif isinstance(node, (And, Or)):
+        elif isinstance(node, (And, Or, DisMax)):
             for c in node.children:
                 self._neg_terms(c, acc, under_not)
         elif isinstance(node, Not):
@@ -1267,7 +1323,7 @@ class Searcher:
     def _pos_terms(self, node, acc: set):
         if isinstance(node, Term):
             acc.add(node.term)
-        elif isinstance(node, (And, Or)):
+        elif isinstance(node, (And, Or, DisMax)):
             for c in node.children:
                 self._pos_terms(c, acc)
         elif isinstance(node, Boost):
@@ -1284,7 +1340,7 @@ class Searcher:
             rows = (self._term_stats
                     .filter(F.col("term").startswith(prefix)
                             & ~F.col("term").contains("=")
-                            & ~F.col("term").startswith("\x00"))
+                            & (F.col("term") >= "0"))
                     .select("term").limit(cap + 1).collect())
             terms = sorted(r["term"] for r in rows)
             if len(terms) > cap:
@@ -1304,7 +1360,7 @@ class Searcher:
             ln = len(term)
             rows = (self._term_stats
                     .filter(~F.col("term").contains("=")
-                            & ~F.col("term").startswith("\x00")
+                            & (F.col("term") >= "0")
                             & F.length("term").between(ln - max_edits,
                                                        ln + max_edits)
                             & (F.levenshtein(F.col("term"), F.lit(term))
@@ -1328,7 +1384,7 @@ class Searcher:
             rows = (self._term_stats
                     .filter(F.col("term").like(like)
                             & ~F.col("term").contains("=")
-                            & ~F.col("term").startswith("\x00"))
+                            & (F.col("term") >= "0"))
                     .select("term").limit(cap + 1).collect())
             terms = sorted(r["term"] for r in rows)
             if len(terms) > cap:
@@ -1345,7 +1401,7 @@ class Searcher:
             rows = (self._term_stats
                     .filter(F.col("term").contains(sub)
                             & ~F.col("term").contains("=")
-                            & ~F.col("term").startswith("\x00"))
+                            & (F.col("term") >= "0"))
                     .select("term").limit(cap + 1).collect())
             terms = sorted(r["term"] for r in rows)
             if len(terms) > cap:
@@ -1372,13 +1428,16 @@ class Searcher:
             return Not(self._expand_ast(node.child))
         if isinstance(node, Boost):
             return Boost(self._expand_ast(node.child), node.weight)
+        if isinstance(node, DisMax):
+            return DisMax(tuple(self._expand_ast(c) for c in node.children),
+                          node.tie)
         return node
 
     @staticmethod
     def _const_terms(node, acc: set):
         if isinstance(node, ConstSet):
             acc.update(node.terms)
-        elif isinstance(node, (And, Or)):
+        elif isinstance(node, (And, Or, DisMax)):
             for c in node.children:
                 Searcher._const_terms(c, acc)
         elif isinstance(node, (Not, Boost)):
@@ -1411,11 +1470,20 @@ class Searcher:
                     & F.col("term").isin(list(all_terms)))
             .withColumn("shard", shard_col)
         )
+        # one norms sidecar per scored FIELD in play (Lucene per-field
+        # norms): content's classic sidecar, plus e.g. the path sidecar
+        # when a dismax query scores path terms.  The universe (complement
+        # legs) always comes from the content sidecar, which spans every
+        # doc.
+        sidecars = {field_norms_term(term_scored_field(t))
+                    for t in norm_terms}
+        if needs_universe or not sidecars:
+            sidecars.add(NORMS_TERM)
         nblocks = (
             self._postings
-            .filter((F.col("bucket") == term_bucket(NORMS_TERM,
-                                                    self.n_buckets))
-                    & (F.col("term") == NORMS_TERM))
+            .filter(F.col("bucket").isin(
+                sorted({term_bucket(t, self.n_buckets) for t in sidecars}))
+                & F.col("term").isin(sorted(sidecars)))
             .withColumn("shard", shard_col)
         )
         n_shards = -(-self.n_docs_total // W)
@@ -1589,6 +1657,85 @@ class Searcher:
         finally:
             if share:
                 scored.unpersist()
+
+    def _dismax_rewrite(self, node, qf: dict, tie: float):
+        """edismax qf expansion: every SCORED bare/content term becomes a
+        :class:`DisMax` over the qf fields (per-field namespaced term,
+        Boost-wrapped with its qf weight); metadata predicates
+        (``lang:en``) and boolean structure pass through.  Multi-term
+        rewrites (prefix/fuzzy/wildcard), phrases, and ranges are
+        content-only constructs — with a multi-field qf they raise
+        rather than silently scoring one field (Solr's edismax expands
+        them per-field; that is a later increment)."""
+        if isinstance(node, Term):
+            if node.field != "content":
+                return node  # metadata filter — planner handles
+            kids = []
+            for f, w in sorted(qf.items()):
+                child = Term(scored_term(f, node.term))
+                kids.append(Boost(child, w) if w != 1.0 else child)
+            if len(kids) == 1:
+                return kids[0]
+            return DisMax(tuple(kids), tie)
+        if isinstance(node, (And, Or)):
+            return type(node)(tuple(self._dismax_rewrite(c, qf, tie)
+                                    for c in node.children))
+        if isinstance(node, Not):
+            return Not(self._dismax_rewrite(node.child, qf, tie))
+        if isinstance(node, Boost):
+            return Boost(self._dismax_rewrite(node.child, qf, tie),
+                         node.weight)
+        if isinstance(node, Range):
+            return node  # match-all or metadata range — planner validates
+        raise UnsupportedQuery(
+            f"edismax with a multi-field qf supports term queries,"
+            f" boolean structure, and metadata filters; got"
+            f" {type(node).__name__}")
+
+    def search_dismax(self, q, qf: dict | None = None, tie: float = 0.0,
+                      k: int = 10, start: int = 0, wand: bool = True,
+                      with_count: bool = False, sort: str | None = None):
+        """Solr edismax ``qf`` multi-field ranking (SURVEY §2 Q44):
+        ``qf={"path": 2.0, "content": 1.0}`` scores each user term per
+        field with that FIELD's BM25 statistics (per-field tf, df-derived
+        idf over the namespaced term, per-field norms dl and avgdl — the
+        Lucene per-field similarity design) and combines per term as
+        DisjunctionMaxQuery: ``max(w_f · bm25_f) + tie · (sum of the
+        others)``, ``tie`` ∈ [0, 1] (Solr's tiebreaker).  The rewritten
+        AST flows through the SAME planner/kernel as every other query —
+        WAND stays enabled (sum-of-UB cross-term bounds dominate the
+        max-based DisMax combination, so pruning remains safe) and is
+        gated by dismax == exhaustive tests.
+
+        Requires an index built with ``BuildConfig.scored_fields``
+        covering every non-content qf field (which adds the namespaced
+        per-field terms + per-field norms sidecar); classic indexes
+        raise rather than mis-score."""
+        ast = self.dismax_ast(q, qf, tie)
+        return self.search(ast, k=k, start=start, sort=sort, wand=wand,
+                           with_count=with_count)
+
+    def dismax_ast(self, q, qf: dict | None = None, tie: float = 0.0):
+        """Validate an edismax request and return the rewritten AST —
+        shared by :meth:`search_dismax` and the facade (which feeds the
+        rewritten AST to faceted / grouped / cursor paths so edismax
+        composes with the whole request surface)."""
+        qf = dict(qf) if qf else {"content": 1.0}
+        if not (0.0 <= tie <= 1.0):
+            raise UnsupportedQuery(f"tie must be in [0, 1], got {tie}")
+        for f in qf:
+            if f not in self.field_avgdl:
+                raise UnsupportedQuery(
+                    f"qf field {f!r} is not a scored field of this index"
+                    f" (have: {sorted(self.field_avgdl)}); build with"
+                    f" BuildConfig.scored_fields including it")
+        ast = parse(q) if isinstance(q, str) else q
+        if set(qf) != {"content"} or qf["content"] != 1.0:
+            # qf={"content": 1.0} is the identity (classic search — every
+            # query construct allowed); any other qf applies the dismax
+            # rewrite, which supports term/boolean/metadata shapes
+            ast = self._dismax_rewrite(ast, qf, tie)
+        return ast
 
     def search_after(self, q, k: int = 10, after: tuple | None = None,
                      wand: bool = True, with_count: bool = False,
@@ -1826,7 +1973,8 @@ class Searcher:
             eff_spec or None, deleted=self._deleted_np if fast else None,
             cogroup=not fast, phrase_terms=phrase_terms,
             needs_universe=needs_universe, boost_mult=boost_mult,
-            after=after, block_acc=getattr(self, "_wand_acc", None))
+            after=after, block_acc=getattr(self, "_wand_acc", None),
+            avgdl_by_field=self.field_avgdl)
         if fast:
             cand = (postings.groupBy("shard")
                     .applyInPandas(kernel, "doc_id long, score double"))
@@ -2205,7 +2353,7 @@ class Searcher:
         return (self._term_stats
                 .filter(F.col("term").startswith(prefix)
                         & ~F.col("term").contains("=")
-                        & ~F.col("term").startswith("\x00"))
+                        & (F.col("term") >= "0"))
                 .orderBy(F.desc("df"), "term")
                 .select("term", "df").limit(n))
 
@@ -2387,7 +2535,7 @@ class Searcher:
         for f in fl:
             if f == "content":
                 c = (~F.col("term").contains("=")
-                     & ~F.col("term").startswith("\x00"))
+                     & (F.col("term") >= "0"))
             elif f in FIELD_TERMS:
                 c = F.col("term").startswith(f + "=")
             else:
@@ -2459,7 +2607,7 @@ class Searcher:
         cap = 4096 * len(toks)      # matches _expand_fuzzy's per-word cap
         rows = (self._term_stats
                 .filter(~F.col("term").contains("=")
-                        & ~F.col("term").startswith("\x00"))
+                        & (F.col("term") >= "0"))
                 .filter(any_c)
                 .select("term", "df",
                         *[c.alias(f"m{i}") for i, c in enumerate(conds)])
