@@ -64,6 +64,27 @@ def _live(spark: SparkSession, cat: ManifestParquetCatalog,
     return df
 
 
+def _stats_scored_fields(cfg_row) -> tuple:
+    """Scored fields recorded in index_stats (``avgdl_{f}`` columns) —
+    how lifecycle ops recover the build-time ``scored_fields`` schema so
+    delta appends keep emitting per-field terms + norms (a delta indexed
+    content-only on a dismax index would silently drop the path field
+    for the appended docs)."""
+    extras = tuple(sorted(k[len("avgdl_"):] for k in cfg_row.asDict()
+                          if k.startswith("avgdl_")))
+    return ("content",) + extras
+
+
+def _cfg_from_stats(cfg_row) -> BuildConfig:
+    """Reconstruct the immutable build parameters from index_stats."""
+    return BuildConfig(
+        n_buckets=int(cfg_row["n_buckets"]),
+        block_size=int(cfg_row["block_size"]),
+        codec=int(cfg_row["codec"]),
+        positions=bool(cfg_row.asDict().get("positions", 1)),
+        scored_fields=_stats_scored_fields(cfg_row))
+
+
 def _refresh_stats(spark: SparkSession, cat: ManifestParquetCatalog):
     """Recompute term/index stats over live (non-tombstoned) rows so idf/N
     stay exact after deletes/updates (Appendix A: N counts non-deleted)."""
@@ -76,11 +97,16 @@ def _refresh_stats(spark: SparkSession, cat: ManifestParquetCatalog):
                  F.pmod(F.crc32(F.col("term")), F.lit(n_buckets)).cast("int"))
     cat.write(term_stats, "term_stats", mode="overwrite")
     docs = _live(spark, cat, "docs")
-    agg = docs.agg(F.count(F.lit(1)).alias("n"),
-                   F.avg("doc_len").alias("avgdl")).collect()[0]
+    extra_scored = [f for f in _stats_scored_fields(cfg_row)
+                    if f != "content"]
+    agg = docs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("doc_len").alias("avgdl"),
+        *[F.avg(f"{f}_len").alias(f"avgdl_{f}") for f in extra_scored],
+    ).collect()[0]
     import pyarrow as pa
 
-    cat.write_small({
+    stats_cols = {
         "n_docs": pa.array([int(agg["n"])], pa.int64()),
         "avgdl": pa.array([float(agg["avgdl"] or 0.0)], pa.float64()),
         "n_buckets": pa.array([n_buckets], pa.int32()),
@@ -91,7 +117,14 @@ def _refresh_stats(spark: SparkSession, cat: ManifestParquetCatalog):
         "shard_width": pa.array([int(cfg_row["shard_width"])], pa.int64()),
         "positions": pa.array(
             [int(cfg_row.asDict().get("positions", 1))], pa.int32()),
-    }, "index_stats", mode="overwrite")
+    }
+    for f in extra_scored:
+        # per-field avgdl survives every lifecycle op — dropping it would
+        # sever the Searcher's scored-field detection and break dismax on
+        # any index that saw a delete/update
+        stats_cols[f"avgdl_{f}"] = pa.array(
+            [float(agg[f"avgdl_{f}"] or 0.0)], pa.float64())
+    cat.write_small(stats_cols, "index_stats", mode="overwrite")
 
 
 def incremental_update(spark: SparkSession, cat: ManifestParquetCatalog,
@@ -100,11 +133,7 @@ def incremental_update(spark: SparkSession, cat: ManifestParquetCatalog,
     """I10 — diff the new corpus snapshot against the doc store and
     re-index only added/changed docs; tombstone removed/changed ones."""
     cfg_row = cat.read(spark, "index_stats").collect()[0]
-    cfg = cfg or BuildConfig(
-        n_buckets=int(cfg_row["n_buckets"]),
-        block_size=int(cfg_row["block_size"]),
-        codec=int(cfg_row["codec"]),
-        positions=bool(cfg_row.asDict().get("positions", 1)))
+    cfg = cfg or _cfg_from_stats(cfg_row)
     live = _live(spark, cat, "docs").select(
         "doc_id", "repo", "path",
         F.col("content_sha256").alias("old_sha"))
@@ -168,11 +197,7 @@ def incremental_add(spark: SparkSession, cat: ManifestParquetCatalog,
     ``incremental_update``)."""
     BROADCAST_DELTA_CAP = 2_000_000
     cfg_row = cat.read(spark, "index_stats").collect()[0]
-    cfg = cfg or BuildConfig(
-        n_buckets=int(cfg_row["n_buckets"]),
-        block_size=int(cfg_row["block_size"]),
-        codec=int(cfg_row["codec"]),
-        positions=bool(cfg_row.asDict().get("positions", 1)))
+    cfg = cfg or _cfg_from_stats(cfg_row)
     live = _live(spark, cat, "docs").select(
         "doc_id", "repo", "path", F.col("content_sha256").alias("old_sha"))
     new = delta.withColumn("new_sha", F.sha2(F.col("content"), 256))
@@ -217,6 +242,155 @@ def incremental_add(spark: SparkSession, cat: ManifestParquetCatalog,
             "skipped": int(counts.get("same", 0))}
 
 
+ATOMIC_SET_FIELDS = ("lang", "ts", "commit", "content")
+
+
+def atomic_update(spark: SparkSession, cat: ManifestParquetCatalog,
+                  updates: list[dict], corpus_df: DataFrame | None = None,
+                  cfg: BuildConfig | None = None) -> dict:
+    """Solr atomic updates — the CMS partial-document shape
+    (``{"repo": r, "path": p, "lang": {"set": "de"}}``): read the
+    current doc, apply the field ops, tombstone the old doc_id, and
+    re-index the merged doc (Solr likewise rewrites the whole document
+    under the hood — Lucene segments are immutable, exactly like our
+    posting blocks).
+
+    * keys: ``repo`` + ``path`` (the engine's uniqueKey, as in
+      ``incremental_add``); a key matching no live doc RAISES (Solr
+      errors an atomic update against a missing id unless the update
+      carries every required field — creation stays ``add()``'s job).
+    * ops: ``{"set": value}`` on ``lang`` / ``ts`` / ``commit`` /
+      ``content``; ``{"set": None}`` clears a field (Solr's null-set —
+      the doc then counts under ``facet.missing``).  ``inc``/``add``/
+      ``remove`` raise: the doc store has no numeric or multivalued
+      user fields.
+    * content: a metadata-only update re-tokenizes the EXISTING content,
+      which lives in the corpus table (the engine stores sha256 +
+      metadata, not text — the highlighter's deployment shape), so
+      ``corpus_df`` is required unless every update sets content.
+
+    Plan shape: ops normalize driver-side into a fixed-schema delta
+    frame (O(len(updates)) rows); the live doc store is pre-filtered by
+    a BROADCAST semi-join on the keys (the big table never shuffles);
+    merge is a delta-sized inner join; the re-index rides the SAME
+    staged cross-table transaction as every other delta append.
+    Returns {"updated": n}."""
+    if not updates:
+        return {"updated": 0}
+    cfg_row = cat.read(spark, "index_stats").collect()[0]
+    cfg = cfg or _cfg_from_stats(cfg_row)
+    norm_rows = []
+    needs_corpus = False
+    for u in updates:
+        if not {"repo", "path"} <= set(u):
+            raise ValueError(f"atomic update needs repo/path keys: {u!r}")
+        row = {"repo": u["repo"], "path": u["path"]}
+        for fld, op in u.items():
+            if fld in ("repo", "path"):
+                continue
+            if not isinstance(op, dict) or len(op) != 1:
+                raise ValueError(
+                    f"atomic update field {fld!r} must be one op dict"
+                    f" like {{'set': v}}, got {op!r}")
+            (verb, val), = op.items()
+            if verb != "set":
+                raise ValueError(
+                    f"unsupported atomic op {verb!r} on {fld!r} (the doc"
+                    f" store has no numeric/multivalued user fields;"
+                    f" supported: set on {ATOMIC_SET_FIELDS})")
+            if fld not in ATOMIC_SET_FIELDS:
+                raise ValueError(
+                    f"field {fld!r} is not atomically updatable"
+                    f" (supported: {ATOMIC_SET_FIELDS})")
+            if fld == "content" and val is None:
+                raise ValueError("content cannot be set to None")
+            if fld == "ts" and val is not None:
+                # validate + parse driver-side (the I20 rule: malformed
+                # dates raise, never silently null-cast)
+                from .search import _parse_ts_bound
+                val = _parse_ts_bound("ts", str(val))
+            row[f"set_{fld}"] = val
+            row[f"has_{fld}"] = True
+        if "set_content" not in row:
+            needs_corpus = True
+        norm_rows.append(row)
+    keys = [(r["repo"], r["path"]) for r in norm_rows]
+    if len(set(keys)) != len(keys):
+        raise ValueError("duplicate (repo, path) keys in one atomic"
+                         " update batch")
+    if needs_corpus and corpus_df is None:
+        raise ValueError(
+            "metadata-only atomic updates re-tokenize the existing"
+            " content — pass corpus_df (stored content lives in the"
+            " corpus table, the source of truth)")
+    delta = spark.createDataFrame(
+        [(r["repo"], r["path"],
+          r.get("set_lang"), bool(r.get("has_lang")),
+          r.get("set_ts"), bool(r.get("has_ts")),
+          r.get("set_commit"), bool(r.get("has_commit")),
+          r.get("set_content")) for r in norm_rows],
+        "repo string, path string, set_lang string, has_lang boolean,"
+        " set_ts timestamp, has_ts boolean, set_commit string,"
+        " has_commit boolean, set_content string")
+    docs_schema = {f.name for f in cat.read(spark, "docs").schema.fields}
+    has_ts_col = "ts" in docs_schema
+    if not has_ts_col and any(r.get("has_ts") for r in norm_rows):
+        raise ValueError(
+            "ts set on an index whose doc store has no ts column"
+            " (schema evolution is a rebuild decision)")
+    live_cols = ["doc_id", "repo", "path", "commit", "lang"] \
+        + (["ts"] if has_ts_col else [])
+    live = (_live(spark, cat, "docs").select(*live_cols)
+            .join(F.broadcast(delta), ["repo", "path"], "inner"))
+    matched = live.persist()
+    try:
+        n_matched = matched.count()
+        if n_matched != len(norm_rows):
+            raise ValueError(
+                f"atomic update matched {n_matched} of"
+                f" {len(norm_rows)} keys — updates against missing docs"
+                f" are errors (use add() to create)")
+        def _merged(fld, typ="string"):
+            return (F.when(F.col(f"has_{fld}"),
+                           F.col(f"set_{fld}").cast(typ))
+                    .otherwise(F.col(fld)).alias(fld))
+        merged_cols = [F.col("repo"), F.col("path"),
+                       _merged("commit"), _merged("lang")]
+        if has_ts_col:
+            merged_cols.append(_merged("ts", "timestamp"))
+        if needs_corpus:
+            src = corpus_df.select("repo", "path",
+                                   F.col("content").alias("old_content"))
+            with_content = matched.join(
+                src, ["repo", "path"], "left_outer")
+            content_col = F.coalesce(F.col("set_content"),
+                                     F.col("old_content"))
+        else:
+            with_content = matched
+            content_col = F.col("set_content")
+        merged = with_content.select(
+            *merged_cols, content_col.alias("content"),
+            F.col("doc_id").alias("old_doc_id"))
+        if needs_corpus:
+            missing = merged.filter(F.col("content").isNull()).count()
+            if missing:
+                raise ValueError(
+                    f"{missing} updated docs have no content in"
+                    f" corpus_df — the corpus table must cover every"
+                    f" metadata-only update")
+        _append_tombstones(spark, cat,
+                           merged.select(F.col("old_doc_id")
+                                         .alias("doc_id")))
+        offset = cat.read(spark, "docs").agg(
+            F.coalesce(F.max("doc_id"), F.lit(-1))).collect()[0][0] + 1
+        _append_partial_index(spark, cat, IndexBuilder(cat, cfg),
+                              merged.drop("old_doc_id"), int(offset))
+    finally:
+        matched.unpersist()
+    _refresh_stats(spark, cat)
+    return {"updated": n_matched}
+
+
 def _append_partial_index(spark: SparkSession, cat: ManifestParquetCatalog,
                           builder: IndexBuilder, corpus: DataFrame,
                           id_offset: int):
@@ -227,9 +401,12 @@ def _append_partial_index(spark: SparkSession, cat: ManifestParquetCatalog,
     cfg = builder.cfg
     with_ids = assign_doc_ids(corpus).withColumn(
         "doc_id", F.col("doc_id") + F.lit(id_offset))
-    tokd = corpus_to_tokd(with_ids, cfg.tokenizer)
-    tf = tokd_to_tf(tokd, cfg.n_buckets, positions=cfg.positions)
-    docs = tokd.drop("toks")
+    tokd = corpus_to_tokd(with_ids, cfg.tokenizer,
+                          scored_fields=cfg.scored_fields)
+    tf = tokd_to_tf(tokd, cfg.n_buckets, positions=cfg.positions,
+                    scored_fields=cfg.scored_fields)
+    docs = tokd.drop("toks", *[f"{f}_toks" for f in cfg.scored_fields
+                               if f != "content"])
     # align the delta to the doc store's committed schema BEFORE any
     # append commits: a column the store has but the delta lacks (e.g. a
     # delta without the typed ts date field) appends as typed NULL —
