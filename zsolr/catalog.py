@@ -261,12 +261,116 @@ class ManifestParquetCatalog:
                     if os.path.exists(ptr):
                         with open(ptr) as f:
                             cur = f.read().strip()
-                    if (cur == rec["parent"]
-                            and os.path.exists(
-                                self._snap_path(t, rec["snapshot"]))):
+                    if cur != rec["parent"]:
+                        continue
+                    if rec["snapshot"] is None:
+                        # a rollback removing the table the crashed op
+                        # had created (e.g. first-delete tombstones)
+                        with contextlib.suppress(FileNotFoundError):
+                            os.unlink(ptr)
+                    elif os.path.exists(
+                            self._snap_path(t, rec["snapshot"])):
                         self._flip_pointer(t, rec["snapshot"])
             with contextlib.suppress(FileNotFoundError):
                 os.unlink(path)
+
+    # -- history / rollback --------------------------------------------------
+    def history(self, table: str, limit: int = 20) -> list[dict]:
+        """Snapshot lineage from the current pointer backwards (newest
+        first): [{snapshot_id, parent, committed_at_ms, meta}].  Stops at
+        the root, ``limit``, or an expired (GC'd) ancestor manifest."""
+        out: list[dict] = []
+        snap = self.current_snapshot(table)
+        while snap is not None and len(out) < limit:
+            out.append({"snapshot_id": snap["snapshot_id"],
+                        "parent": snap.get("parent"),
+                        "committed_at_ms": snap.get("committed_at_ms"),
+                        "meta": snap.get("meta") or {}})
+            parent = snap.get("parent")
+            if parent is None:
+                break
+            p = self._snap_path(table, parent)
+            if not os.path.exists(p):
+                break
+            with open(p) as f:
+                snap = json.load(f)
+        return out
+
+    def rollback(self, table: str, steps: int = 1) -> str:
+        """Flip the table pointer back ``steps`` ancestors (snapshot
+        time-travel made current — the Iceberg ``rollback_to_snapshot``
+        shape).  CAS under the commit lock; raises if the chain is too
+        short or an ancestor manifest was expired.  Data dirs are
+        untouched: the abandoned snapshots age out via
+        ``expire_snapshots`` exactly like any unreferenced manifest."""
+        if steps < 1:
+            raise ValueError("steps must be >= 1")
+        self._recover_txns()
+        with self._lock(table):
+            cur = self.current_snapshot(table)
+            if cur is None:
+                raise FileNotFoundError(f"no snapshot for table {table!r}")
+            snap = cur
+            for _ in range(steps):
+                parent = snap.get("parent")
+                if parent is None:
+                    raise ValueError(
+                        f"table {table!r}: no ancestor {steps} steps back")
+                p = self._snap_path(table, parent)
+                if not os.path.exists(p):
+                    raise ValueError(
+                        f"table {table!r}: ancestor {parent} was expired")
+                with open(p) as f:
+                    snap = json.load(f)
+            self._flip_pointer(table, snap["snapshot_id"])
+            return snap["snapshot_id"]
+
+    def flip_multi(self, targets: dict) -> None:
+        """Atomically repoint several tables: ``targets`` maps table →
+        (expected_current, new_snapshot).  A ``None`` new_snapshot
+        REMOVES the table pointer (rolling back the op that created the
+        table — e.g. the first delete creating ``tombstones``).  Same
+        intent-file protocol as :meth:`commit_multi` — locks in sorted
+        order, verify each pointer still names its expected current
+        (CAS), fsync ONE intent file (the commit point), flip, unlink; a
+        crash after the intent rolls FORWARD via :meth:`_recover_txns`.
+        Used by multi-table rollback, where a torn flip would leave e.g.
+        postings rolled back under a doc store that wasn't."""
+        import contextlib
+
+        self._recover_txns()
+        with contextlib.ExitStack() as stack:
+            for t in sorted(targets):
+                stack.enter_context(self._lock(t))
+            for t, (expected, target) in targets.items():
+                cur = self.current_snapshot(t)
+                cur_id = cur["snapshot_id"] if cur else None
+                if cur_id != expected:
+                    raise CommitConflict(
+                        f"table {t!r} moved: expected {expected},"
+                        f" current {cur_id}")
+                if target is not None \
+                        and not os.path.exists(self._snap_path(t, target)):
+                    raise ValueError(
+                        f"table {t!r}: target snapshot {target} missing")
+            os.makedirs(self._txn_dir(), exist_ok=True)
+            txn_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
+            txn_path = os.path.join(self._txn_dir(), f"{txn_id}.json")
+            tmp = txn_path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump({"tables": {t: {"parent": exp, "snapshot": tgt}
+                                      for t, (exp, tgt)
+                                      in targets.items()}}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, txn_path)      # ← the commit point
+            for t, (_exp, tgt) in targets.items():
+                if tgt is None:
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(self._pointer(t))
+                else:
+                    self._flip_pointer(t, tgt)
+            os.unlink(txn_path)
 
     # -- write/read ---------------------------------------------------------
     def write(self, df: DataFrame, table: str, mode: str = "overwrite",

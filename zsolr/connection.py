@@ -646,6 +646,20 @@ class SolrConnection:
         snapshot (Solr needs an explicit commit to open a new searcher;
         our Searcher re-pins per lifecycle op via ``_reopen``)."""
 
+    def rollback(self) -> dict:
+        """Solr ``rollback`` analogue, strengthened: Solr discards
+        UNcommitted buffered docs, while this engine auto-commits every
+        op — so rollback reverts the last COMMITTED add / delete /
+        atomic update / compact as one atomic multi-table pointer flip
+        (the snapshot catalog makes committed history revertible, which
+        Solr itself cannot do).  Repeated calls walk further back.
+        Returns {'op_id', 'op', 'tables'}."""
+        from .lifecycle import rollback_last_op
+
+        res = rollback_last_op(self.spark, self.cat)
+        self._reopen()
+        return res
+
     def _reopen(self) -> None:
         """Lifecycle ops change the pinned snapshot — re-open the
         searcher (Solr's openSearcher analogue)."""

@@ -30,29 +30,43 @@ from .catalog import ManifestParquetCatalog
 from .docids import assign_doc_ids
 
 
+def _op_meta(op: str) -> dict:
+    """One lifecycle operation = one op_id, stamped into the meta of
+    EVERY snapshot the op commits (tombstones, the tfs/docs/postings
+    transaction, the stats refresh) — what lets ``rollback_last_op``
+    identify and atomically undo exactly the tables that op touched."""
+    import uuid
+
+    return {"op_id": f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:6]}",
+            "op": op}
+
+
 def _append_tombstones(spark: SparkSession, cat: ManifestParquetCatalog,
-                       doc_ids: DataFrame):
+                       doc_ids: DataFrame, meta: dict | None = None):
     tomb = doc_ids.select("doc_id").distinct().withColumn(
         "deleted_at", F.current_timestamp())
     mode = "append" if cat.exists("tombstones") else "overwrite"
-    cat.write(tomb, "tombstones", mode=mode)
+    cat.write(tomb, "tombstones", mode=mode, meta=meta)
 
 
 def delete_by_ids(spark: SparkSession, cat: ManifestParquetCatalog,
                   doc_ids: list[int]):
+    op = _op_meta("delete")
     _append_tombstones(
-        spark, cat, spark.createDataFrame([(i,) for i in doc_ids], "doc_id long"))
-    _refresh_stats(spark, cat)
+        spark, cat, spark.createDataFrame([(i,) for i in doc_ids], "doc_id long"),
+        meta=op)
+    _refresh_stats(spark, cat, meta=op)
 
 
 def delete_by_query(spark: SparkSession, cat: ManifestParquetCatalog, q: str):
     """Solr delete-by-query: tombstone the full match set."""
     from .search import Searcher
 
+    op = _op_meta("delete")
     # raw match set: no doc-store join, no global sort, broadcast gated
     matches = Searcher(spark, cat).match_scores(q).select("doc_id")
-    _append_tombstones(spark, cat, matches)
-    _refresh_stats(spark, cat)
+    _append_tombstones(spark, cat, matches, meta=op)
+    _refresh_stats(spark, cat, meta=op)
 
 
 def _live(spark: SparkSession, cat: ManifestParquetCatalog,
@@ -85,7 +99,8 @@ def _cfg_from_stats(cfg_row) -> BuildConfig:
         scored_fields=_stats_scored_fields(cfg_row))
 
 
-def _refresh_stats(spark: SparkSession, cat: ManifestParquetCatalog):
+def _refresh_stats(spark: SparkSession, cat: ManifestParquetCatalog,
+                   meta: dict | None = None):
     """Recompute term/index stats over live (non-tombstoned) rows so idf/N
     stay exact after deletes/updates (Appendix A: N counts non-deleted)."""
     cfg_row = cat.read(spark, "index_stats").collect()[0]
@@ -95,7 +110,7 @@ def _refresh_stats(spark: SparkSession, cat: ManifestParquetCatalog):
         F.count(F.lit(1)).alias("df"), F.max("tf").alias("max_tf"),
     ).withColumn("bucket",
                  F.pmod(F.crc32(F.col("term")), F.lit(n_buckets)).cast("int"))
-    cat.write(term_stats, "term_stats", mode="overwrite")
+    cat.write(term_stats, "term_stats", mode="overwrite", meta=meta)
     docs = _live(spark, cat, "docs")
     extra_scored = [f for f in _stats_scored_fields(cfg_row)
                     if f != "content"]
@@ -124,7 +139,8 @@ def _refresh_stats(spark: SparkSession, cat: ManifestParquetCatalog):
         # any index that saw a delete/update
         stats_cols[f"avgdl_{f}"] = pa.array(
             [float(agg[f"avgdl_{f}"] or 0.0)], pa.float64())
-    cat.write_small(stats_cols, "index_stats", mode="overwrite")
+    cat.write_small(stats_cols, "index_stats", mode="overwrite",
+                    meta=meta)
 
 
 def incremental_update(spark: SparkSession, cat: ManifestParquetCatalog,
@@ -134,6 +150,7 @@ def incremental_update(spark: SparkSession, cat: ManifestParquetCatalog,
     re-index only added/changed docs; tombstone removed/changed ones."""
     cfg_row = cat.read(spark, "index_stats").collect()[0]
     cfg = cfg or _cfg_from_stats(cfg_row)
+    op = _op_meta("update")
     live = _live(spark, cat, "docs").select(
         "doc_id", "repo", "path",
         F.col("content_sha256").alias("old_sha"))
@@ -160,7 +177,7 @@ def incremental_update(spark: SparkSession, cat: ManifestParquetCatalog,
             _append_tombstones(
                 spark, cat,
                 j.filter(F.col("status").isin("removed", "changed"))
-                .select("doc_id"))
+                .select("doc_id"), meta=op)
         if n_added:
             extra = ["ts"] if "ts" in new_corpus.columns else []
             added_corpus = (
@@ -172,10 +189,10 @@ def incremental_update(spark: SparkSession, cat: ManifestParquetCatalog,
             ).collect()[0][0] + 1
             builder = IndexBuilder(cat, cfg)
             _append_partial_index(spark, cat, builder, added_corpus,
-                                  int(offset))
+                                  int(offset), meta=op)
     finally:
         j.unpersist()
-    _refresh_stats(spark, cat)
+    _refresh_stats(spark, cat, meta=op)
     return {"added": n_added, "changed": n_changed, "removed": n_removed}
 
 
@@ -198,6 +215,7 @@ def incremental_add(spark: SparkSession, cat: ManifestParquetCatalog,
     BROADCAST_DELTA_CAP = 2_000_000
     cfg_row = cat.read(spark, "index_stats").collect()[0]
     cfg = cfg or _cfg_from_stats(cfg_row)
+    op = _op_meta("add")
     live = _live(spark, cat, "docs").select(
         "doc_id", "repo", "path", F.col("content_sha256").alias("old_sha"))
     new = delta.withColumn("new_sha", F.sha2(F.col("content"), 256))
@@ -220,7 +238,8 @@ def incremental_add(spark: SparkSession, cat: ManifestParquetCatalog,
         if n_changed:
             _append_tombstones(
                 spark, cat,
-                j.filter(F.col("status") == "changed").select("doc_id"))
+                j.filter(F.col("status") == "changed").select("doc_id"),
+                meta=op)
         if n_new + n_changed:
             extra = ["ts"] if "ts" in delta.columns else []
             upsert_corpus = (
@@ -234,10 +253,10 @@ def incremental_add(spark: SparkSession, cat: ManifestParquetCatalog,
                 F.coalesce(F.max("doc_id"), F.lit(-1))
             ).collect()[0][0] + 1
             _append_partial_index(spark, cat, IndexBuilder(cat, cfg),
-                                  upsert_corpus, int(offset))
+                                  upsert_corpus, int(offset), meta=op)
     finally:
         j.unpersist()
-    _refresh_stats(spark, cat)
+    _refresh_stats(spark, cat, meta=op)
     return {"added": n_new, "changed": n_changed,
             "skipped": int(counts.get("same", 0))}
 
@@ -378,22 +397,24 @@ def atomic_update(spark: SparkSession, cat: ManifestParquetCatalog,
                     f"{missing} updated docs have no content in"
                     f" corpus_df — the corpus table must cover every"
                     f" metadata-only update")
+        op = _op_meta("atomic_update")
         _append_tombstones(spark, cat,
                            merged.select(F.col("old_doc_id")
-                                         .alias("doc_id")))
+                                         .alias("doc_id")), meta=op)
         offset = cat.read(spark, "docs").agg(
             F.coalesce(F.max("doc_id"), F.lit(-1))).collect()[0][0] + 1
         _append_partial_index(spark, cat, IndexBuilder(cat, cfg),
-                              merged.drop("old_doc_id"), int(offset))
+                              merged.drop("old_doc_id"), int(offset),
+                              meta=op)
     finally:
         matched.unpersist()
-    _refresh_stats(spark, cat)
+    _refresh_stats(spark, cat, meta=op)
     return {"updated": n_matched}
 
 
 def _append_partial_index(spark: SparkSession, cat: ManifestParquetCatalog,
                           builder: IndexBuilder, corpus: DataFrame,
-                          id_offset: int):
+                          id_offset: int, meta: dict | None = None):
     """Tokenize + encode a delta corpus with docIDs starting at id_offset
     (above every existing id → appended blocks stay concat-mergeable)."""
     from .build import corpus_to_tokd, tokd_to_tf
@@ -450,7 +471,7 @@ def _append_partial_index(spark: SparkSession, cat: ManifestParquetCatalog,
               .sortWithinPartitions("term", "first_doc"))
     staged_blocks = cat.stage(blocks, "postings", partition_by=["bucket"])
     cat.commit_multi([staged_tf, staged_docs, staged_blocks],
-                     mode="append")
+                     mode="append", meta=meta)
     builder._manifest_append(spark, [
         (f"u{int(time.time() * 1000)}", "incremental", 0,
          cfg.fingerprint("incremental"), n_added, 0, 0, "committed")])
@@ -483,7 +504,12 @@ def compact_layout(spark: SparkSession, cat: ManifestParquetCatalog):
     blocks = (cat.read(spark, "postings")
               .repartition(n_buckets, "bucket")
               .sortWithinPartitions("term", "first_doc"))
-    cat.write(blocks, "postings", mode="overwrite", partition_by=["bucket"])
+    # op-stamped like every lifecycle op: an UNstamped overwrite here
+    # would hide the postings table from rollback_last_op while older
+    # stamped tables still roll — undoing a prior add would then leave
+    # ghost postings for the rolled-back docs
+    cat.write(blocks, "postings", mode="overwrite", partition_by=["bucket"],
+              meta=_op_meta("compact_layout"))
 
 
 def compact(spark: SparkSession, cat: ManifestParquetCatalog):
@@ -494,10 +520,11 @@ def compact(spark: SparkSession, cat: ManifestParquetCatalog):
                       block_size=int(cfg_row["block_size"]),
                       codec=int(cfg_row["codec"]))
     builder = IndexBuilder(cat, cfg)
+    op = _op_meta("compact")
     live_tfs = _live(spark, cat, "tfs")
-    cat.write(live_tfs, "tfs", mode="overwrite")
+    cat.write(live_tfs, "tfs", mode="overwrite", meta=op)
     live_docs = _live(spark, cat, "docs")
-    cat.write(live_docs, "docs", mode="overwrite")
+    cat.write(live_docs, "docs", mode="overwrite", meta=op)
     encode = builder._encode_mapper(int(cfg_row["shard_width"]))
     from .build import POSTINGS_SCHEMA, grouped_postings
     tfs = cat.read(spark, "tfs")
@@ -505,9 +532,59 @@ def compact(spark: SparkSession, cat: ManifestParquetCatalog):
               .mapInArrow(encode, POSTINGS_SCHEMA)
               .repartition(cfg.n_buckets, "bucket")
               .sortWithinPartitions("term", "first_doc"))
-    cat.write(blocks, "postings", mode="overwrite", partition_by=["bucket"])
+    cat.write(blocks, "postings", mode="overwrite", partition_by=["bucket"],
+              meta=op)
     if cat.exists("tombstones"):
         empty = spark.createDataFrame(
             [], "doc_id long, deleted_at timestamp")
-        cat.write(empty, "tombstones", mode="overwrite")
-    _refresh_stats(spark, cat)
+        cat.write(empty, "tombstones", mode="overwrite", meta=op)
+    _refresh_stats(spark, cat, meta=op)
+
+
+# tables a lifecycle op may commit — the scan set for rollback_last_op
+OP_TABLES = ("tombstones", "tfs", "docs", "postings", "term_stats",
+             "index_stats")
+
+
+def rollback_last_op(spark: SparkSession,
+                     cat: ManifestParquetCatalog) -> dict:
+    """Undo the most recent lifecycle operation (the Solr ``rollback``
+    analogue, strengthened: Solr discards UNcommitted buffered docs,
+    while our ops auto-commit — so rollback here reverts the last
+    COMMITTED add / delete / update / atomic_update / compact as a unit).
+
+    Every op stamps one ``op_id`` into the meta of every snapshot it
+    commits (tombstones, the tfs/docs/postings transaction, the stats
+    refresh).  Rollback finds the newest op_id among the CURRENT
+    snapshots, and atomically flips exactly the tables whose current
+    commit belongs to that op back to their parents via
+    ``flip_multi`` (same intent-file protocol as the forward
+    transaction — a crash mid-rollback rolls FORWARD to the fully
+    rolled-back state).  index/term stats roll back with the op, so no
+    recompute is needed and the restored state is bit-identical to the
+    pre-op snapshot set.  Repeated calls walk further back — an undo
+    stack bounded by snapshot expiry.  O(tables) driver-side metadata
+    work; zero Spark jobs."""
+    cur: dict = {}
+    for t in OP_TABLES:
+        if not cat.exists(t):
+            continue
+        s = cat.current_snapshot(t)
+        if s and (s.get("meta") or {}).get("op_id"):
+            cur[t] = s
+    if not cur:
+        raise ValueError(
+            "nothing to roll back: no current snapshot carries a"
+            " lifecycle op_id (build commits are not rollback targets)")
+    last = max(s["meta"]["op_id"] for s in cur.values())
+    targets: dict = {}
+    op_name = None
+    for t, s in cur.items():
+        if s["meta"]["op_id"] != last:
+            continue
+        op_name = s["meta"].get("op")
+        # parent None = the op CREATED the table (first delete creating
+        # tombstones): rollback removes the table pointer entirely
+        targets[t] = (s["snapshot_id"], s.get("parent"))
+    cat.flip_multi(targets)
+    return {"op_id": last, "op": op_name, "tables": sorted(targets)}
