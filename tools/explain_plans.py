@@ -297,6 +297,51 @@ def main():
          " the pair frame (sub-bucket work only for survivors)"],
         ntxt[:4000] + "\n"))
 
+    # 17. round-7: edismax per-field postings scan — bucket pruning +
+    # term pushdown cover the namespaced path terms AND both norms
+    # sidecars in ONE scan (no extra scan per field); dictionary scans
+    # exclude the sentinel namespaces via the `term >= '0'` range, which
+    # pushes to parquet as GreaterThanOrEqual
+    import shutil as _sh
+    droot = "/tmp/zsolr-plans-dm"
+    _sh.rmtree(droot, ignore_errors=True)
+    dcat = ManifestParquetCatalog(droot)
+    IndexBuilder(dcat, BuildConfig(
+        n_buckets=8, shard_width=64,
+        scored_fields=("content", "path"))).build(
+        spark, "plans-dm", corpus_df=corpus)
+    ds = Searcher(spark, dcat)
+    from zsolr.build import scored_term
+    dm_terms = ["spark", scored_term("path", "spark")]
+    dtxt = explain_str(ds._postings_scan(dm_terms, dm_terms, False))
+    import re as _re
+    d_bucket = bool(_re.search(
+        r"PartitionFilters: \[bucket#\d+ IN \(", dtxt))
+    d_term = "PushedFilters: [In(term," in dtxt
+    n_scans = dtxt.count("Location: InMemoryFileIndex")
+    sections.append((
+        "edismax per-field scan (round-7 Q44): one pruned scan for both"
+        " fields + both norms sidecars",
+        [f"{'✅' if d_bucket else '❌'} bucket partition pruning on the"
+         " union of content/path term buckets",
+         f"{'✅' if d_term else '❌'} namespaced terms + sidecars pushed"
+         " as one In(term, …) parquet predicate",
+         f"{'✅' if n_scans <= 2 else '❌'} scan count {n_scans} ≤ 2"
+         " (q-terms leg + norms leg; NOT one scan per field)"],
+        dtxt[:4000] + "\n"))
+    dict_txt = explain_str(
+        ds._term_stats.filter(F.col("term").startswith("sp")
+                              & ~F.col("term").contains("=")
+                              & (F.col("term") >= "0")))
+    ge_ok = "GreaterThanOrEqual(term,0)" in dict_txt
+    sections.append((
+        "Dictionary-scan namespace guard (round-7): sentinel exclusion"
+        " pushes down",
+        [f"{'✅' if ge_ok else '❌'} `term >= '0'` (drops \\x00 sidecars"
+         " + \\x01 field terms) reaches the parquet scan as"
+         " GreaterThanOrEqual"],
+        dict_txt[:2500] + "\n"))
+
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "PLANS.md"), "w") as f:
         f.write("# Physical plans — pushdown/pruning/codegen audit\n\n"
