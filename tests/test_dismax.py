@@ -271,6 +271,130 @@ def test_tie_changes_scores_on_overlap_corpus(overlap_setup):
     assert dual and all(b[i] > a[i] for i in dual)
 
 
+def _phrase_count(toks, phrase):
+    n = len(phrase)
+    return sum(1 for i in range(len(toks) - n + 1)
+               if toks[i:i + n] == list(phrase))
+
+
+def _phrase_score(docs, idx, phrase, n, df_all, avg):
+    """doc → field-BM25 with tf := phrase frequency, idf := Σ member
+    idfs (the kernel's Lucene phrase scoring), over field `idx`."""
+    idf_sum = sum(math.log(1 + (n - df_all[t] + 0.5) / (df_all[t] + 0.5))
+                  for t in phrase)
+    out = {}
+    for i, *fields in docs:
+        toks = fields[idx - 1]
+        c = _phrase_count(toks, phrase)
+        if c:
+            out[i] = idf_sum * c * (K1 + 1.0) / (
+                c + K1 * (1 - B + B * len(toks) / avg))
+    return out
+
+
+def test_pf_content_phrase_boost(overlap_setup):
+    """pf=content^2 on 'file AND spark': main AND score + 2× phrase
+    score where the exact phrase occurs; match set unchanged."""
+    s, docs = overlap_setup
+    n = len(docs)
+    cdf, cavg = _field_stats(docs, 1)
+    a = _oracle_dismax(docs, "file", {"content": 1.0}, 0.0)
+    b = _oracle_dismax(docs, "spark", {"content": 1.0}, 0.0)
+    main = {i: a[i] + b[i] for i in set(a) & set(b)}
+    ph = _phrase_score(docs, 1, ("file", "spark"), n, cdf, cavg)
+    oracle = {i: sc + 2.0 * ph.get(i, 0.0) for i, sc in main.items()}
+    assert any(i in ph for i in main)          # phrase actually fires
+    top = _top(oracle)
+    got = s.search_dismax("file AND spark", qf={"content": 1.0},
+                          pf={"content": 2.0}, k=10).collect()
+    assert [g["doc_id"] for g in got] == [i for i, _ in top]
+    for g, (_i, osc) in zip(got, top):
+        assert abs(g["score"] - osc) <= 1e-9
+    # pf adds score, never docs
+    plain = s.search_dismax("file AND spark", qf={"content": 1.0},
+                            k=10).collect()
+    assert {g["doc_id"] for g in got} == {g["doc_id"] for g in plain}
+
+
+def test_pf_path_phrase_uses_path_norms(overlap_setup):
+    """pf=path^3 scores the phrase with the PATH field's norms/avgdl and
+    the namespaced terms' dfs."""
+    s, docs = overlap_setup
+    n = len(docs)
+    pdf, pavg = _field_stats(docs, 2)
+    a = _oracle_dismax(docs, "dir1", {"content": 1.0}, 0.0)
+    b = _oracle_dismax(docs, "file", {"content": 1.0}, 0.0)
+    main = {i: a[i] + b[i] for i in set(a) & set(b)}
+    ph = _phrase_score(docs, 2, ("dir1", "file"), n, pdf, pavg)
+    oracle = {i: sc + 3.0 * ph.get(i, 0.0) for i, sc in main.items()}
+    assert any(i in ph for i in main)
+    top = _top(oracle)
+    got = s.search_dismax("dir1 AND file", qf={"content": 1.0},
+                          pf={"path": 3.0}, k=10).collect()
+    assert [g["doc_id"] for g in got] == [i for i, _ in top]
+    for g, (_i, osc) in zip(got, top):
+        assert abs(g["score"] - osc) <= 1e-9
+
+
+def test_pf_combines_with_multifield_qf(overlap_setup):
+    """qf + pf together: per-term dismax main + phrase legs."""
+    s, docs = overlap_setup
+    qf, tie = {"path": 2.0, "content": 1.0}, 0.4
+    n = len(docs)
+    cdf, cavg = _field_stats(docs, 1)
+    a = _oracle_dismax(docs, "file", qf, tie)
+    b = _oracle_dismax(docs, "spark", qf, tie)
+    main = {i: a[i] + b[i] for i in set(a) & set(b)}
+    ph = _phrase_score(docs, 1, ("file", "spark"), n, cdf, cavg)
+    oracle = {i: sc + 2.0 * ph.get(i, 0.0) for i, sc in main.items()}
+    top = _top(oracle)
+    got = s.search_dismax("file AND spark", qf=qf, tie=tie,
+                          pf={"content": 2.0}, k=10).collect()
+    assert [g["doc_id"] for g in got] == [i for i, _ in top]
+    for g, (_i, osc) in zip(got, top):
+        assert abs(g["score"] - osc) <= 1e-9
+
+
+def test_pf_guards_and_skip(overlap_setup):
+    s, _docs = overlap_setup
+    # single term: pf silently skipped (Solr behavior)
+    a = [(r["doc_id"], round(r["score"], 9)) for r in
+         s.search_dismax("file", qf={"content": 1.0},
+                         pf={"content": 2.0}, k=10).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in
+         s.search_dismax("file", qf={"content": 1.0}, k=10).collect()]
+    assert a == b
+    # 1 scored term + NOT: still under the 2-term floor → pf skipped
+    a = [(r["doc_id"], round(r["score"], 9)) for r in
+         s.search_dismax("file AND NOT spark", qf={"content": 1.0},
+                         pf={"content": 2.0}, k=10).collect()]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in
+         s.search_dismax("file AND NOT spark", qf={"content": 1.0},
+                         k=10).collect()]
+    assert a == b
+    with pytest.raises(UnsupportedQuery, match="NOT"):
+        s.search_dismax("file AND spark AND NOT py", qf={"content": 1.0},
+                        pf={"content": 2.0})
+    with pytest.raises(UnsupportedQuery, match="scored field"):
+        s.search_dismax("file AND spark", qf={"content": 1.0},
+                        pf={"title": 2.0})
+
+
+def test_pf_respects_metadata_filters(overlap_setup):
+    """Filters bound every leg: a phrase match outside the filter never
+    enters the result."""
+    s, docs = overlap_setup
+    got = s.search_dismax("file AND spark AND lang:en",
+                          qf={"content": 1.0}, pf={"content": 2.0},
+                          k=10).collect()
+    en = {0, 1, 3, 5}   # sorted-row ids with lang == en
+    assert {g["doc_id"] for g in got} <= en
+    # same docs as the unboosted filtered query
+    plain = s.search_dismax("file AND spark AND lang:en",
+                            qf={"content": 1.0}, k=10).collect()
+    assert {g["doc_id"] for g in got} == {g["doc_id"] for g in plain}
+
+
 def test_facade_edismax(spark, dismax_index, corpus_df, oracle_docs):
     from zsolr.connection import SolrConnection
 

@@ -166,7 +166,8 @@ class SolrConnection:
                group_ngroups: bool = False,
                def_type: str | None = None,
                qf: str | dict | None = None,
-               tie: float = 0.0) -> Results:
+               tie: float = 0.0,
+               pf: str | dict | None = None) -> Results:
         """Solr ``/select``: returns :class:`Results`.
 
         ``rows=0`` is the Solr count-only idiom (numFound, no docs).
@@ -187,9 +188,11 @@ class SolrConnection:
         if def_type not in (None, "lucene", "edismax"):
             raise UnsupportedQuery(f"unknown defType {def_type!r}")
         if def_type == "edismax":
-            ast = self._searcher.dismax_ast(ast, _parse_qf(qf), tie)
-        elif qf is not None:
-            raise UnsupportedQuery("qf requires defType='edismax'")
+            pf_map = _parse_qf(pf) if pf is not None else None
+            ast = self._searcher.dismax_ast(ast, _parse_qf(qf), tie,
+                                            pf=pf_map)
+        elif qf is not None or pf is not None:
+            raise UnsupportedQuery("qf/pf require defType='edismax'")
         if fq:
             fqs = [fq] if isinstance(fq, str) else list(fq)
             extra: tuple = ()

@@ -350,7 +350,14 @@ def _filter_expr(filters: list[tuple]):
 def _eval_phrase(node, env):
     """Positional PhraseQuery: per-doc phrase frequency via vectorized
     (doc, position - i) key intersection across the member terms; score =
-    BM25 with tf := phrase_freq and idf := Σ member idfs (Lucene)."""
+    BM25 with tf := phrase_freq and idf := Σ member idfs (Lucene).
+    Field-aware (round-7 pf): a phrase over an extra scored field (its
+    terms namespaced, e.g. edismax ``pf=path``) scores with that FIELD's
+    norms and avgdl."""
+    _fld = getattr(node, "field", "content")
+    _n_ids, _n_vals = env.get("norms_by_field", {}).get(
+        _fld, (env["norm_ids"], env["norm_vals"]))
+    _avgdl = env.get("avgdl_by_field", {}).get(_fld, env["avgdl"])
     datas = [env["per_term_pos"].get(t) for t in node.terms]
     empty = (np.empty(0, dtype=np.int64), np.empty(0))
     if any(d is None or len(d[0]) == 0 for d in datas):
@@ -422,8 +429,8 @@ def _eval_phrase(node, env):
         m_ids = ids[locs]
         pf = pf.astype(np.float64)
         idf_p = sum(env["idf_map"][t] for t in node.terms)
-        dls = env["norm_vals"][np.searchsorted(env["norm_ids"], m_ids)]
-        k1, b, avgdl = env["k1"], env["b"], env["avgdl"]
+        dls = _n_vals[np.searchsorted(_n_ids, m_ids)]
+        k1, b, avgdl = env["k1"], env["b"], _avgdl
         sc = idf_p * pf * (k1 + 1.0) / (pf + k1 * (1 - b + b * dls / avgdl))
         return m_ids, sc
     OFF = 64  # keep (pos - i) non-negative in the packed key
@@ -441,8 +448,8 @@ def _eval_phrase(node, env):
     m_ids = ids[locs]
     pf = pf.astype(np.float64)
     idf_p = sum(env["idf_map"][t] for t in node.terms)
-    dls = env["norm_vals"][np.searchsorted(env["norm_ids"], m_ids)]
-    k1, b, avgdl = env["k1"], env["b"], env["avgdl"]
+    dls = _n_vals[np.searchsorted(_n_ids, m_ids)]
+    k1, b, avgdl = env["k1"], env["b"], _avgdl
     sc = idf_p * pf * (k1 + 1.0) / (pf + k1 * (1 - b + b * dls / avgdl))
     return m_ids, sc
 
@@ -832,6 +839,7 @@ def make_search_kernel(scored_ast, idf_map: dict, pos_terms: set,
             universe = np.empty(0, dtype=np.int64)
         env = {"per_term_pos": per_term_pos, "idf_map": idf_map,
                "norm_ids": norm_ids, "norm_vals": norm_vals,
+               "norms_by_field": norm_data, "avgdl_by_field": avgdl_of,
                "universe": universe, "k1": k1, "b": b, "avgdl": avgdl}
 
         empty = (np.empty(0, dtype=np.int64), np.empty(0))
@@ -1694,7 +1702,8 @@ class Searcher:
 
     def search_dismax(self, q, qf: dict | None = None, tie: float = 0.0,
                       k: int = 10, start: int = 0, wand: bool = True,
-                      with_count: bool = False, sort: str | None = None):
+                      with_count: bool = False, sort: str | None = None,
+                      pf: dict | None = None):
         """Solr edismax ``qf`` multi-field ranking (SURVEY §2 Q44):
         ``qf={"path": 2.0, "content": 1.0}`` scores each user term per
         field with that FIELD's BM25 statistics (per-field tf, df-derived
@@ -1711,11 +1720,36 @@ class Searcher:
         covering every non-content qf field (which adds the namespaced
         per-field terms + per-field norms sidecar); classic indexes
         raise rather than mis-score."""
-        ast = self.dismax_ast(q, qf, tie)
+        ast = self.dismax_ast(q, qf, tie, pf=pf)
         return self.search(ast, k=k, start=start, sort=sort, wand=wand,
                            with_count=with_count)
 
-    def dismax_ast(self, q, qf: dict | None = None, tie: float = 0.0):
+    @staticmethod
+    def _ordered_scored_terms(node, out: list, state: dict):
+        """Collect the user's scored content terms in query order for the
+        pf phrase; flag constructs pf can't wrap (NOT anywhere in scored
+        position breaks the phrase ⊆ match-set implication; multi-term
+        rewrites and phrases have no single term sequence)."""
+        if isinstance(node, Term):
+            if node.field == "content":
+                out.append(node.term)
+            return
+        if isinstance(node, (And, Or)):
+            for c in node.children:
+                Searcher._ordered_scored_terms(c, out, state)
+            return
+        if isinstance(node, Boost):
+            Searcher._ordered_scored_terms(node.child, out, state)
+            return
+        if isinstance(node, Not):
+            state["not_free"] = False
+            return
+        if isinstance(node, Range):
+            return  # match-all / metadata — no phrase contribution
+        state["plain"] = False
+
+    def dismax_ast(self, q, qf: dict | None = None, tie: float = 0.0,
+                   pf: dict | None = None):
         """Validate an edismax request and return the rewritten AST —
         shared by :meth:`search_dismax` and the facade (which feeds the
         rewritten AST to faceted / grouped / cursor paths so edismax
@@ -1730,12 +1764,59 @@ class Searcher:
                     f" (have: {sorted(self.field_avgdl)}); build with"
                     f" BuildConfig.scored_fields including it")
         ast = parse(q) if isinstance(q, str) else q
+        raw = ast
         if set(qf) != {"content"} or qf["content"] != 1.0:
             # qf={"content": 1.0} is the identity (classic search — every
             # query construct allowed); any other qf applies the dismax
             # rewrite, which supports term/boolean/metadata shapes
             ast = self._dismax_rewrite(ast, qf, tie)
+        if pf:
+            ast = self._apply_pf(raw, ast, pf)
         return ast
+
+    def _apply_pf(self, raw, ast, pf: dict):
+        """edismax ``pf`` phrase-field boost: docs where the user's term
+        sequence appears as an exact phrase in field f gain that field's
+        phrase BM25 × weight.  Lowered as ``And(filters…, main,
+        Or(Boost(Phrase_f, w_f)…, [* TO *]))`` — Solr should-clause
+        semantics expressed in the boolean algebra: the match-all leg
+        makes the Or a SCORE-ONLY clause (it matches everything at 0),
+        and the And keeps the match set exactly main's, so a phrase hit
+        in a field outside qf can never ADMIT a doc (it only boosts one
+        that already matched; its own first cut did widen the match set
+        on qf=content + pf=path — caught by the oracle tests).  Queries
+        with NOT in scored position raise (the phrase re-uses possibly
+        negated terms); <2 scored terms skip pf (as Solr does)."""
+        for f in pf:
+            if f not in self.field_avgdl:
+                raise UnsupportedQuery(
+                    f"pf field {f!r} is not a scored field of this index"
+                    f" (have: {sorted(self.field_avgdl)})")
+        conjuncts = list(raw.children) if isinstance(raw, And) else [raw]
+        state = {"not_free": True, "plain": True}
+        terms: list = []
+        for c in conjuncts:
+            if _is_meta(c) or (isinstance(c, Not) and _is_meta(c.child)) \
+                    or _is_match_all(c):
+                continue
+            self._ordered_scored_terms(c, terms, state)
+        if len(terms) < 2:
+            return ast   # Solr: pf needs a multi-term query
+        if not state["not_free"]:
+            raise UnsupportedQuery(
+                "pf with NOT in scored position: a phrase match no"
+                " longer implies a main-query match")
+        if not state["plain"]:
+            raise UnsupportedQuery(
+                "pf supports plain-term queries (phrases/wildcards have"
+                " no single term sequence to re-phrase)")
+        out_conj = tuple(ast.children) if isinstance(ast, And) else (ast,)
+        legs = []
+        for f, w in sorted(pf.items()):
+            ph = Phrase(tuple(scored_term(f, t) for t in terms), field=f)
+            legs.append(Boost(ph, w) if w != 1.0 else ph)
+        score_only = Or(tuple(legs) + (Range("*", None, None),))
+        return And(out_conj + (score_only,))
 
     def search_after(self, q, k: int = 10, after: tuple | None = None,
                      wand: bool = True, with_count: bool = False,
