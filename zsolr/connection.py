@@ -159,6 +159,7 @@ class SolrConnection:
                facet_missing: bool = False,
                hl: bool = False, hl_snippets: int = 3,
                spellcheck: bool = False,
+               spellcheck_collate: bool = False,
                cursor_mark: str | None = None,
                boost: str | None = None, now=None,
                group_field: str | list[str] | None = None,
@@ -436,9 +437,32 @@ class SolrConnection:
             if missing:
                 batch = self._searcher.spellcheck_batch(missing, n=5)
                 sc_out = {w: [t for t, _df in batch[w]] for w in missing}
+        collation = None
+        if spellcheck_collate and sc_out and isinstance(q, str):
+            # Solr spellcheck.collate(+ExtendedResults): substitute each
+            # misspelled word's TOP suggestion into the raw query string
+            # (word-boundary, case-insensitive — Solr collates on the
+            # original q) and run the collation for its hit count.  One
+            # extra count-only query, only when a collation exists.
+            import re as _re
+
+            cq = q
+            for w, suggs in sc_out.items():
+                if suggs:
+                    cq = _re.sub(rf"(?i)\b{_re.escape(w)}\b", suggs[0],
+                                 cq)
+            if cq != q:
+                _cdf, chits = self._searcher.search(cq, k=1,
+                                                    with_count=True)
+                collation = {"collationQuery": cq, "hits": int(chits)}
         res = Results(docs, hits, facets, highlighting,
                       nextCursorMark=next_mark)
-        res.spellcheck = {"suggestions": sc_out} if spellcheck else {}
+        if spellcheck:
+            res.spellcheck = {"suggestions": sc_out}
+            if collation is not None:
+                res.spellcheck["collation"] = collation
+        else:
+            res.spellcheck = {}
         return res
 
     _JSON_AGG_RE = None   # compiled lazily (module keeps imports light)
@@ -583,6 +607,33 @@ class SolrConnection:
         ``{prefix: [(term, df), …]}`` by descending df."""
         rows_ = self._searcher.suggest(prefix, rows).collect()
         return {prefix: [(r["term"], r["df"]) for r in rows_]}
+
+    def terms(self, field: str = "content", prefix: str = "",
+              limit: int = 10, mincount: int = 1,
+              maxcount: int | None = None, sort: str = "count",
+              regex: str | None = None) -> dict:
+        """Solr ``/terms`` response shape: ordered ``{term: df}`` for one
+        field (content, a metadata field, or an extra scored field) —
+        O(limit) driver rows, prefix pushed to the term-dictionary
+        scan."""
+        rows_ = self._searcher.terms(field, prefix=prefix, limit=limit,
+                                     mincount=mincount, maxcount=maxcount,
+                                     sort=sort, regex=regex).collect()
+        return {r["term"]: r["df"] for r in rows_}
+
+    def get(self, repo: str, path: str) -> dict | None:
+        """Solr realtime get (``/get?id=…``): fetch ONE doc by uniqueKey
+        straight from the doc store — no scoring, no kernel.  Every
+        lifecycle op commits atomically and ``_reopen`` re-pins the
+        snapshot, so the read is as fresh as Solr's realtime get after a
+        soft commit.  Plan: two pushed-down equality predicates on the
+        (repo, path)-sorted doc-store parquet (row-group min/max
+        pruning); tombstones already anti-joined by the searcher's
+        pinned view.  Returns the metadata doc dict, or None."""
+        rows_ = (self._searcher.docs
+                 .filter((F.col("repo") == repo) & (F.col("path") == path))
+                 .limit(1).collect())
+        return rows_[0].asDict() if rows_ else None
 
     # -- E1'/E3: update + delete -------------------------------------------
     _CORPUS_SCHEMA = ("repo string, path string, commit string,"

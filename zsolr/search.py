@@ -2438,6 +2438,59 @@ class Searcher:
                 .orderBy(F.desc("df"), "term")
                 .select("term", "df").limit(n))
 
+    def terms(self, field: str = "content", prefix: str = "",
+              limit: int = 10, mincount: int = 1,
+              maxcount: int | None = None, sort: str = "count",
+              regex: str | None = None) -> DataFrame:
+        """Solr TermsComponent (``/terms``): enumerate a field's indexed
+        terms with their document frequencies.  ``field`` may be
+        ``content``, a metadata field-term namespace (``lang``/``repo``
+        — df = docs carrying that exact value), or an extra scored field
+        (``path``).  ``sort``: ``count`` (df desc, Solr default) or
+        ``index`` (term asc).  ``terms.mincount``/``maxcount`` bound df;
+        ``regex`` post-filters (full dictionary scan, as in Solr).
+        Plan: one pruned term_stats scan — prefix is a pushed-down
+        StartsWith on the namespaced key — with an engine-side
+        TakeOrdered: O(limit) driver rows at any vocabulary size."""
+        from .build import FIELD_TERMS
+
+        if field == "content":
+            pfx, strip = "", (F.col("term") >= "0")
+        elif field in FIELD_TERMS:
+            pfx, strip = f"{field}=", None
+        elif field in self.field_avgdl:
+            pfx, strip = scored_term(field, ""), None
+        else:
+            raise UnsupportedQuery(
+                f"terms on unknown field {field!r} (have: content,"
+                f" {', '.join(FIELD_TERMS)},"
+                f" {', '.join(f for f in self.field_avgdl if f != 'content')})")
+        df = self._term_stats.filter(F.col("term").startswith(pfx + prefix))
+        if strip is not None:
+            df = df.filter(strip & ~F.col("term").contains("="))
+        if pfx:
+            df = df.select(
+                F.expr(f"substring(term, {len(pfx) + 1})").alias("term"),
+                "df")
+            # the sidecar key shares the scored-field prefix — drop it
+            df = df.filter(~F.col("term").startswith("\x00"))
+        else:
+            df = df.select("term", "df")
+        if mincount > 1:
+            df = df.filter(F.col("df") >= mincount)
+        if maxcount is not None:
+            df = df.filter(F.col("df") <= maxcount)
+        if regex is not None:
+            df = df.filter(F.col("term").rlike(regex))
+        if sort == "count":
+            df = df.orderBy(F.desc("df"), "term")
+        elif sort == "index":
+            df = df.orderBy("term")
+        else:
+            raise UnsupportedQuery(f"terms.sort must be count|index,"
+                                   f" got {sort!r}")
+        return df.limit(limit)
+
     # -- Solr debugQuery / Lucene Explanation ----------------------------------
     @staticmethod
     def _weighted_terms(node, acc: list, w: float = 1.0):
