@@ -45,6 +45,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--index", required=True, help="index catalog root")
     b.add_argument("--buckets", type=int, default=32)
     b.add_argument("--resume-groups", type=int, default=1)
+    b.add_argument("--scored-fields", default="content",
+                   help="comma-separated analyzed+BM25-scored fields"
+                        " (Solr schema indexed-text fields), e.g."
+                        " content,path for edismax qf support")
 
     s = sub.add_parser("search", help="BM25 top-k search")
     s.add_argument("query")
@@ -72,6 +76,14 @@ def main(argv: list[str] | None = None) -> int:
                     help="Solr facet.missing: NULL-field bucket per facet")
     se.add_argument("--cursor-mark", default=None,
                     help="'*' to start; pass nextCursorMark to continue")
+    se.add_argument("--def-type", default=None, dest="def_type",
+                    help="query parser: lucene (default) or edismax")
+    se.add_argument("--qf", default=None,
+                    help="edismax query fields, e.g. 'path^2 content'")
+    se.add_argument("--pf", default=None,
+                    help="edismax phrase fields, e.g. 'content^2'")
+    se.add_argument("--tie", type=float, default=0.0,
+                    help="edismax tiebreaker in [0,1]")
     se.add_argument("--boost", default=None,
                     help="Solr boost function, e.g."
                          " 'recip(ms(NOW,ts),3.16e-11,1,1)'")
@@ -171,7 +183,9 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "build":
         corpus, loc = load_corpus()
         cfg = BuildConfig(n_buckets=args.buckets,
-                          resume_groups=args.resume_groups)
+                          resume_groups=args.resume_groups,
+                          scored_fields=tuple(
+                              args.scored_fields.split(",")))
         t0 = time.time()
         res = IndexBuilder(cat, cfg).build(spark, loc, corpus_df=corpus)
         print(json.dumps({"n_docs": res.n_docs, "avgdl": res.avgdl,
@@ -204,7 +218,9 @@ def main(argv: list[str] | None = None) -> int:
                           facet_prefix=args.facet_prefix,
                           facet_missing=args.facet_missing,
                           cursor_mark=args.cursor_mark,
-                          boost=args.boost, now=args.now)
+                          boost=args.boost, now=args.now,
+                          def_type=args.def_type, qf=args.qf,
+                          pf=args.pf, tie=args.tie)
         out = {"responseHeader": {"status": 0},
                "response": {"numFound": res.hits, "start": args.start,
                             "docs": res.docs}}
