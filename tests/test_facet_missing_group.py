@@ -458,3 +458,36 @@ def test_json_facet_api(spark, null_index, ns):
             "type": "terms", "field": "lang",
             "facet": {"s": "sum(doc_len)",
                       "t": {"type": "terms", "field": "repo"}}}})
+
+
+def test_json_facet_single_match_set_evaluation(spark, null_index, ns,
+                                                monkeypatch):
+    """Round-7 review: the count plus EVERY json.facet entry must share
+    ONE evaluation of the match set — the facade used to re-run the
+    scoring kernel once for the count and once per entry (N+1 waves)."""
+    from zsolr.connection import SolrConnection
+    from zsolr.search import Searcher
+
+    conn = SolrConnection(spark, null_index)
+    calls = {"n": 0}
+    orig = Searcher.match_scores
+
+    def counting(self, q):
+        calls["n"] += 1
+        return orig(self, q)
+
+    monkeypatch.setattr(Searcher, "match_scores", counting)
+    res = conn.json_facet("spark", {
+        "langs": {"type": "terms", "field": "lang", "limit": 3},
+        "lens": {"type": "terms", "field": "lang", "limit": 2,
+                 "facet": {"sum_len": "sum(doc_len)"}},
+        "lang_repos": {"type": "terms", "field": "lang", "limit": 2,
+                       "facet": {"repos": {"type": "terms",
+                                           "field": "repo",
+                                           "limit": 3}}},
+        "days": {"type": "range", "field": "ts",
+                 "start": "2020-01-01T00:00:00Z",
+                 "end": "2020-01-11T00:00:00Z", "gap": "+2DAYS"},
+    })
+    assert calls["n"] == 1, calls
+    assert res["count"] > 0 and res["langs"]["buckets"]

@@ -1198,3 +1198,50 @@ def test_mlt_parameter_parity(searcher, oracle, spark, built_index):
         searcher.more_like_this(7, fl="no_such_field")
     with pytest.raises(UnsupportedQuery):
         searcher.more_like_this(7, fl=())
+
+
+def test_mlt_metadata_similarity_scores(searcher, spark, built_index):
+    """Round-7 review: mlt.fl over metadata fields must CONTRIBUTE
+    score (Lucene MLT over a keyword field) — previously the fielded
+    terms rode the fq zero-score rule and the 'similarity' ranking
+    degenerated to doc_id order.  Exact oracle: each similar doc scores
+    Σ over shared fielded terms of BM25(tf=1, df=#docs with the value,
+    dl=content doc_len)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    docs = {r["doc_id"]: r for r in
+            searcher.docs.select("doc_id", "lang", "repo",
+                                 "doc_len").collect()}
+    src = docs[7]
+    n = searcher.n_docs_total
+    avgdl = searcher.avgdl
+
+    def df_of(field, val):
+        return sum(1 for d in docs.values() if d[field] == val)
+
+    def bm25_1(df_t, dl):
+        idf_t = math.log(1 + (n - df_t + 0.5) / (df_t + 0.5))
+        return idf_t * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * dl / avgdl))
+
+    dfs = {"lang": df_of("lang", src["lang"]),
+           "repo": df_of("repo", src["repo"])}
+    exp_scores = {}
+    for i, d in docs.items():
+        if i == 7:
+            continue
+        sc = 0.0
+        if d["lang"] == src["lang"]:
+            sc += bm25_1(dfs["lang"], d["doc_len"])
+        if d["repo"] == src["repo"]:
+            sc += bm25_1(dfs["repo"], d["doc_len"])
+        if sc > 0:
+            exp_scores[i] = sc
+    exp = sorted(exp_scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = searcher.more_like_this(7, k=10, fl="lang,repo",
+                                  max_terms=8).collect()
+    assert [r["doc_id"] for r in got] == [i for i, _ in exp]
+    for g, (_i, sc) in zip(got, exp):
+        assert abs(g["score"] - sc) <= 1e-9
+    assert got[0]["score"] > 0

@@ -64,9 +64,19 @@ class ManifestParquetCatalog:
             return json.load(f)
 
     def _lock(self, table: str):
-        """Tiny O_EXCL commit mutex (single-filesystem semantics; a real
-        Iceberg deployment delegates this CAS to the catalog service)."""
+        """Commit mutex via ``flock`` (single-filesystem semantics; a
+        real Iceberg deployment delegates this CAS to the catalog
+        service).  flock — not O_EXCL file creation — because the kernel
+        releases it when the holder dies: a committer SIGKILLed inside
+        the intent→flip window of ``commit_multi`` would otherwise leave
+        every table's lock file behind, and the advertised crash
+        roll-forward (``_recover_txns``) could never run — every
+        subsequent read would spin 30s and raise (round-7 review).  The
+        lock FILE persists between holders (never unlinked — an
+        unlink+flock mix reintroduces acquire/steal races); exclusion is
+        the kernel lock on it."""
         import contextlib
+        import fcntl
 
         path = os.path.join(self._tdir(table), "_LOCK")
         os.makedirs(self._tdir(table), exist_ok=True)
@@ -74,20 +84,21 @@ class ManifestParquetCatalog:
         @contextlib.contextmanager
         def ctx():
             deadline = time.time() + 30
-            while True:
-                try:
-                    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    break
-                except FileExistsError:
-                    if time.time() > deadline:
-                        raise CommitConflict(
-                            f"commit lock on {table!r} held past timeout")
-                    time.sleep(0.02)
+            fd = os.open(path, os.O_CREAT | os.O_RDWR)
             try:
+                while True:
+                    try:
+                        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                        break
+                    except (BlockingIOError, OSError):
+                        if time.time() > deadline:
+                            raise CommitConflict(
+                                f"commit lock on {table!r} held past"
+                                f" timeout")
+                        time.sleep(0.02)
                 yield
             finally:
-                os.close(fd)
-                os.unlink(path)
+                os.close(fd)   # closes the description → releases flock
         return ctx()
 
     def _commit(self, table: str, new_dirs: list[str], mode: str,
@@ -499,22 +510,28 @@ class ManifestParquetCatalog:
                     expired += 1
             return {"expired": expired, "dirs_deleted": deleted}
 
-    def row_count(self, table: str, last_dir_only: bool = False) -> int:
-        """Row count from parquet footers — no Spark job."""
+    @staticmethod
+    def dir_row_count(d: str) -> int:
+        """Row count of ONE parquet dir from footers (works on staged,
+        uncommitted dirs too) — no Spark job."""
         import pyarrow.parquet as pq
 
+        total = 0
+        for root, _dd, files in os.walk(d):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.read_metadata(
+                        os.path.join(root, f)).num_rows
+        return total
+
+    def row_count(self, table: str, last_dir_only: bool = False) -> int:
+        """Row count from parquet footers — no Spark job."""
         self._recover_txns()
         snap = self.current_snapshot(table)
         if snap is None:
             return 0
         dirs = snap["data_dirs"][-1:] if last_dir_only else snap["data_dirs"]
-        total = 0
-        for d in dirs:
-            for root, _dd, files in os.walk(d):
-                for f in files:
-                    if f.endswith(".parquet"):
-                        total += pq.read_metadata(os.path.join(root, f)).num_rows
-        return total
+        return sum(self.dir_row_count(d) for d in dirs)
 
     def exists(self, table: str) -> bool:
         self._recover_txns()

@@ -185,7 +185,8 @@ def main(argv: list[str] | None = None) -> int:
         cfg = BuildConfig(n_buckets=args.buckets,
                           resume_groups=args.resume_groups,
                           scored_fields=tuple(
-                              args.scored_fields.split(",")))
+                              f.strip() for f in args.scored_fields.split(",")
+                              if f.strip()))
         t0 = time.time()
         res = IndexBuilder(cat, cfg).build(spark, loc, corpus_df=corpus)
         print(json.dumps({"n_docs": res.n_docs, "avgdl": res.avgdl,

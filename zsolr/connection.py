@@ -99,7 +99,11 @@ def _parse_qf(qf) -> dict:
     for part in str(qf).split():
         if "^" in part:
             f, w = part.split("^", 1)
-            out[f] = float(w)
+            try:
+                out[f] = float(w)
+            except ValueError:
+                raise UnsupportedQuery(
+                    f"bad qf/pf weight in {part!r} (want field^number)")
         else:
             out[part] = 1.0
     if not out:
@@ -506,7 +510,20 @@ class SolrConnection:
             base = tuple(ast.children) if isinstance(ast, And) else (ast,)
             ast = And(base + extra)
         s = self._searcher
-        out: dict = {"count": int(s._matched_docs(ast).count())}
+        # ONE evaluation of the match set shared by the count and every
+        # facet entry (round-7 review: this used to re-run the scoring
+        # kernel once for the count plus once per entry — the N+1 shape
+        # the round-5 facet_fields work banned for facet.field)
+        matched = s._matched_docs(ast).persist()
+        try:
+            out = self._json_facet_entries(s, ast, facet, matched, agg_re)
+        finally:
+            matched.unpersist()
+        return out
+
+    def _json_facet_entries(self, s, ast, facet: dict, matched,
+                            agg_re) -> dict:
+        out: dict = {"count": int(matched.count())}
         for name, spec in facet.items():
             ftype = spec.get("type", "terms")
             fld = spec["field"]
@@ -514,11 +531,11 @@ class SolrConnection:
                 if isinstance(spec["start"], str):
                     rows_ = s.facet_range_date(
                         ast, fld, spec["start"], spec["end"],
-                        spec["gap"]).collect()
+                        spec["gap"], matched=matched).collect()
                 else:
                     rows_ = s.facet_range(
                         ast, fld, spec["start"], spec["end"],
-                        spec["gap"]).collect()
+                        spec["gap"], matched=matched).collect()
                 out[name] = {"buckets": [
                     {"val": r["bucket_start"], "count": int(r["hits"])}
                     for r in sorted(rows_,
@@ -552,7 +569,8 @@ class SolrConnection:
                         "json.facet: nested subfacet must be terms")
                 rows_ = s.facet_terms_nested(
                     ast, fld, subspec["field"], limit=limit,
-                    sub_limit=int(subspec.get("limit", 10))).collect()
+                    sub_limit=int(subspec.get("limit", 10)),
+                    matched=matched).collect()
                 by_b: dict = {}
                 for r in sorted(rows_, key=lambda r: r["sub_rank"]):
                     by_b.setdefault(r["bucket"],
@@ -573,14 +591,15 @@ class SolrConnection:
                             f" fn(column), fn in avg|sum|min|max|count")
                     stats[sname] = (m.group(1), m.group(2))
                 rows_ = s.facet_stats(ast, fld, stats, limit=limit,
-                                      sort=sort,
-                                      mincount=mincount).collect()
+                                      sort=sort, mincount=mincount,
+                                      matched=matched).collect()
                 out[name] = {"buckets": [
                     dict({"val": r[0], "count": int(r["hits"])},
                          **{k: r[k] for k in stats}) for r in rows_]}
             else:
                 rows_ = s.facet(ast, fld, limit=limit, sort=sort,
-                                mincount=mincount).collect()
+                                mincount=mincount,
+                                matched=matched).collect()
                 out[name] = {"buckets": [
                     {"val": r[0], "count": int(r["hits"])}
                     for r in rows_]}

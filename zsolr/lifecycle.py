@@ -460,7 +460,7 @@ def _append_partial_index(spark: SparkSession, cat: ManifestParquetCatalog,
     # read the delta back from the staged parquet rather than
     # recomputing the docid lineage (its cache is cleared below)
     delta_tf = spark.read.parquet(staged_tf["data_dir"])
-    n_added = _dir_row_count(staged_docs["data_dir"])
+    n_added = cat.dir_row_count(staged_docs["data_dir"])
     spark.catalog.clearCache()
     width = int(cat.read(spark, "index_stats").collect()[0]["shard_width"])
     encode = builder._encode_mapper(width)
@@ -475,20 +475,6 @@ def _append_partial_index(spark: SparkSession, cat: ManifestParquetCatalog,
     builder._manifest_append(spark, [
         (f"u{int(time.time() * 1000)}", "incremental", 0,
          cfg.fingerprint("incremental"), n_added, 0, 0, "committed")])
-
-
-def _dir_row_count(d: str) -> int:
-    """Row count of a staged (uncommitted) parquet dir, from footers."""
-    import os
-
-    import pyarrow.parquet as pq
-
-    total = 0
-    for root, _dd, files in os.walk(d):
-        for f in files:
-            if f.endswith(".parquet"):
-                total += pq.read_metadata(os.path.join(root, f)).num_rows
-    return total
 
 
 def compact_layout(spark: SparkSession, cat: ManifestParquetCatalog):

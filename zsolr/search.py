@@ -1221,6 +1221,17 @@ class Searcher:
         self.cat = cat
         self._result_cache: dict = {}
         self._cache_size = cache_size
+        # date semantics engine-wide (ts literals, calendar-gap y/m
+        # extraction, ISO bucket rendering) assume a UTC session —
+        # zsolr.session.get_spark pins it; a non-UTC session would
+        # silently mis-bucket calendar facets (year()/month() render in
+        # session tz while the boundary epochs are instants), so REFUSE
+        # rather than mis-count (round-7 review)
+        tz = spark.conf.get("spark.sql.session.timeZone", "UTC")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "Z", "+00:00"):
+            raise UnsupportedQuery(
+                f"zsolr requires spark.sql.session.timeZone=UTC"
+                f" (got {tz!r}); use zsolr.session.get_spark")
         st = cat.read(spark, "index_stats").collect()[0]
         self.n_docs_total = int(st["n_docs"])
         self.avgdl = float(st["avgdl"]) or 1.0
@@ -1517,17 +1528,23 @@ class Searcher:
     # -- main entry ----------------------------------------------------------
     def search(self, q, k: int | None = 10, start: int = 0,
                sort: str | None = None, wand: bool = True,
-               with_count: bool = False):
+               with_count: bool = False, score_field_terms: bool = False):
         """Execute a query.  Returns a DataFrame of
         ``(doc_id, repo, path, commit, score)`` top-k rows (score-descending,
         doc_id tie-break), or ``(df, num_found)`` when ``with_count``.
 
         ``sort``: ``"field"`` or ``"field desc"`` overrides score ordering
         (Solr ``sort=`` param).  ``start``: result offset (Solr ``start=``).
+        ``score_field_terms``: metadata field terms (``lang=en``) in
+        scored position contribute BM25 (tf=1) instead of the default
+        constant-score fq semantics — MoreLikeThis similarity uses this
+        so shared metadata actually ranks (round-7 review: mlt.fl over
+        metadata-only fields degenerated to doc_id order).
         """
         ckey = None
         if self._cache_size and k is not None:
-            ckey = (str(q), k, start, sort, wand, with_count)
+            ckey = (str(q), k, start, sort, wand, with_count,
+                    score_field_terms)
             hit = self._result_cache.get(ckey)
             if hit is not None:
                 rows, num_found = hit
@@ -1535,7 +1552,8 @@ class Searcher:
                     if rows else self.spark.createDataFrame(
                         [], self._OUT_SCHEMA)
                 return (df, num_found) if with_count else df
-        out = self._search_uncached(q, k, start, sort, wand, with_count)
+        out = self._search_uncached(q, k, start, sort, wand, with_count,
+                                    score_field_terms=score_field_terms)
         if ckey is not None:
             df, num_found = out if with_count else (out, None)
             rows = [tuple(r) for r in df.collect()]
@@ -1916,7 +1934,8 @@ class Searcher:
 
     def _search_uncached(self, q, k, start, sort, wand, with_count,
                          raw: bool = False, after: tuple | None = None,
-                         keep_sort_cols: bool = False):
+                         keep_sort_cols: bool = False,
+                         score_field_terms: bool = False):
         plan = plan_query(q)
         if after is not None and start:
             raise UnsupportedQuery(
@@ -2016,9 +2035,15 @@ class Searcher:
         all_terms = sorted(pos | neg | phrase_terms | const_terms)
         # nested metadata equality was rewritten to field terms ("lang=en")
         # by the planner — they filter but never score, in either path
+        # (Solr fq semantics) UNLESS the caller opted into scored field
+        # terms (MoreLikeThis similarity over mlt.fl metadata fields —
+        # round-7 review: zero-scoring degenerated that ranking to
+        # doc_id order)
         from .build import FIELD_TERMS
-        zero_terms |= {t for t in all_terms
-                       if "=" in t and t.split("=", 1)[0] in FIELD_TERMS}
+        if not score_field_terms:
+            zero_terms |= {t for t in all_terms
+                           if "=" in t and t.split("=", 1)[0]
+                           in FIELD_TERMS}
         # prefix-expanded terms used ONLY constant-score skip idf/scoring in
         # decode; a term that is also scored elsewhere stays scored (the
         # ConstSet leg zeroes itself at eval time either way)
@@ -2701,10 +2726,14 @@ class Searcher:
             # size (round-6 advice): the source doc always matches its
             # own interesting-term OR (tf > 0 by construction), so the
             # similar-doc total is the match count minus the source.
-            out, n = self.search(ast, k=k + 1, with_count=True)
+            out, n = self.search(ast, k=k + 1, with_count=True,
+                                 score_field_terms=True)
             return (out.filter(F.col("doc_id") != doc_id).limit(k),
                     max(0, n - 1))
-        out = self.search(ast, k=k + 1)   # +1: the source doc ranks high
+        # +1: the source doc ranks high.  score_field_terms: shared
+        # metadata (mlt.fl lang/repo) must CONTRIBUTE to similarity, not
+        # ride as a zero-scored filter leg (round-7 review)
+        out = self.search(ast, k=k + 1, score_field_terms=True)
         return out.filter(F.col("doc_id") != doc_id).limit(k)
 
     # -- Solr spellcheck component ---------------------------------------------
@@ -2785,10 +2814,13 @@ class Searcher:
 
     # -- Solr range facets ------------------------------------------------------
     def facet_range(self, q, field: str, start: float, end: float,
-                    gap: float) -> DataFrame:
+                    gap: float, matched: DataFrame | None = None
+                    ) -> DataFrame:
         """Range facet: bucket = floor((v - start)/gap) over [start, end).
-        → (bucket_start, hits)."""
-        matched = self._matched_docs(q)
+        → (bucket_start, hits).  ``matched`` reuses a caller-persisted
+        match set (json_facet: N entries share ONE evaluation)."""
+        matched = matched if matched is not None \
+            else self._matched_docs(q)
         v = F.col(field)
         bucket = F.floor((v - F.lit(start)) / F.lit(gap))
         return (matched.filter((v >= start) & (v < end))
@@ -2819,7 +2851,8 @@ class Searcher:
                           day=min(dt.day, _cal.monthrange(y, mo)[1]))
 
     def facet_range_date(self, q, field: str, start: str, end: str,
-                         gap: str) -> DataFrame:
+                         gap: str,
+                         matched: DataFrame | None = None) -> DataFrame:
         """Solr date-range facet over the typed ``ts`` field:
         ``facet.range=ts&facet.range.start=<ISO>&facet.range.end=<ISO>&
         facet.range.gap=+1DAY`` — bucket = floor((ts − start)/gap) over
@@ -2837,7 +2870,8 @@ class Searcher:
                 f"unsupported facet.range.gap {gap!r} — expected"
                 f" +N(SECONDS|MINUTES|HOURS|DAYS|MONTHS|YEARS)")
         unit = m.group(2).rstrip("S")
-        matched = self._matched_docs(q)
+        matched = matched if matched is not None \
+            else self._matched_docs(q)
         v = F.unix_timestamp(F.col(field))
         in_range = (F.col(field) >= F.lit(sdt)) & (F.col(field) < F.lit(edt))
         if unit in ("MONTH", "YEAR"):
@@ -3071,7 +3105,8 @@ class Searcher:
 
     def facet_stats(self, q, field: str, stats: dict,
                     limit: int | None = None,
-                    sort: str = "count", mincount: int = 0) -> DataFrame:
+                    sort: str = "count", mincount: int = 0,
+                    matched: DataFrame | None = None) -> DataFrame:
         """Solr ``json.facet`` bucket aggregations: per facet bucket, the
         hit count PLUS nested numeric stats — e.g. ``{"avg_len":
         ("avg", "doc_len")}`` ↔ ``{type:terms, field:lang, facet:
@@ -3090,7 +3125,8 @@ class Searcher:
             aggs.append(self._FACET_STAT_FNS[fn](col).alias(name))
         # NULL-field docs are excluded like classic facets exclude them
         # (Solr counts them only under facet.missing / missing:true)
-        out = (self._matched_docs(q)
+        src0 = matched if matched is not None else self._matched_docs(q)
+        out = (src0
                .filter(F.col(field).isNotNull())
                .groupBy(field).agg(*aggs))
         if mincount > 1:
@@ -3105,8 +3141,8 @@ class Searcher:
         return out
 
     def facet_terms_nested(self, q, field: str, sub_field: str,
-                           limit: int = 10,
-                           sub_limit: int = 10) -> DataFrame:
+                           limit: int = 10, sub_limit: int = 10,
+                           matched: DataFrame | None = None) -> DataFrame:
         """Solr ``json.facet`` nested terms subfacets (round-6 verdict
         next #5): ``{type:terms, field:A, limit:La, facet:{sub:{type:
         terms, field:B, limit:Lb}}}`` — the top-``limit`` A buckets by
@@ -3131,7 +3167,8 @@ class Searcher:
         → (bucket, hits, sub_val, sub_hits, sub_rank)."""
         from pyspark.sql import Window as _W
 
-        pairs = (self._matched_docs(q)
+        src0 = matched if matched is not None else self._matched_docs(q)
+        pairs = (src0
                  .filter(F.col(field).isNotNull())
                  .groupBy(field, sub_field)
                  .agg(F.count(F.lit(1)).alias("cnt"))
@@ -3262,7 +3299,8 @@ class Searcher:
     def facet(self, q, field: str, limit: int | None = None,
               sort: str = "count", mincount: int = 0,
               prefix: str | None = None,
-              missing: bool = False) -> DataFrame:
+              missing: bool = False,
+              matched: DataFrame | None = None) -> DataFrame:
         """Per-field value → hit count over the full match set.
 
         ``limit``/``sort`` are Solr's ``facet.limit``/``facet.sort``
@@ -3280,6 +3318,9 @@ class Searcher:
         row counting match-set docs without the field — always present
         (0 when every doc has a value), rendered after the ranked
         values, outside the limit budget (round-6)."""
+        if matched is not None:
+            return self._facet_agg(matched, field, limit, sort, mincount,
+                                   prefix, missing)
         plan = plan_query(q)
         docs_f = self.docs
         if plan.filters:
