@@ -425,3 +425,122 @@ def test_facade_edismax(spark, dismax_index, corpus_df, oracle_docs):
         conn.search("file", qf="path^2")
     with pytest.raises(UnsupportedQuery, match="unknown defType"):
         conn.search("file", def_type="dismaximus")
+
+
+def _mm_oracle(docs, terms, qf, tie, m):
+    """doc → mm score: ≥m of the per-term dismax clauses match; score =
+    sum over the matching clauses."""
+    per = [_oracle_dismax(docs, t, qf, tie) for t in terms]
+    out = {}
+    all_ids = set().union(*[set(p) for p in per])
+    for i in all_ids:
+        hits = [p[i] for p in per if i in p]
+        if len(hits) >= m:
+            out[i] = sum(hits)
+    return out
+
+
+@pytest.mark.parametrize("m", [1, 2, 3])
+def test_mm_int_vs_oracle(searcher, oracle_docs, m):
+    qf, tie = {"path": 2.0, "content": 1.0}, 0.2
+    terms = ["file", "spark", "py"]
+    oracle = _mm_oracle(oracle_docs, terms, qf, tie, m)
+    top = _top(oracle)
+    got = searcher.search_dismax("file spark py", qf=qf, tie=tie,
+                                 mm=m, k=10).collect()
+    assert [g["doc_id"] for g in got] == [i for i, _ in top], m
+    for g, (_i, osc) in zip(got, top):
+        assert abs(g["score"] - osc) <= 1e-9
+    # mm genuinely between OR and AND on this fixture
+    if m == 2:
+        o1 = _mm_oracle(oracle_docs, terms, qf, tie, 1)
+        o3 = _mm_oracle(oracle_docs, terms, qf, tie, 3)
+        assert len(o3) < len(oracle) < len(o1)
+
+
+def test_mm_percentage_and_filters(searcher, oracle_docs, corpus_df):
+    """mm='50%' of 3 clauses rounds DOWN to 1 (Solr); '67%' → 2.
+    Metadata conjuncts stay filters outside the mm count."""
+    qf, tie = {"path": 2.0, "content": 1.0}, 0.0
+    terms = ["file", "spark", "py"]
+    for mm, m in [("50%", 1), ("67%", 2), ("100%", 3)]:
+        a = [(r["doc_id"], round(r["score"], 9)) for r in
+             searcher.search_dismax("file spark py", qf=qf, tie=tie,
+                                    mm=mm, k=10).collect()]
+        b = [(r["doc_id"], round(r["score"], 9)) for r in
+             searcher.search_dismax("file spark py", qf=qf, tie=tie,
+                                    mm=m, k=10).collect()]
+        assert a == b, mm
+    rows = sorted(corpus_df.select("repo", "path", "commit",
+                                   "lang").collect(),
+                  key=lambda r: (r["repo"], r["path"], r["commit"]))
+    en = {i for i, r in enumerate(rows) if r["lang"] == "en"}
+    oracle = _top({i: s for i, s in
+                   _mm_oracle(oracle_docs, terms, qf, tie, 2).items()
+                   if i in en})
+    got = searcher.search_dismax("file spark py lang:en", qf=qf,
+                                 tie=tie, mm=2, k=10).collect()
+    assert [g["doc_id"] for g in got] == [i for i, _ in oracle]
+
+
+def test_mm_wand_equals_exhaustive(searcher):
+    qf = {"path": 2.0, "content": 1.0}
+    for m in (1, 2):
+        a = [(r["doc_id"], round(r["score"], 9)) for r in
+             searcher.search_dismax("file spark py", qf=qf, tie=0.2,
+                                    mm=m, k=10, wand=True).collect()]
+        b = [(r["doc_id"], round(r["score"], 9)) for r in
+             searcher.search_dismax("file spark py", qf=qf, tie=0.2,
+                                    mm=m, k=10, wand=False).collect()]
+        assert a == b, m
+
+
+def test_mm_composes_with_pf(overlap_setup):
+    """mm + pf: the phrase leg stays score-only over the mm match set."""
+    s, docs = overlap_setup
+    qf = {"content": 1.0}
+    n = len(docs)
+    cdf, cavg = _field_stats(docs, 1)
+    oracle_mm = _mm_oracle(docs, ["file", "spark"], qf, 0.0, 1)
+    ph = _phrase_score(docs, 1, ("file", "spark"), n, cdf, cavg)
+    oracle = {i: sc + 2.0 * ph.get(i, 0.0)
+              for i, sc in oracle_mm.items()}
+    top = _top(oracle)
+    got = s.search_dismax("file spark", qf=qf, mm=1,
+                          pf={"content": 2.0}, k=10).collect()
+    assert [g["doc_id"] for g in got] == [i for i, _ in top]
+    for g, (_i, osc) in zip(got, top):
+        assert abs(g["score"] - osc) <= 1e-9
+
+
+def test_mm_guards(searcher):
+    with pytest.raises(UnsupportedQuery, match="boolean"):
+        searcher.search_dismax("file OR spark", qf={"content": 1.0},
+                               mm=2)
+    with pytest.raises(UnsupportedQuery, match="mm"):
+        searcher.search_dismax("file spark", qf={"content": 1.0}, mm=0)
+    with pytest.raises(UnsupportedQuery, match="percentage"):
+        searcher.search_dismax("file spark", qf={"content": 1.0},
+                               mm="150%")
+    # mm above the clause count = AND semantics (no matches beyond AND)
+    a = {r["doc_id"] for r in
+         searcher.search_dismax("file spark", qf={"content": 1.0},
+                                mm=5, k=50).collect()}
+    b = {r["doc_id"] for r in
+         searcher.search_dismax("file AND spark", qf={"content": 1.0},
+                                k=50).collect()}
+    assert a == b
+
+
+def test_facade_mm(spark, dismax_index, corpus_df, oracle_docs):
+    from zsolr.connection import SolrConnection
+
+    conn = SolrConnection(spark, dismax_index, corpus_df=corpus_df)
+    qf, tie = {"path": 2.0, "content": 1.0}, 0.2
+    res = conn.search("file spark py", rows=10, def_type="edismax",
+                      qf="path^2 content", tie=tie, mm=2)
+    oracle = _mm_oracle(oracle_docs, ["file", "spark", "py"], qf, tie, 2)
+    assert [d["doc_id"] for d in res.docs] == [i for i, _ in _top(oracle)]
+    assert res.hits == len(oracle)
+    with pytest.raises(UnsupportedQuery, match="edismax"):
+        conn.search("file spark", mm=2)

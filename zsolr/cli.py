@@ -84,6 +84,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="edismax phrase fields, e.g. 'content^2'")
     se.add_argument("--tie", type=float, default=0.0,
                     help="edismax tiebreaker in [0,1]")
+    se.add_argument("--mm", default=None,
+                    help="edismax minimum-should-match: int or 'N%%'")
     se.add_argument("--boost", default=None,
                     help="Solr boost function, e.g."
                          " 'recip(ms(NOW,ts),3.16e-11,1,1)'")
@@ -221,7 +223,7 @@ def main(argv: list[str] | None = None) -> int:
                           cursor_mark=args.cursor_mark,
                           boost=args.boost, now=args.now,
                           def_type=args.def_type, qf=args.qf,
-                          pf=args.pf, tie=args.tie)
+                          pf=args.pf, tie=args.tie, mm=args.mm)
         out = {"responseHeader": {"status": 0},
                "response": {"numFound": res.hits, "start": args.start,
                             "docs": res.docs}}

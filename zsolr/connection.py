@@ -172,7 +172,8 @@ class SolrConnection:
                def_type: str | None = None,
                qf: str | dict | None = None,
                tie: float = 0.0,
-               pf: str | dict | None = None) -> Results:
+               pf: str | dict | None = None,
+               mm=None) -> Results:
         """Solr ``/select``: returns :class:`Results`.
 
         ``rows=0`` is the Solr count-only idiom (numFound, no docs).
@@ -195,9 +196,9 @@ class SolrConnection:
         if def_type == "edismax":
             pf_map = _parse_qf(pf) if pf is not None else None
             ast = self._searcher.dismax_ast(ast, _parse_qf(qf), tie,
-                                            pf=pf_map)
-        elif qf is not None or pf is not None:
-            raise UnsupportedQuery("qf/pf require defType='edismax'")
+                                            pf=pf_map, mm=mm)
+        elif qf is not None or pf is not None or mm is not None:
+            raise UnsupportedQuery("qf/pf/mm require defType='edismax'")
         if fq:
             fqs = [fq] if isinstance(fq, str) else list(fq)
             extra: tuple = ()

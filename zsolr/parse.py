@@ -113,6 +113,19 @@ class DisMax:
 
 
 @dataclass(frozen=True)
+class MinMatch:
+    """Lucene BooleanQuery minimumNumberShouldMatch — edismax ``mm``: a
+    doc matches when at least ``m`` of the SHOULD children match; its
+    score is the sum of the matching children's scores.  ``m == 1`` is
+    plain Or, ``m == len(children)`` is And — the planner normalizes
+    those, so this node only materializes for the strictly-between
+    cases.  Constructed by ``Searcher.dismax_ast`` (request-time
+    rewrite), never by the query parser."""
+    children: tuple
+    m: int
+
+
+@dataclass(frozen=True)
 class And:
     children: tuple
 

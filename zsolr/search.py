@@ -41,8 +41,8 @@ from . import BM25_B, BM25_K1, codec
 from .build import (NORMS_TERM, field_norms_term, scored_term, term_bucket,
                     term_scored_field)
 from .catalog import ManifestParquetCatalog
-from .parse import (And, Boost, Contains, DisMax, Fuzzy, Not, Or, Phrase,
-                    Prefix, Range, Term, Wildcard, parse)
+from .parse import (And, Boost, Contains, DisMax, Fuzzy, MinMatch, Not, Or,
+                    Phrase, Prefix, Range, Term, Wildcard, parse)
 
 DOC_META_FIELDS = ("repo", "path", "commit", "lang", "ts")
 
@@ -144,7 +144,7 @@ def _collect_terms(node, out: list[str]):
         out.append(node.term)
     elif isinstance(node, Phrase):
         out.extend(node.terms)
-    elif isinstance(node, (And, Or, DisMax)):
+    elif isinstance(node, (And, Or, DisMax, MinMatch)):
         for c in node.children:
             _collect_terms(c, out)
     elif isinstance(node, Not):
@@ -159,7 +159,7 @@ def _collect_terms(node, out: list[str]):
 def _collect_phrase_terms(node, out: set):
     if isinstance(node, Phrase):
         out.update(node.terms)
-    elif isinstance(node, (And, Or, DisMax)):
+    elif isinstance(node, (And, Or, DisMax, MinMatch)):
         for c in node.children:
             _collect_phrase_terms(c, out)
     elif isinstance(node, (Not, Boost)):
@@ -209,6 +209,9 @@ def _rewrite_nested(node):
     if isinstance(node, DisMax):
         return DisMax(tuple(_rewrite_nested(c) for c in node.children),
                       node.tie)
+    if isinstance(node, MinMatch):
+        return MinMatch(tuple(_rewrite_nested(c) for c in node.children),
+                        node.m)
     if isinstance(node, And):
         return And(tuple(_rewrite_nested(c) for c in node.children))
     if isinstance(node, Or):
@@ -232,7 +235,7 @@ def _needs_universe(node) -> bool:
                 or any(_needs_universe(c) for c in node.children))
     if isinstance(node, (Not, Boost)):
         return _needs_universe(node.child)
-    if isinstance(node, DisMax):
+    if isinstance(node, (DisMax, MinMatch)):
         return any(_needs_universe(c) for c in node.children)
     return False
 
@@ -243,9 +246,10 @@ def _boost_mults(node, acc: dict, mult: float = 1.0):
     boosts: UB_w = w·UB ≥ w·score for every w ≤ the max multiplier."""
     if isinstance(node, Term):
         acc[node.term] = max(acc.get(node.term, 1.0), mult)
-    elif isinstance(node, (And, Or, DisMax)):
-        # DisMax: max + tie·rest ≤ sum of the (boost-scaled) children, so
-        # per-child UBs summed by the WAND bound stay safe
+    elif isinstance(node, (And, Or, DisMax, MinMatch)):
+        # DisMax: max + tie·rest ≤ sum of the (boost-scaled) children;
+        # MinMatch: sum over a SUBSET ≤ sum over all — per-child UBs
+        # summed by the WAND bound stay safe for both
         for c in node.children:
             _boost_mults(c, acc, mult)
     elif isinstance(node, Not):
@@ -497,6 +501,21 @@ def _eval_ast(node, per_term, allowed_ids, env=None):
             sm += contrib
             np.maximum(mx, contrib, out=mx)
         return ids, mx + node.tie * (sm - mx)
+    if isinstance(node, MinMatch):
+        # BooleanQuery minimumNumberShouldMatch (edismax mm): keep docs
+        # matching ≥ m children; score = sum over the matching children
+        # (absent children contribute nothing — Lucene SHOULD scoring)
+        parts = [_eval_ast(c, per_term, allowed_ids, env)
+                 for c in node.children]
+        ids = np.unique(np.concatenate([p[0] for p in parts]))
+        cnt = np.zeros(len(ids), dtype=np.int64)
+        sc = np.zeros(len(ids))
+        for pids, psc in parts:
+            loc = np.searchsorted(ids, pids)
+            cnt[loc] += 1
+            np.add.at(sc, loc, psc)
+        keep = cnt >= node.m
+        return ids[keep], sc[keep]
     if isinstance(node, Or):
         parts = []
         for c in node.children:
@@ -1331,7 +1350,7 @@ class Searcher:
         if isinstance(node, Term):
             if under_not:
                 acc.add(node.term)
-        elif isinstance(node, (And, Or, DisMax)):
+        elif isinstance(node, (And, Or, DisMax, MinMatch)):
             for c in node.children:
                 self._neg_terms(c, acc, under_not)
         elif isinstance(node, Not):
@@ -1342,7 +1361,7 @@ class Searcher:
     def _pos_terms(self, node, acc: set):
         if isinstance(node, Term):
             acc.add(node.term)
-        elif isinstance(node, (And, Or, DisMax)):
+        elif isinstance(node, (And, Or, DisMax, MinMatch)):
             for c in node.children:
                 self._pos_terms(c, acc)
         elif isinstance(node, Boost):
@@ -1450,13 +1469,16 @@ class Searcher:
         if isinstance(node, DisMax):
             return DisMax(tuple(self._expand_ast(c) for c in node.children),
                           node.tie)
+        if isinstance(node, MinMatch):
+            return MinMatch(tuple(self._expand_ast(c)
+                                  for c in node.children), node.m)
         return node
 
     @staticmethod
     def _const_terms(node, acc: set):
         if isinstance(node, ConstSet):
             acc.update(node.terms)
-        elif isinstance(node, (And, Or, DisMax)):
+        elif isinstance(node, (And, Or, DisMax, MinMatch)):
             for c in node.children:
                 Searcher._const_terms(c, acc)
         elif isinstance(node, (Not, Boost)):
@@ -1706,6 +1728,9 @@ class Searcher:
         if isinstance(node, (And, Or)):
             return type(node)(tuple(self._dismax_rewrite(c, qf, tie)
                                     for c in node.children))
+        if isinstance(node, MinMatch):
+            return MinMatch(tuple(self._dismax_rewrite(c, qf, tie)
+                                  for c in node.children), node.m)
         if isinstance(node, Not):
             return Not(self._dismax_rewrite(node.child, qf, tie))
         if isinstance(node, Boost):
@@ -1721,7 +1746,7 @@ class Searcher:
     def search_dismax(self, q, qf: dict | None = None, tie: float = 0.0,
                       k: int = 10, start: int = 0, wand: bool = True,
                       with_count: bool = False, sort: str | None = None,
-                      pf: dict | None = None):
+                      pf: dict | None = None, mm=None):
         """Solr edismax ``qf`` multi-field ranking (SURVEY §2 Q44):
         ``qf={"path": 2.0, "content": 1.0}`` scores each user term per
         field with that FIELD's BM25 statistics (per-field tf, df-derived
@@ -1738,7 +1763,7 @@ class Searcher:
         covering every non-content qf field (which adds the namespaced
         per-field terms + per-field norms sidecar); classic indexes
         raise rather than mis-score."""
-        ast = self.dismax_ast(q, qf, tie, pf=pf)
+        ast = self.dismax_ast(q, qf, tie, pf=pf, mm=mm)
         return self.search(ast, k=k, start=start, sort=sort, wand=wand,
                            with_count=with_count)
 
@@ -1752,7 +1777,7 @@ class Searcher:
             if node.field == "content":
                 out.append(node.term)
             return
-        if isinstance(node, (And, Or)):
+        if isinstance(node, (And, Or, MinMatch)):
             for c in node.children:
                 Searcher._ordered_scored_terms(c, out, state)
             return
@@ -1767,11 +1792,21 @@ class Searcher:
         state["plain"] = False
 
     def dismax_ast(self, q, qf: dict | None = None, tie: float = 0.0,
-                   pf: dict | None = None):
+                   pf: dict | None = None, mm=None):
         """Validate an edismax request and return the rewritten AST —
         shared by :meth:`search_dismax` and the facade (which feeds the
         rewritten AST to faceted / grouped / cursor paths so edismax
-        composes with the whole request surface)."""
+        composes with the whole request surface).
+
+        ``mm`` (Solr minimum-should-match): reinterprets the user's
+        bare terms as SHOULD clauses of which at least ``mm`` must
+        match — an int, or ``"N%"`` of the clause count rounded down
+        (floored at 1, Solr's percentage rule); metadata conjuncts stay
+        filters.  ``mm`` ≥ the clause count degenerates to AND, 1 to
+        OR; strictly between lowers to a :class:`MinMatch` kernel node
+        (count ≥ m, score = sum of matching).  Explicit boolean
+        operators / NOT / phrases with mm raise — Solr's conditional mm
+        expressions are not modeled."""
         qf = dict(qf) if qf else {"content": 1.0}
         if not (0.0 <= tie <= 1.0):
             raise UnsupportedQuery(f"tie must be in [0, 1], got {tie}")
@@ -1782,6 +1817,8 @@ class Searcher:
                     f" (have: {sorted(self.field_avgdl)}); build with"
                     f" BuildConfig.scored_fields including it")
         ast = parse(q) if isinstance(q, str) else q
+        if mm is not None:
+            ast = self._apply_mm(ast, mm)
         raw = ast
         if set(qf) != {"content"} or qf["content"] != 1.0:
             # qf={"content": 1.0} is the identity (classic search — every
@@ -1791,6 +1828,53 @@ class Searcher:
         if pf:
             ast = self._apply_pf(raw, ast, pf)
         return ast
+
+    def _apply_mm(self, ast, mm):
+        """Restructure the parsed query for minimum-should-match: bare
+        content terms become SHOULD clauses (Solr edismax splits user
+        text into SHOULD clauses and applies mm), metadata conjuncts
+        stay filters.  m==1 → Or, m>=n → And, else MinMatch."""
+        conjuncts = list(ast.children) if isinstance(ast, And) else [ast]
+        meta, scored = [], []
+        for c in conjuncts:
+            if _is_meta(c) or (isinstance(c, Not) and _is_meta(c.child)) \
+                    or _is_match_all(c):
+                meta.append(c)
+            elif isinstance(c, Term) and c.field == "content":
+                scored.append(c)
+            else:
+                raise UnsupportedQuery(
+                    "mm applies to bare-term queries (+ metadata"
+                    " filters); explicit boolean operators, NOT, and"
+                    " phrases don't compose with minimum-should-match")
+        if not scored:
+            raise UnsupportedQuery("mm needs at least one scored term")
+        n = len(scored)
+        if isinstance(mm, str) and mm.strip().endswith("%"):
+            try:
+                pct = float(mm.strip()[:-1])
+            except ValueError:
+                raise UnsupportedQuery(f"bad mm percentage {mm!r}")
+            if not (0 < pct <= 100):
+                raise UnsupportedQuery(f"mm percentage out of (0, 100]:"
+                                       f" {mm!r}")
+            m = max(1, int(n * pct // 100))   # Solr: rounded DOWN
+        else:
+            try:
+                m = int(mm)
+            except (TypeError, ValueError):
+                raise UnsupportedQuery(f"bad mm value {mm!r}")
+            if m < 1:
+                raise UnsupportedQuery(f"mm must be >= 1, got {m}")
+        if n == 1:
+            core = scored[0]
+        elif m >= n:
+            core = And(tuple(scored))
+        elif m <= 1:
+            core = Or(tuple(scored))
+        else:
+            core = MinMatch(tuple(scored), m)
+        return And(tuple(meta) + (core,)) if meta else core
 
     def _apply_pf(self, raw, ast, pf: dict):
         """edismax ``pf`` phrase-field boost: docs where the user's term
