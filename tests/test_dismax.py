@@ -544,3 +544,58 @@ def test_facade_mm(spark, dismax_index, corpus_df, oracle_docs):
     assert res.hits == len(oracle)
     with pytest.raises(UnsupportedQuery, match="edismax"):
         conn.search("file spark", mm=2)
+
+
+def test_edismax_composes_with_grouping(spark, dismax_index, corpus_df,
+                                        oracle_docs):
+    """def_type=edismax + group.field: the AST-level rewrite happens
+    before the grouped path, so groups rank by dismax scores."""
+    from zsolr.connection import SolrConnection
+
+    conn = SolrConnection(spark, dismax_index, corpus_df=corpus_df)
+    qf, tie = {"path": 2.0, "content": 1.0}, 0.3
+    res = conn.search("file", rows=3, def_type="edismax",
+                      qf="path^2 content", tie=tie, group_field="lang",
+                      group_limit=1)
+    oracle = _oracle_dismax(oracle_docs, "file", qf, tie)
+    rows = sorted(corpus_df.select("repo", "path", "commit",
+                                   "lang").collect(),
+                  key=lambda r: (r["repo"], r["path"], r["commit"]))
+    langs = {i: r["lang"] for i, r in enumerate(rows)}
+    best: dict = {}
+    for i, sc in oracle.items():
+        lang = langs[i]
+        if lang not in best or (-sc, i) < (-best[lang][1], best[lang][0]):
+            best[lang] = (i, sc)
+    exp_order = sorted(best, key=lambda g: (-best[g][1], best[g][0]))[:3]
+    grouped = res.grouped["lang"]
+    assert [g["groupValue"] for g in grouped["groups"]] == exp_order
+    assert grouped["matches"] == len(oracle)
+    for g in grouped["groups"]:
+        head = g["doclist"]["docs"][0]
+        assert head["doc_id"] == best[g["groupValue"]][0]
+        assert abs(head["score"] - best[g["groupValue"]][1]) <= 1e-9
+
+
+def test_edismax_composes_with_cursor(spark, dismax_index, corpus_df,
+                                      oracle_docs):
+    """def_type=edismax + cursorMark: page-walk equals the full dismax
+    ranking (the score cursor works over any scored AST)."""
+    from zsolr.connection import SolrConnection
+
+    conn = SolrConnection(spark, dismax_index, corpus_df=corpus_df)
+    qf, tie = {"path": 2.0, "content": 1.0}, 0.2
+    oracle = _oracle_dismax(oracle_docs, "py", qf, tie)
+    exp = [i for i, _ in sorted(oracle.items(),
+                                key=lambda kv: (-kv[1], kv[0]))][:15]
+    walked, mark = [], "*"
+    for _ in range(4):
+        res = conn.search("py", rows=5, def_type="edismax",
+                          qf="path^2 content", tie=tie, cursor_mark=mark)
+        if not res.docs:
+            break
+        walked.extend(d["doc_id"] for d in res.docs)
+        if res.nextCursorMark == mark:
+            break
+        mark = res.nextCursorMark
+    assert walked[:15] == exp
