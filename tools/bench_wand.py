@@ -136,8 +136,51 @@ def main():
                 "blocks_candidate": cand, "blocks_decoded": dec,
                 "skip_rate": round(1 - dec / cand, 3) if cand else None,
             })
+        # ---- dismax arm (round-7): same skewed shapes through
+        # search_dismax over a two-scored-field index.  The dismax WAND
+        # bounds are the SUM-based cross-term bounds (sum ≥ max+tie·rest),
+        # i.e. looser than the exact combination — this measures how much
+        # pruning survives.  qf path terms have no postings here (paths
+        # are synthetic), so the measurement isolates the DisMax node +
+        # per-field-norms machinery on the content field.
+        dm_root = tempfile.mkdtemp(prefix="zsolr-wand-dm-")
+        try:
+            dm_cat = ManifestParquetCatalog(dm_root)
+            IndexBuilder(dm_cat, BuildConfig(
+                n_buckets=max(16, cpus),
+                scored_fields=("content", "path"))).build(
+                spark, corpus_path + "#dm", corpus_df=corpus)
+            ds = Searcher(spark, dm_cat)
+            qf = {"path": 1.0, "content": 1.0}
+            dm_out = []
+            for q in ["h05", "h05 OR t0010", "h05 AND t0001",
+                      "h05 OR h11"]:
+                ds.search_dismax(q, qf=qf, tie=0.2, k=10,
+                                 wand=False).collect()
+                acc = ds.enable_wand_stats()
+                rows_on = None
+                for _ in range(reps):
+                    acc[0].value = 0
+                    acc[1].value = 0
+                    rows_on = ds.search_dismax(q, qf=qf, tie=0.2,
+                                               k=10).collect()
+                ds._wand_acc = None
+                cand, dec = int(acc[0].value), int(acc[1].value)
+                rows_off = ds.search_dismax(q, qf=qf, tie=0.2, k=10,
+                                            wand=False).collect()
+                assert [tuple(r) for r in rows_on] == \
+                    [tuple(r) for r in rows_off], \
+                    f"dismax WAND != exhaustive: {q}"
+                dm_out.append({
+                    "q": q, "blocks_candidate": cand,
+                    "blocks_decoded": dec,
+                    "skip_rate": round(1 - dec / cand, 3) if cand
+                    else None})
+        finally:
+            shutil.rmtree(dm_root, ignore_errors=True)
+
         print(json.dumps({"n_docs": n_docs, "vocab": vocab, "cpus": cpus,
-                          "queries": out}))
+                          "queries": out, "dismax": dm_out}))
         print("\n| query | cand blocks | decoded | skip rate | WAND ms |"
               " exhaustive ms | speedup |")
         print("| --- | --- | --- | --- | --- | --- | --- |")
@@ -146,6 +189,11 @@ def main():
                   f" {r['blocks_decoded']} | {r['skip_rate']} |"
                   f" {r['wand_ms']} | {r['exhaustive_ms']} |"
                   f" {r['speedup']}× |")
+        print("\n| dismax query | cand blocks | decoded | skip rate |")
+        print("| --- | --- | --- | --- |")
+        for r in dm_out:
+            print(f"| `{r['q']}` | {r['blocks_candidate']} |"
+                  f" {r['blocks_decoded']} | {r['skip_rate']} |")
     finally:
         spark.stop()
         shutil.rmtree(root, ignore_errors=True)
