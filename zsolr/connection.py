@@ -410,8 +410,9 @@ class SolrConnection:
             ids = [(d["repo"], d["path"]) for d in docs
                    if "repo" in d and "path" in d]
             if ids:
-                key = self.spark.createDataFrame(
-                    ids, "repo string, path string")
+                from .search import local_df
+                key = local_df(self.spark, ids,
+                               "repo string, path string")
                 fetched = (self.corpus_df
                            .join(F.broadcast(key.distinct()),
                                  ["repo", "path"])

