@@ -167,6 +167,73 @@ def corpus_to_tokd(with_ids: DataFrame, tokenizer: str = "codegen",
     return out
 
 
+def _doc_tf_mapper(positions: bool):
+    """Per-doc (term, tf, positions) extraction as a vectorized Arrow
+    kernel.  Every ``(term, doc_id)`` group lives entirely inside ONE
+    document row, so the classic ``explode → groupBy(term, doc_id)``
+    plan shuffles O(tokens) rows for an aggregation that is local by
+    construction (guide §2.4).  This mapper computes the same rows with
+    zero exchange: factorize the batch's tokens, one stable lexsort by
+    (doc, term) — which keeps in-doc token order, so positions come out
+    ascending exactly like the old ``sort_array(collect_list(pos))`` —
+    then run-length boundaries give tf and the positions list offsets."""
+
+    def tf_batches(batches):
+        import pyarrow as pa
+
+        empty = pa.RecordBatch.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64()),
+             pa.array([], pa.int64()),
+             pa.ListArray.from_arrays(pa.array([0], pa.int32()),
+                                      pa.array([], pa.int32()))],
+            names=["term", "doc_id", "tf", "positions"])
+        for batch in batches:
+            doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            la = batch.column("toks")
+            if isinstance(la, pa.ChunkedArray):
+                la = la.combine_chunks()
+            flat = la.flatten()
+            n = len(flat)
+            if n == 0:
+                yield empty
+                continue
+            offs = np.asarray(la.offsets) - la.offsets[0].as_py()
+            counts = np.diff(offs)
+            docidx = np.repeat(np.arange(len(doc_ids)), counts)
+            pos_in_doc = (np.arange(n, dtype=np.int64)
+                          - offs[docidx]).astype(np.int32)
+            codes, uniques = pd.factorize(
+                flat.to_numpy(zero_copy_only=False), sort=False)
+            order = np.lexsort((codes, docidx))  # stable: in-doc order kept
+            sd, st = docidx[order], codes[order]
+            boundary = np.empty(n, dtype=bool)
+            boundary[0] = True
+            np.not_equal(sd[1:], sd[:-1], out=boundary[1:])
+            boundary[1:] |= st[1:] != st[:-1]
+            starts = np.nonzero(boundary)[0]
+            lens = np.diff(np.append(starts, n))
+            term_pa = pa.compute.take(pa.array(uniques, pa.string()),
+                                      pa.array(st[starts], pa.int64()))
+            if positions:
+                pos_list = pa.ListArray.from_arrays(
+                    pa.array(np.append(starts, n).astype(np.int32),
+                             pa.int32()),
+                    pa.array(pos_in_doc[order], pa.int32()))
+            else:
+                pos_list = pa.ListArray.from_arrays(
+                    pa.array(np.zeros(len(starts) + 1, dtype=np.int32),
+                             pa.int32()),
+                    pa.array([], pa.int32()))
+            yield pa.RecordBatch.from_arrays(
+                [term_pa,
+                 pa.array(doc_ids[sd[starts]], pa.int64()),
+                 pa.array(lens, pa.int64()),
+                 pos_list],
+                names=["term", "doc_id", "tf", "positions"])
+
+    return tf_batches
+
+
 def tokd_to_tf(tokd: DataFrame, n_buckets: int,
                positions: bool = True,
                scored_fields: tuple = ("content",)) -> DataFrame:
@@ -174,26 +241,18 @@ def tokd_to_tf(tokd: DataFrame, n_buckets: int,
     (with in-doc token positions for PhraseQuery) + zero-scored field terms
     + the norms sidecar (tf := doc_len; no positions).
 
+    The per-doc aggregation runs as a shuffle-free Arrow kernel (see
+    :func:`_doc_tf_mapper`) — the old ``explode → groupBy(term, doc_id)``
+    exchanged every (term, doc) row for an aggregation whose groups never
+    cross document rows.
+
     ``positions=False`` is the Lucene ``IndexOptions.DOCS_AND_FREQS``
-    tier: the per-token position payload (the dominant share of the tf
-    shuffle) is skipped entirely; phrase queries against such an index
-    raise UnsupportedQuery."""
+    tier: the per-token position payload is skipped entirely; phrase
+    queries against such an index raise UnsupportedQuery."""
     empty_pos = F.array().cast("array<int>")
-    if positions:
-        tok_tf = (
-            tokd.select("doc_id", F.posexplode("toks").alias("pos", "term"))
-            .groupBy("term", "doc_id")
-            .agg(F.count(F.lit(1)).alias("tf"),
-                 F.sort_array(F.collect_list(F.col("pos").cast("int")))
-                 .alias("positions"))
-        )
-    else:
-        tok_tf = (
-            tokd.select("doc_id", F.explode("toks").alias("term"))
-            .groupBy("term", "doc_id")
-            .agg(F.count(F.lit(1)).alias("tf"))
-            .withColumn("positions", empty_pos)
-        )
+    tok_tf = tokd.select("doc_id", "toks").mapInArrow(
+        _doc_tf_mapper(positions),
+        "term string, doc_id long, tf long, positions array<int>")
     extra = tokd.select(F.lit(NORMS_TERM).alias("term"), "doc_id",
                         F.col("doc_len").alias("tf"),
                         empty_pos.alias("positions"))
@@ -214,25 +273,13 @@ def tokd_to_tf(tokd: DataFrame, n_buckets: int,
         if fld == "content":
             continue
         pfx = scored_term(fld, "")
-        if positions:
-            fpart = (
-                tokd.select("doc_id",
-                            F.posexplode(f"{fld}_toks").alias("pos", "ftok"))
-                .groupBy("ftok", "doc_id")
-                .agg(F.count(F.lit(1)).alias("tf"),
-                     F.sort_array(F.collect_list(F.col("pos").cast("int")))
-                     .alias("positions"))
-            )
-        else:
-            fpart = (
-                tokd.select("doc_id", F.explode(f"{fld}_toks").alias("ftok"))
-                .groupBy("ftok", "doc_id")
-                .agg(F.count(F.lit(1)).alias("tf"))
-                .withColumn("positions", empty_pos)
-            )
-        fpart = fpart.select(
-            F.concat(F.lit(pfx), F.col("ftok")).alias("term"),
-            "doc_id", "tf", "positions")
+        fpart = (
+            tokd.select("doc_id", F.col(f"{fld}_toks").alias("toks"))
+            .mapInArrow(_doc_tf_mapper(positions),
+                        "term string, doc_id long, tf long,"
+                        " positions array<int>")
+            .select(F.concat(F.lit(pfx), F.col("term")).alias("term"),
+                    "doc_id", "tf", "positions"))
         fnorms = tokd.select(
             F.lit(field_norms_term(fld)).alias("term"), "doc_id",
             F.col(f"{fld}_len").alias("tf"), empty_pos.alias("positions"))

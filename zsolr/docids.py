@@ -11,14 +11,21 @@ Scalable pattern (no global single-partition window, no
 
   1. ``repartitionByRange`` on the key → partitions hold ordered,
      disjoint key ranges; ``sortWithinPartitions`` orders rows inside.
-  2. One tiny job counts rows per partition; the driver prefix-sums the
-     counts (P integers — O(partitions), not O(rows)).
-  3. ``mapInArrow`` adds ``offset[pid] + local_position`` per Arrow batch
-     (vectorized ``np.arange``; partition id via TaskContext).
+  2. ``mapInArrow`` tags each row with its ``(partition id, local
+     position)`` — vectorized ``np.arange`` per Arrow batch — and THIS
+     tagged frame is the one materialization (persist).
+  3. One tiny job counts rows per partition off the cached frame; the
+     driver prefix-sums the counts (P integers — O(partitions), not
+     O(rows)); ``doc_id = offset[pid] + pos`` is then a pure codegen
+     projection (``element_at`` over a P-element literal array).
 
-Cost: one range shuffle + one cheap counting job over the cached shuffle
-output.  At 10^12 files this is the standard distributed dense-rank; the
-driver state stays O(partitions).
+Cost: one range shuffle + ONE cached materialization + one cheap counting
+job.  Because the returned plan carries no ``TaskContext`` dependency
+(doc_id is a column expression over the cached tags), downstream unions /
+coalesced stages can never renumber it — the round-1 pid-renumbering trap
+is closed by construction rather than by a second materialization, which
+also halves the cache footprint.  At 10^12 files this is the standard
+distributed dense-rank; the driver state stays O(partitions).
 """
 
 from __future__ import annotations
@@ -30,7 +37,7 @@ import pyarrow as pa
 from pyspark import StorageLevel, TaskContext
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StructType
+from pyspark.sql.types import IntegerType, LongType, StructType
 
 SORT_KEY = ["repo", "path", "commit"]
 
@@ -43,46 +50,46 @@ def assign_doc_ids(corpus: DataFrame, num_partitions: int | None = None) -> Data
     part = (
         corpus.repartitionByRange(num_partitions, *SORT_KEY)
         .sortWithinPartitions(*SORT_KEY)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    counts = (
-        part.select(F.spark_partition_id().alias("pid"))
-        .groupBy("pid")
-        .count()
-        .collect()
-    )
-    by_pid = {r["pid"]: r["count"] for r in counts}
-    offsets: dict[int, int] = {}
-    acc = 0
-    for pid in range(num_partitions):
-        offsets[pid] = acc
-        acc += by_pid.get(pid, 0)
-    bc = spark.sparkContext.broadcast(offsets)
 
-    out_schema = StructType(list(corpus.schema.fields)).add("doc_id", LongType(), False)
+    tag_schema = (StructType(list(corpus.schema.fields))
+                  .add("_pid", IntegerType(), False)
+                  .add("_pos", LongType(), False))
 
-    def add_ids(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+    def tag(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         pid = TaskContext.get().partitionId()
-        if pid not in bc.value:
+        if pid >= num_partitions:
+            # TaskContext.partitionId() is STAGE-relative: a recompute
+            # fused into a union/coalesced stage would renumber pids and
+            # silently corrupt ids — refuse instead (the cached frame is
+            # the normal path; this only fires on a pathological
+            # recompute of an evicted partition inside a fused stage)
             raise RuntimeError(
-                f"docid assignment executed in a renumbered stage (pid={pid},"
-                f" expected 0..{len(bc.value) - 1}): a consumer recomputed the"
-                " lineage instead of reading the materialized result")
-        base = bc.value[pid]
+                f"docid tagging executed in a renumbered stage (pid={pid},"
+                f" expected 0..{num_partitions - 1}): a consumer recomputed"
+                " the lineage instead of reading the materialized result")
+        base = 0
         for batch in batches:
             n = batch.num_rows
-            ids = pa.array(np.arange(base, base + n, dtype=np.int64), type=pa.int64())
+            yield (batch
+                   .append_column("_pid", pa.array(
+                       np.full(n, pid, dtype=np.int32), type=pa.int32()))
+                   .append_column("_pos", pa.array(
+                       np.arange(base, base + n, dtype=np.int64),
+                       type=pa.int64())))
             base += n
-            yield batch.append_column("doc_id", ids)
 
-    out = part.mapInArrow(add_ids, out_schema)
-    # TaskContext.partitionId() is STAGE-relative: if a downstream plan
-    # fuses this map into a union/coalesced stage, partition ids renumber
-    # and the offsets are wrong.  Materializing here pins the stage to the
-    # linear lineage (shuffle-read → sort → map), where stage partition ids
-    # == range partition ids; consumers then read the cached result.
-    out = out.persist(StorageLevel.MEMORY_AND_DISK)
-    n_out = out.count()
-    assert n_out == sum(by_pid.values())
-    part.unpersist()
-    return out
+    tagged = part.mapInArrow(tag, tag_schema).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    counts = tagged.groupBy("_pid").count().collect()
+    by_pid = {r["_pid"]: r["count"] for r in counts}
+    offsets, acc = [], 0
+    for pid in range(num_partitions):
+        offsets.append(acc)
+        acc += by_pid.get(pid, 0)
+    off_arr = F.array(*[F.lit(int(o)).cast("long") for o in offsets])
+    return (tagged
+            .withColumn("doc_id",
+                        F.element_at(off_arr, F.col("_pid") + 1)
+                        + F.col("_pos"))
+            .drop("_pid", "_pos"))
