@@ -28,6 +28,33 @@ from .analyze import tokenize_codegen
 STOPWORDS = ("the", "a")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Input-parallelism guard for map-side kernels: a monolithic
+    single-row-group parquet file scans as ONE task (parquet cannot
+    split inside a row group), serializing every downstream per-row
+    kernel however many cores exist.  When the scan has fewer partitions
+    than the session has slots, round-robin repartition once up front —
+    the guide §2.5 'repartition immediately after the read' fix for
+    unsplittable inputs.  Real multi-file tables at scale already arrive
+    split and skip the shuffle entirely."""
+    spark = df.sparkSession
+    want = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)
+
+
+def _drop_hot_buckets(df: DataFrame, keys: list, max_bucket: int) -> DataFrame:
+    """Skew guard: drop every row whose bucket (the ``keys`` group) holds
+    more than ``max_bucket`` rows.  A window count shuffles AND sorts the
+    whole frame; the equivalent aggregate ships only per-bucket partial
+    counts, and the oversized-bucket set (near-empty in healthy data) is
+    broadcast into an anti-join — no full-frame exchange (guide §2.3/§3.1)."""
+    hot = (df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
+           .filter(F.col("_bsz") > max_bucket).drop("_bsz"))
+    return df.join(F.broadcast(hot), keys, "left_anti")
+
+
 def _hash60(col, seed: int | None = None):
     """Deterministic 60-bit int from md5 hex — reproducible in any engine
     (DuckDB: ('0x' || substr(md5(x || '#k'), 1, 15))::BIGINT)."""
@@ -91,6 +118,82 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     return hashed.groupBy("doc_id", "k").agg(F.min("h").alias("minhash"))
 
 
+_TOKEN_PAT = None  # lazily compiled in the worker
+
+
+def _doc_distinct_bases(texts, cache: dict):
+    """Per-doc DISTINCT-token 60-bit md5 bases, tokenized with the
+    normative analyzer (``tokenize_py`` semantics: lowercase, maximal
+    [a-z0-9]+ runs — identity with ``tokenize_codegen`` is the tested I4
+    invariant).  md5 is computed ONCE per distinct token via ``cache``
+    (the corpus vocabulary is tiny next to the token stream), matching
+    :func:`_hash60` bit-for-bit.  Returns (doc_index list, list of
+    int64 arrays)."""
+    import hashlib
+    import re
+
+    global _TOKEN_PAT
+    if _TOKEN_PAT is None:
+        _TOKEN_PAT = re.compile("[a-z0-9]+")
+    keep, bases = [], []
+    for i, txt in enumerate(texts):
+        toks = set(_TOKEN_PAT.findall(txt.lower())) if txt else ()
+        if not toks:
+            continue
+        vals = []
+        for t in toks:
+            b = cache.get(t)
+            if b is None:
+                b = cache[t] = int(
+                    hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+            vals.append(b)
+        keep.append(i)
+        bases.append(np.asarray(vals, dtype=np.int64))
+    return keep, bases
+
+
+def _minhash_sig_mapper(n_hashes: int):
+    """Arrow kernel computing the k-column MinHash signature per doc with
+    ZERO shuffle: every (doc, k) minimum is a function of one document
+    row alone, so the classic explode → md5-per-(doc, token) →
+    groupBy(doc) plan exchanged O(distinct tokens) rows for an
+    aggregation that is local by construction (guide §2.4/§4.2).  The
+    universal-hash family evaluates as one vectorized int64 matrix op —
+    exact: terms < 2^60 (multipliers < 2^28), identical to the codegen
+    expression and the DuckDB oracle."""
+    A = np.asarray(_MH_A[:n_hashes], dtype=np.int64)
+    B = np.asarray(_MH_B[:n_hashes], dtype=np.int64)
+    C = np.asarray(_MH_C[:n_hashes], dtype=np.int64)
+    names = ["doc_id"] + [f"mh{k}" for k in range(n_hashes)]
+
+    def gen(batches):
+        import pyarrow as pa
+
+        cache: dict = {}
+        for batch in batches:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            keep, bases_list = _doc_distinct_bases(
+                batch.column("_txt").to_pylist(), cache)
+            if not keep:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([], pa.int64()) for _ in names], names=names)
+                continue
+            lens = np.fromiter((len(v) for v in bases_list), dtype=np.int64,
+                               count=len(bases_list))
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            bases = np.concatenate(bases_list)
+            lo = bases & _MH_MASK
+            hi = bases >> 28
+            h = (lo[:, None] * A + hi[:, None] * B + C) % _MH_P
+            mins = np.minimum.reduceat(h, starts, axis=0)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids[keep], pa.int64())]
+                + [pa.array(mins[:, k]) for k in range(n_hashes)],
+                names=names)
+
+    return gen
+
+
 def _mh_k(base_col, k: int):
     """k-th universal-hash family member over an already-computed 60-bit
     base column (k is a Python int — the family constants inline as
@@ -117,11 +220,11 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
     ``dedup_embedding_cosine``; round-3 verdict): one degenerate signature
     bucket at 10^9 docs otherwise turns the band self-join quadratic.
     Pass ``max_bucket=None`` to disable explicitly."""
-    ts = _token_set(docs, text_col, id_col).withColumn(
-        "base", _hash60(F.col("term")))
-    sig = ts.groupBy("doc_id").agg(*[
-        F.min(_mh_k(F.col("base"), k)).alias(f"mh{k}")
-        for k in range(n_hashes)])
+    sig = (_spread(docs.select(F.col(id_col).alias("doc_id"),
+                               F.col(text_col).alias("_txt")))
+           .mapInArrow(_minhash_sig_mapper(n_hashes),
+                       "doc_id long, " + ", ".join(
+                           f"mh{k} long" for k in range(n_hashes))))
     band_structs = []
     for bnd in range(n_hashes // band_rows):
         slots = [F.col(f"mh{bnd * band_rows + s}").cast("string")
@@ -133,23 +236,19 @@ def minhash_lsh_pairs(docs: DataFrame, text_col: str = "text",
                         F.explode(F.array(*band_structs)).alias("b"))
              .select("doc_id", F.col("b.band").alias("band"),
                      F.col("b.sig").alias("sig")))
+    # persist the banded signatures BEFORE the skew guard and the
+    # self-join: the guard's bucket-count aggregate and both join sides
+    # otherwise re-execute the full tokenize→md5→8-way-min lineage — the
+    # dominant cost of the whole op.  The frame is tiny (n_docs × n_bands
+    # short rows); Spark's ContextCleaner drops the cache when the
+    # returned plan becomes unreachable.
+    bands = bands.persist()
     if max_bucket is not None:
         # skew guard (standard LSH practice): a degenerate bucket of size
         # s yields s(s-1)/2 candidate pairs — one hot signature can turn
         # the equi-join quadratic.  Drop buckets past the cap; recall for
         # them is recovered by the other bands (or a higher band count).
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("band", "sig")
-        bands = (bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
-                 .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
-    # persist the banded signatures before the self-join: both join
-    # sides (and the skew-guard window above them) otherwise re-execute
-    # the full tokenize→md5→8-way-min lineage — the dominant cost of the
-    # whole op (measured 12.3s → ~4s at the bench fixture).  The frame
-    # is tiny (n_docs × n_bands short rows); Spark's ContextCleaner
-    # drops the cache when the returned plan becomes unreachable.
-    bands = bands.persist()
+        bands = _drop_hot_buckets(bands, ["band", "sig"], max_bucket)
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -182,8 +281,12 @@ def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     — wrong canonical labels must never pass silently.
     → (doc_id, canonical) for every doc appearing in ``pairs``."""
     e = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    # no .distinct(): min-label propagation is duplicate-insensitive
+    # (every aggregation over edges is a MIN), candidate pairs arrive
+    # already distinct with doc_a < doc_b so the direction union cannot
+    # collide, and the dropped exchange was a full O(edges) shuffle
     edges = (e.unionByName(e.select(F.col("dst").alias("src"),
-                                    F.col("src").alias("dst"))).distinct()
+                                    F.col("src").alias("dst")))
              .persist())
     # seed labels with the closed-neighborhood minimum (= the identity
     # init's first propagation step, folded into ONE aggregation on the
@@ -272,24 +375,60 @@ def ngram_jaccard_adjacent(docs: DataFrame, text_col: str = "text",
 
 def simhash32(docs: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash over the distinct-token set, built entirely from
-    codegen expressions (explode bits → signed sum → bit assembly).
+    """32-bit SimHash over the distinct-token set.  Like the MinHash
+    signature, every per-doc bit sum is a function of one document row,
+    so the old explode → groupBy(doc) plan shuffled O(distinct tokens)
+    rows for a local aggregation — this Arrow kernel computes the same
+    integer-exact signed sums with zero exchange (md5 cached per
+    distinct token, bit matrix + ``np.add.reduceat``).
     → (doc_id, simhash)."""
-    ts = _token_set(docs, text_col, id_col).withColumn(
-        "h", F.conv(F.substring(F.md5(F.col("term")), 1, 8), 16, 10)
-        .cast("long"))
-    # 32 signed-sum aggregate COLUMNS over the (doc, term) rows — one
-    # map-side-combined shuffle keyed on doc_id only (the earlier explode
-    # over bit index amplified shuffle rows ×32); bit assembly is codegen
-    sums = (ts.groupBy("doc_id").agg(*[
-        F.sum(F.expr(f"(shiftright(h, {j}) & 1) * 2 - 1")).alias(f"s{j}")
-        for j in range(32)]))
-    bitval = reduce(
-        lambda a, b: a + b,
-        [F.when(F.col(f"s{j}") > 0,
-                F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-         for j in range(32)])
-    return sums.select("doc_id", bitval.alias("simhash"))
+    shifts = np.arange(32, dtype=np.int64)
+
+    def gen(batches):
+        import hashlib
+        import pyarrow as pa
+
+        cache: dict = {}
+
+        def h32(t: str) -> int:
+            v = cache.get(t)
+            if v is None:
+                v = cache[t] = int(
+                    hashlib.md5(t.encode("utf-8")).hexdigest()[:8], 16)
+            return v
+
+        import re
+        pat = re.compile("[a-z0-9]+")
+        for batch in batches:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            texts = batch.column("_txt").to_pylist()
+            keep, hs_list = [], []
+            for i, txt in enumerate(texts):
+                toks = set(pat.findall(txt.lower())) if txt else ()
+                if not toks:
+                    continue
+                keep.append(i)
+                hs_list.append(np.asarray([h32(t) for t in toks],
+                                          dtype=np.int64))
+            if not keep:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                    names=["doc_id", "simhash"])
+                continue
+            lens = np.fromiter((len(v) for v in hs_list), dtype=np.int64,
+                               count=len(hs_list))
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            hs = np.concatenate(hs_list)
+            bits = ((hs[:, None] >> shifts) & 1) * 2 - 1
+            sums = np.add.reduceat(bits, starts, axis=0)
+            sim = ((sums > 0).astype(np.int64) << shifts).sum(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids[keep], pa.int64()), pa.array(sim)],
+                names=["doc_id", "simhash"])
+
+    return (_spread(docs.select(F.col(id_col).alias("doc_id"),
+                                F.col(text_col).alias("_txt")))
+            .mapInArrow(gen, "doc_id long, simhash long"))
 
 
 # ----------------------------------------------------- similarity search ---
@@ -339,6 +478,71 @@ def lsh_query_buckets(planes: np.ndarray, query_vec,
     return out
 
 
+def _hyperplane_bucket_mapper(bands: list, prefixes: list):
+    """Arrow kernel computing hyperplane sign buckets for one or more
+    plane tables.  The SQL formulation (``aggregate(zip_with(...))`` per
+    plane) is an interpreted higher-order-function fold — measured
+    ~150 µs/row; here each projection is a vectorized accumulation that
+    reproduces the fold's left-associative double addition BIT-EXACTLY
+    (``acc = ((0.0 + v0·p0) + v1·p1) + …`` per row), so sign bits — and
+    the DuckDB oracles' literal left-associative sums — are unchanged
+    (guide §4.2).  Emits one output row per (vector, band):
+    (id, vec, bucket=prefix+bits)."""
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            ids = batch.column(0)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            emb = batch.column(1)
+            if isinstance(emb, pa.ChunkedArray):
+                emb = emb.combine_chunks()
+            n = len(emb)
+            if n == 0:
+                continue
+            dim = bands[0].shape[1]
+            offs = np.asarray(emb.offsets)
+            if not np.all(np.diff(offs) == dim):
+                raise ValueError(
+                    f"embedding dim mismatch: expected uniform {dim}")
+            flat = emb.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            v = flat.reshape(n, dim)
+            for planes, pfx in zip(bands, prefixes):
+                p_count = len(planes)
+                sign = np.zeros((n, p_count), dtype=bool)
+                for j in range(p_count):
+                    p = planes[j]
+                    acc = np.zeros(n)
+                    for i in range(dim):
+                        acc += v[:, i] * p[i]
+                    sign[:, j] = acc >= 0
+                chars = np.where(sign, b"1", b"0").astype("S1")
+                bstr = np.ascontiguousarray(chars).view(
+                    f"S{p_count}").ravel()
+                buckets = pa.array(
+                    [pfx + s.decode("ascii") for s in bstr], pa.string())
+                yield pa.RecordBatch.from_arrays(
+                    [ids, emb, buckets],
+                    names=[batch.schema.names[0], batch.schema.names[1],
+                           "bucket"])
+
+    return gen
+
+
+def _with_buckets(src: DataFrame, bands: list, prefixes: list) -> DataFrame:
+    """``src`` (id, vec) → one row per (vector, band) with a ``bucket``
+    column, via :func:`_hyperplane_bucket_mapper`."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType(list(src.schema.fields)
+                            + [StructField("bucket", StringType())])
+    return _spread(src).mapInArrow(
+        _hyperplane_bucket_mapper(bands, prefixes), out_schema)
+
+
 def lsh_bucket_topk(embeddings: DataFrame, query_vec: list[float],
                     k: int = 10, n_planes: int = 8,
                     vec_col: str = "embedding",
@@ -352,19 +556,9 @@ def lsh_bucket_topk(embeddings: DataFrame, query_vec: list[float],
     aggregate instead of the round-1 ``cand.count()`` second job.
     → (rank, vec_id, bucket_size)."""
     planes = lsh_planes(n_planes, len(query_vec), seed)
-
-    def bucket_expr(vcol):
-        v = F.transform(vcol, lambda x: x.cast("double"))
-        bits = []
-        for p in planes:
-            arr = F.array(*[F.lit(float(x)) for x in p])
-            proj = F.aggregate(F.zip_with(v, arr, lambda a, b: a * b),
-                               F.lit(0.0), lambda acc, x: acc + x)
-            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-        return F.concat(*bits)
-
     probes = lsh_query_buckets(planes, query_vec, probe_hamming)
-    bucketed = embeddings.withColumn("bucket", bucket_expr(F.col(vec_col)))
+    bucketed = _with_buckets(embeddings.select(id_col, vec_col),
+                             [planes], [""])
     cand = bucketed.filter(F.col("bucket").isin(probes))
     exact = cosine_topk(cand, query_vec, k, vec_col, id_col)
     size = cand.agg(F.count(F.lit(1)).cast("long").alias("bucket_size"))
@@ -485,33 +679,21 @@ def dedup_embedding_cosine(embeddings: DataFrame, tau: float = 0.99,
 
         n = embeddings.count()
         n_planes = max(8, int(_math.ceil(_math.log2(max(n, 2)))) + 2)
-    band_cols = []
-    for bnd in range(bands):
-        planes = lsh_planes(n_planes, dim, seed + 101 * bnd)
-        bits = []
-        v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        for p in planes:
-            arr = F.array(*[F.lit(float(x)) for x in p])
-            proj = F.aggregate(F.zip_with(v, arr, lambda a, b: a * b),
-                               F.lit(0.0), lambda acc, x: acc + x)
-            bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-        band_cols.append(F.concat(F.lit(f"{bnd}:"), *bits))
-    bucketed = embeddings.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("emb"),
-        F.explode(F.array(*band_cols)).alias("bucket"))
+    bucketed = _with_buckets(
+        embeddings.select(F.col(id_col).alias("vec_id"),
+                          F.col(vec_col).alias("emb")),
+        [lsh_planes(n_planes, dim, seed + 101 * bnd)
+         for bnd in range(bands)],
+        [f"{bnd}:" for bnd in range(bands)])
+    # persist BEFORE the skew guard and the self-join (as in
+    # minhash_lsh_pairs): the guard's count aggregate and both join sides
+    # otherwise recompute every hyperplane projection; MEMORY_AND_DISK
+    # spills gracefully at scale and the ContextCleaner reclaims it
+    bucketed = bucketed.persist()
     if max_bucket is not None:
         # skew guard, mirroring minhash_lsh_pairs: cap the per-bucket size
         # so no degenerate bucket can turn the equi-join quadratic
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("bucket")
-        bucketed = (bucketed.withColumn("_bsz", F.count(F.lit(1)).over(w))
-                    .filter(F.col("_bsz") <= max_bucket).drop("_bsz"))
-    # persist before the self-join (as in minhash_lsh_pairs): both sides
-    # otherwise recompute every hyperplane projection (n_planes × dim
-    # multiply-adds per vector, the op's dominant cost); MEMORY_AND_DISK
-    # spills gracefully at scale and the ContextCleaner reclaims it
-    bucketed = bucketed.persist()
+        bucketed = _drop_hot_buckets(bucketed, ["bucket"], max_bucket)
     a, b = bucketed.alias("a"), bucketed.alias("b")
     cand = (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.vec_id") < F.col("b.vec_id")))
