@@ -1605,8 +1605,9 @@ class Searcher:
                 rows, num_found = hit
                 df = local_df(self.spark, rows, self._OUT_SCHEMA)
                 return (df, num_found) if with_count else df
-        out = self._search_uncached(q, k, start, sort, wand, with_count,
-                                    score_field_terms=score_field_terms)
+        with self._no_aqe():
+            out = self._search_uncached(q, k, start, sort, wand, with_count,
+                                        score_field_terms=score_field_terms)
         if ckey is not None:
             df, num_found = out if with_count else (out, None)
             rows = [tuple(r) for r in df.collect()]
@@ -1619,6 +1620,31 @@ class Searcher:
 
     _OUT_SCHEMA = ("doc_id long, repo string, path string, commit string,"
                    " score double")
+
+    def _no_aqe(self):
+        """Disable AQE for the duration of a searcher-issued interactive
+        query (restores the session value after).  The per-query jobs
+        exchange a handful of posting-block rows, so runtime
+        re-optimization has nothing to win — but AQE's extra adaptive
+        planning rounds cost ~150-200 ms per job (measured: the serial
+        20-query suite at sf1.0 runs 16.4s with AQE vs 12.7s without).
+        Build/lifecycle jobs keep AQE (coalescing + skew handling)."""
+        import contextlib
+
+        conf = self.spark.conf
+
+        @contextlib.contextmanager
+        def ctx():
+            prev = conf.get("spark.sql.adaptive.enabled")
+            if prev == "false":
+                yield
+                return
+            conf.set("spark.sql.adaptive.enabled", "false")
+            try:
+                yield
+            finally:
+                conf.set("spark.sql.adaptive.enabled", prev)
+        return ctx()
 
     def enable_wand_stats(self) -> tuple:
         """Attach two Spark accumulators counting WAND phase-2 candidate
@@ -1980,11 +2006,12 @@ class Searcher:
         ``with_count``."""
         spec = _parse_sort(sort)
         eff = [] if (not spec or spec[0][0] == "score") else spec
-        res = self._search_uncached(q, k, 0, sort if eff else None, wand,
-                                    with_count, after=after,
-                                    keep_sort_cols=bool(eff))
-        df, n = res if with_count else (res, None)
-        rows = df.collect()
+        with self._no_aqe():
+            res = self._search_uncached(q, k, 0, sort if eff else None, wand,
+                                        with_count, after=after,
+                                        keep_sort_cols=bool(eff))
+            df, n = res if with_count else (res, None)
+            rows = df.collect()
         if not rows:
             nxt = None
         elif eff:
@@ -2401,89 +2428,90 @@ class Searcher:
             else:
                 order.append(i)
                 specs.append(spec)
-        if specs:
-            union_terms = sorted(set().union(
-                *[set(s["all_terms"]) for s in specs]))
-            union_norm = sorted(set().union(
-                *[set(s["norm_terms"]) for s in specs]))
-            any_universe = any(s["needs_universe"] for s in specs)
-            postings = self._postings_scan(union_terms, union_norm,
-                                           any_universe)
-            fetch = start + k
-            kernel = make_batch_kernel(specs, self.shard_width, self.avgdl,
-                                       fetch, deleted=self._deleted_np)
-            cand = postings.groupBy("shard").applyInPandas(
-                kernel, "qid long, doc_id long, score double")
-            n_shards = -(-self.n_docs_total // self.shard_width)
-            if n_shards * len(specs) * (fetch + 1) > self.COLLECT_CAP:
-                # executor-side per-query cut, TWO-LEVEL: level 1 cuts per
-                # (qid, doc_id % CUT_FANIN) so one query's candidates
-                # spread over CUT_FANIN tasks (a row in the global
-                # top-fetch is in its salt group's top-fetch — the cut is
-                # a superset, level 2 is exact); level 2 then sees at most
-                # CUT_FANIN·fetch rows per qid.  The driver collects only
-                # O(fetch) rows per query however many shards exist, and
-                # the per-shard count rows pre-aggregate executor-side
-                # instead of shipping n_shards·n_queries rows.
-                from pyspark.sql import Window as _W
+        with self._no_aqe():
+            if specs:
+                union_terms = sorted(set().union(
+                    *[set(s["all_terms"]) for s in specs]))
+                union_norm = sorted(set().union(
+                    *[set(s["norm_terms"]) for s in specs]))
+                any_universe = any(s["needs_universe"] for s in specs)
+                postings = self._postings_scan(union_terms, union_norm,
+                                               any_universe)
+                fetch = start + k
+                kernel = make_batch_kernel(specs, self.shard_width, self.avgdl,
+                                           fetch, deleted=self._deleted_np)
+                cand = postings.groupBy("shard").applyInPandas(
+                    kernel, "qid long, doc_id long, score double")
+                n_shards = -(-self.n_docs_total // self.shard_width)
+                if n_shards * len(specs) * (fetch + 1) > self.COLLECT_CAP:
+                    # executor-side per-query cut, TWO-LEVEL: level 1 cuts per
+                    # (qid, doc_id % CUT_FANIN) so one query's candidates
+                    # spread over CUT_FANIN tasks (a row in the global
+                    # top-fetch is in its salt group's top-fetch — the cut is
+                    # a superset, level 2 is exact); level 2 then sees at most
+                    # CUT_FANIN·fetch rows per qid.  The driver collects only
+                    # O(fetch) rows per query however many shards exist, and
+                    # the per-shard count rows pre-aggregate executor-side
+                    # instead of shipping n_shards·n_queries rows.
+                    from pyspark.sql import Window as _W
 
-                self._last_collect_strategy = "distributed_cut"
-                cand = cand.persist()
-                hits = cand.filter(F.col("doc_id") >= 0)
-                salted = hits.withColumn(
-                    "salt", (F.col("doc_id") % self.CUT_FANIN).cast("int"))
-                okeys = (F.desc("score"), F.asc("doc_id"))
-                w1 = _W.partitionBy("qid", "salt").orderBy(*okeys)
-                w2 = _W.partitionBy("qid").orderBy(*okeys)
-                hits_part = (
-                    salted.withColumn("rn", F.row_number().over(w1))
-                    .filter(F.col("rn") <= fetch).drop("rn", "salt")
-                    .withColumn("rn", F.row_number().over(w2))
-                    .filter(F.col("rn") <= fetch).drop("rn"))
-                if getattr(self, "_cut_debug", False):
-                    lvl1 = (salted.groupBy("qid", "salt").count()
-                            .agg(F.max("count")).collect()[0][0])
-                    per_q = (hits.groupBy("qid").count()
-                             .agg(F.max("count")).collect()[0][0])
-                    self._last_cut_stats = (int(lvl1 or 0), int(per_q or 0))
-                cnt = (cand.filter(F.col("doc_id") == -1)
-                       .groupBy("qid")
-                       .agg(F.sum("score").alias("score"))
-                       .select("qid",
-                               F.lit(-1).cast("long").alias("doc_id"),
-                               "score"))
-                rows = hits_part.unionByName(cnt).collect()
-                cand.unpersist()
-            else:
-                self._last_collect_strategy = "driver_merge"
-                rows = cand.collect()
-            per_hits: dict[int, list] = defaultdict(list)
-            per_n: dict[int, float] = defaultdict(float)
-            for r in rows:
-                if r["doc_id"] == -1:
-                    per_n[r["qid"]] += r["score"]
+                    self._last_collect_strategy = "distributed_cut"
+                    cand = cand.persist()
+                    hits = cand.filter(F.col("doc_id") >= 0)
+                    salted = hits.withColumn(
+                        "salt", (F.col("doc_id") % self.CUT_FANIN).cast("int"))
+                    okeys = (F.desc("score"), F.asc("doc_id"))
+                    w1 = _W.partitionBy("qid", "salt").orderBy(*okeys)
+                    w2 = _W.partitionBy("qid").orderBy(*okeys)
+                    hits_part = (
+                        salted.withColumn("rn", F.row_number().over(w1))
+                        .filter(F.col("rn") <= fetch).drop("rn", "salt")
+                        .withColumn("rn", F.row_number().over(w2))
+                        .filter(F.col("rn") <= fetch).drop("rn"))
+                    if getattr(self, "_cut_debug", False):
+                        lvl1 = (salted.groupBy("qid", "salt").count()
+                                .agg(F.max("count")).collect()[0][0])
+                        per_q = (hits.groupBy("qid").count()
+                                 .agg(F.max("count")).collect()[0][0])
+                        self._last_cut_stats = (int(lvl1 or 0), int(per_q or 0))
+                    cnt = (cand.filter(F.col("doc_id") == -1)
+                           .groupBy("qid")
+                           .agg(F.sum("score").alias("score"))
+                           .select("qid",
+                                   F.lit(-1).cast("long").alias("doc_id"),
+                                   "score"))
+                    rows = hits_part.unionByName(cnt).collect()
+                    cand.unpersist()
                 else:
-                    per_hits[r["qid"]].append((r["doc_id"], r["score"]))
-            finals: dict[int, list] = {}
-            need_ids: set[int] = set()
-            for j in range(len(specs)):
-                hits = per_hits.get(j, [])
-                hits.sort(key=lambda t: (-t[1], t[0]))
-                hits = hits[start:start + k]
-                finals[j] = hits
-                need_ids.update(h[0] for h in hits)
-            meta: dict[int, dict] = {}
-            if need_ids:
-                meta = {r["doc_id"]: r for r in
-                        self._fetch_by_ids(sorted(need_ids))
-                        .select("doc_id", "repo", "path",
-                                "commit").collect()}
-            for j, i in enumerate(order):
-                out = [(d, meta[d]["repo"], meta[d]["path"],
-                        meta[d]["commit"], s) for d, s in finals[j]]
-                df = local_df(self.spark, out, self._OUT_SCHEMA)
-                results[i] = (df, int(per_n.get(j, 0))) if with_count \
-                    else df
+                    self._last_collect_strategy = "driver_merge"
+                    rows = cand.collect()
+                per_hits: dict[int, list] = defaultdict(list)
+                per_n: dict[int, float] = defaultdict(float)
+                for r in rows:
+                    if r["doc_id"] == -1:
+                        per_n[r["qid"]] += r["score"]
+                    else:
+                        per_hits[r["qid"]].append((r["doc_id"], r["score"]))
+                finals: dict[int, list] = {}
+                need_ids: set[int] = set()
+                for j in range(len(specs)):
+                    hits = per_hits.get(j, [])
+                    hits.sort(key=lambda t: (-t[1], t[0]))
+                    hits = hits[start:start + k]
+                    finals[j] = hits
+                    need_ids.update(h[0] for h in hits)
+                meta: dict[int, dict] = {}
+                if need_ids:
+                    meta = {r["doc_id"]: r for r in
+                            self._fetch_by_ids(sorted(need_ids))
+                            .select("doc_id", "repo", "path",
+                                    "commit").collect()}
+                for j, i in enumerate(order):
+                    out = [(d, meta[d]["repo"], meta[d]["path"],
+                            meta[d]["commit"], s) for d, s in finals[j]]
+                    df = local_df(self.spark, out, self._OUT_SCHEMA)
+                    results[i] = (df, int(per_n.get(j, 0))) if with_count \
+                        else df
         return [results[i] for i in range(len(queries))]
 
     def _match_all(self, docs_f: DataFrame, k, start, sort_spec,
