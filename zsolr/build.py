@@ -438,8 +438,9 @@ class IndexBuilder:
 
     def _encode_mapper(self, align_width: int | None = None):
         """mapInArrow kernel over JVM-pre-grouped rows: one row per
-        (term, salt) sub-list with a ``sort_array(collect_list(struct))``
-        payload.  Only ~|groups| rows cross the Arrow boundary (the per-row
+        (term, salt) sub-list with a partition-sort-ordered
+        ``collect_list(struct)`` payload (ascending docIDs verified,
+        stable-argsort fallback).  Only ~|groups| rows cross the Arrow boundary (the per-row
         ``ArrowWriter.sizeInBytes`` walk made per-posting rows cost ~13 µs
         each — measured; grouping JVM-side removes it entirely).
 
@@ -472,6 +473,24 @@ class IndexBuilder:
                 for i, term in enumerate(terms):
                     s, e = int(offs[i]), int(offs[i + 1])
                     d, t = d_all[s:e], t_all[s:e]
+                    p_off = pos_offs_all[s:e + 1] - pos_offs_all[s]
+                    p = pos_flat_all[pos_offs_all[s]:pos_offs_all[e]]
+                    if len(d) > 1 and not np.all(d[1:] > d[:-1]):
+                        # collect_list arrived unordered (an engine did
+                        # not preserve the partition sort) — restore the
+                        # docID order with a stable argsort, gathering
+                        # the variable-length position segments
+                        order = np.argsort(d, kind="stable")
+                        d, t = d[order], t[order]
+                        lens = np.diff(p_off)
+                        nl = lens[order]
+                        seg = np.repeat(p_off[:-1][order], nl)
+                        csum = np.concatenate(
+                            ([0], np.cumsum(nl)))[:-1]
+                        within = np.arange(nl.sum(), dtype=np.int64) \
+                            - np.repeat(csum, nl)
+                        p = p[seg + within]
+                        p_off = np.concatenate(([0], np.cumsum(nl)))
                     bstarts = codec.block_starts(d, cfg_block, align_width) \
                         if e > s else np.empty(0, dtype=np.int64)
                     firsts, lasts, lens, gb, tb, mx = codec.encode_blocks(
@@ -479,8 +498,6 @@ class IndexBuilder:
                         starts=bstarts if e > s else None)
                     # positions: delta-encode within each doc, one varint
                     # pass per group, split at block boundaries
-                    p_off = pos_offs_all[s:e + 1] - pos_offs_all[s]
-                    p = pos_flat_all[pos_offs_all[s]:pos_offs_all[e]]
                     if len(p):
                         deltas = np.empty(len(p), dtype=np.uint64)
                         deltas[0] = p[0]
@@ -551,9 +568,8 @@ class IndexBuilder:
             # (term, salt) groups don't collide into the same reducer, then
             # collect each sub-list into ONE array row JVM-side before the
             # Arrow boundary (see _encode_mapper)
-            par = spark.sparkContext.defaultParallelism
             blocks = (
-                grouped_postings(tf.repartition(par * 8, "term", "salt"))
+                grouped_postings(tf)
                 .mapInArrow(encode_batches, POSTINGS_SCHEMA)
             )
             # layout shuffle of compressed blocks only: one hash partition
@@ -663,12 +679,23 @@ class IndexBuilder:
         return result
 
 
-def grouped_postings(tf: DataFrame) -> DataFrame:
+def grouped_postings(tf: DataFrame,
+                     num_partitions: int | None = None) -> DataFrame:
     """JVM-side pre-grouping for the encode kernel: one row per
-    (term, salt) with the sub-list sorted by docID (``sort_array`` on
-    struct compares fields in order; doc_id leads and is unique).
-    Keeps per-posting rows out of the Arrow boundary — see _encode_mapper."""
-    return (tf.groupBy("term", "salt").agg(
-        F.sort_array(F.collect_list(
-            F.struct("doc_id", "tf", "positions"))).alias("postings"),
-        F.first("bucket").alias("bucket")))
+    (term, salt) with the sub-list ordered by docID.  Ordering comes from
+    a whole-stage-codegen partition sort BEFORE the aggregation instead
+    of a per-group ``sort_array`` over struct arrays (the object
+    comparator measured ~1.5× the codegen sort at bench scale);
+    ``collect_list`` preserves the encounter order in practice, and the
+    encode kernel VERIFIES per-group ascending docIDs and falls back to
+    a stable argsort if an engine ever reorders them — correctness never
+    rests on the preservation detail.  Keeps per-posting rows out of the
+    Arrow boundary — see _encode_mapper."""
+    spark = tf.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism * 8
+    return (tf.repartition(n, "term", "salt")
+            .sortWithinPartitions("term", "salt", "doc_id")
+            .groupBy("term", "salt").agg(
+                F.collect_list(
+                    F.struct("doc_id", "tf", "positions")).alias("postings"),
+                F.first("bucket").alias("bucket")))
