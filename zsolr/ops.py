@@ -299,13 +299,24 @@ def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
               .select(F.col("src").alias("node"),
                       F.least("src", "nbr").alias("label"))
               .localCheckpoint())
+    # label-side broadcast, size-gated (guide §3.1): the label frames are
+    # O(nodes) rows behind a localCheckpoint, whose stats the planner
+    # cannot estimate — left un-hinted, each round's edge⋈label join
+    # shuffles the full cached edge set.  One cheap count of the (tiny)
+    # seed frame decides: under the cap, every round's joins are
+    # broadcast-hash with ZERO edge movement; over it (huge graphs) the
+    # plain shuffle join stands.
+    BROADCAST_NODES_CAP = 5_000_000
+    n_nodes = labels.count()
+    bcast = (lambda df: F.broadcast(df)) if n_nodes <= BROADCAST_NODES_CAP \
+        else (lambda df: df)
     converged = False
     for it in range(max_iter):
-        nbr_min = (edges.join(labels.withColumnRenamed("node", "dst"),
+        nbr_min = (edges.join(bcast(labels.withColumnRenamed("node", "dst")),
                               "dst")
                    .groupBy("src").agg(F.min("label").alias("nl"))
                    .withColumnRenamed("src", "node"))
-        stepped = (labels.join(nbr_min, "node", "left_outer")
+        stepped = (labels.join(bcast(nbr_min), "node", "left_outer")
                    .select("node", F.col("label").alias("old"),
                            F.least("label", F.coalesce("nl", "label"))
                            .alias("lbl"))
@@ -322,7 +333,7 @@ def dedup_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         ptr = stepped.select(F.col("node").alias("lbl"),
                              F.col("lbl").alias("ll"))
         new_lbl = F.least("lbl", F.coalesce("ll", "lbl"))
-        new_labels = (stepped.join(ptr, "lbl", "left_outer")
+        new_labels = (stepped.join(bcast(ptr), "lbl", "left_outer")
                       .select("node", new_lbl.alias("label"),
                               (new_lbl != F.col("old")).alias("chg"))
                       .localCheckpoint())
