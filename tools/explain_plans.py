@@ -68,14 +68,17 @@ def main():
         .select("doc_id", "repo", "path", "commit"),
         [("In filter pushed", "PushedFilters: [In(doc_id")])
 
-    # 4. tf aggregation: partial + final hash aggregate (map-side combine)
+    # 4. tf extraction: per-doc Arrow kernel, zero exchange (round 8 —
+    # every (term, doc_id) group lives inside one document row, so the
+    # old explode→groupBy plan shuffled O(tokens) rows for nothing)
     tokd = corpus_to_tokd(assign_doc_ids(corpus))
     tf_txt = explain_str(tokd_to_tf(tokd, 8))
-    two_stage = tf_txt.count("HashAggregate") >= 2 and "Exchange" in tf_txt
+    kernelized = ("MapInArrow" in tf_txt
+                  and "hashpartitioning(term" not in tf_txt)
     sections.append((
-        "TF aggregation (I5): partial+final hash agg around one exchange",
-        [f"{'✅' if two_stage else '❌'} map-side combine: "
-         "two HashAggregates + Exchange in plan",
+        "TF extraction (I5): shuffle-free per-doc Arrow kernel",
+        [f"{'✅' if kernelized else '❌'} per-doc kernel: MapInArrow "
+         "present, no Exchange hashpartitioning(term, doc_id)",
          "ℹ️ codegen markers appear on finalized stages only (AQE); "
          "see `[codegen id :` in the scan plans above"],
         tf_txt))
