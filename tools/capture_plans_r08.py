@@ -69,6 +69,17 @@ def main():
         cat = ManifestParquetCatalog(root)
         IndexBuilder(cat, BuildConfig(n_buckets=16)).build(
             spark, f"{SF}/corpus", corpus_df=corpus)
+        # postings pre-grouping (round 8: per-group sort_array → codegen
+        # partition sort feeding collect_list; kernel verifies order)
+        from zsolr.build import grouped_postings
+        tf_read = cat.read(spark, "tfs").withColumn("salt", F.lit(0))
+        if mode == "before":
+            par = spark.sparkContext.defaultParallelism
+            save("build_postings_group",
+                 grouped_postings(tf_read.repartition(par * 8, "term",
+                                                      "salt")))
+        else:
+            save("build_postings_group", grouped_postings(tf_read))
         s = Searcher(spark, cat)
         save("query_result_page", s.search("hash AND join", k=10))
         save("query_match_scores", s.match_scores("hash AND join"))
