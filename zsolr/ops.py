@@ -15,7 +15,6 @@ baseline with an LSH-bucketed variant as the 100 TB path.
 
 from __future__ import annotations
 
-from functools import reduce
 from typing import Iterator
 
 import numpy as np
