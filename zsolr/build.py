@@ -422,9 +422,15 @@ class IndexBuilder:
         # overhead-bound (many small numpy calls), so 4× larger salt
         # classes amortize it while per-task state stays ≤ n_docs/(2·par)
         # postings — still a wave-balanced bound (measured: 61k → 15k
-        # groups, encode phase −40% at the bench scale)
+        # groups, encode phase −40% at the bench scale).  The 64k
+        # absolute ceiling bounds the collect_list buffer per group
+        # (~a few MB of structs) independently of core count: at low
+        # parallelism n_docs/(2·par) otherwise grows into 10^5-posting
+        # groups whose aggregation buffers thrash the GC (measured at
+        # local[4]/2M files).
         par = spark.sparkContext.defaultParallelism
-        adaptive = max(4 * cfg.block_size, n_docs // max(1, par * 2))
+        adaptive = min(max(4 * cfg.block_size, n_docs // max(1, par * 2)),
+                       65_536)
         threshold = max(1, min(cfg.hot_df_threshold, adaptive))
         hot = {r["term"]: r["df"] for r in
                stats.filter(F.col("df") > threshold).collect()}
