@@ -1538,12 +1538,6 @@ class Searcher:
                             for t in all_terms})
         shard_col = F.explode(F.expr(
             f"sequence(first_doc DIV {W}, last_doc DIV {W})")).alias("shard")
-        qblocks = (
-            self._postings
-            .filter(F.col("bucket").isin(q_buckets)
-                    & F.col("term").isin(list(all_terms)))
-            .withColumn("shard", shard_col)
-        )
         # one norms sidecar per scored FIELD in play (Lucene per-field
         # norms): content's classic sidecar, plus e.g. the path sidecar
         # when a dismax query scores path terms.  The universe (complement
@@ -1553,21 +1547,27 @@ class Searcher:
                     for t in norm_terms}
         if needs_universe or not sidecars:
             sidecars.add(NORMS_TERM)
-        nblocks = (
-            self._postings
-            .filter(F.col("bucket").isin(
-                sorted({term_bucket(t, self.n_buckets) for t in sidecars}))
-                & F.col("term").isin(sorted(sidecars)))
-            .withColumn("shard", shard_col)
-        )
         n_shards = -(-self.n_docs_total // W)
         est_docs = sum(self._df_cache.get(t, 0) for t in norm_terms)
-        if not needs_universe and not norm_terms:
-            # nothing scores (pure filter/const legs) → norms never read
-            nblocks = nblocks.filter(F.lit(False))
-        elif (not needs_universe and norm_terms
+        if (not needs_universe and norm_terms
                 and all(t in self._df_cache for t in norm_terms)
                 and est_docs * 2 < n_shards):
+            # rare-term path: norms blocks pruned to the shards holding a
+            # scoring-term block via a broadcast semi-join — two scans
+            qblocks = (
+                self._postings
+                .filter(F.col("bucket").isin(q_buckets)
+                        & F.col("term").isin(list(all_terms)))
+                .withColumn("shard", shard_col)
+            )
+            nblocks = (
+                self._postings
+                .filter(F.col("bucket").isin(
+                    sorted({term_bucket(t, self.n_buckets)
+                            for t in sidecars}))
+                    & F.col("term").isin(sorted(sidecars)))
+                .withColumn("shard", shard_col)
+            )
             scoring_blocks = (
                 self._postings
                 .filter(F.col("bucket").isin(
@@ -1578,7 +1578,22 @@ class Searcher:
             nblocks = nblocks.join(
                 F.broadcast(scoring_blocks.select("shard").distinct()),
                 "shard", "left_semi")
-        return qblocks.unionByName(nblocks)
+            return qblocks.unionByName(nblocks)
+        # common path: ONE scan with combined bucket/term predicates —
+        # query-term and sidecar key spaces are disjoint ('\x00'/'\x01'
+        # prefixes cannot appear in analyzed or field terms), so the
+        # union of two scans of the same table is a single scan with the
+        # union of their In-filters (round 8: saves a second parquet
+        # reader + listing per query job).  Pure filter/const queries
+        # (nothing scores, no universe) ship no sidecar at all.
+        want = set(all_terms)
+        if norm_terms or needs_universe:
+            want |= sidecars
+        buckets = sorted({term_bucket(t, self.n_buckets) for t in want})
+        return (self._postings
+                .filter(F.col("bucket").isin(buckets)
+                        & F.col("term").isin(sorted(want)))
+                .withColumn("shard", shard_col))
 
     # -- main entry ----------------------------------------------------------
     def search(self, q, k: int | None = 10, start: int = 0,
